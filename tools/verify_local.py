@@ -1,0 +1,81 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's DuckDB correctness gate.
+
+Usage: verify_local.py <sfDir> <verifyOutDir>
+
+Reads each <outDir>/<query>/ parquet (Spark output), runs the matching
+oracle SQL from <outDir>/oracle_sql.json in DuckDB over the sfDir parquet
+tables, sorts columns by name, and value-compares. Reports per-query PASS /
+FAIL with diffs, plus max float deltas so we can judge rounding safety.
+"""
+import sys, os, json, glob, math
+import duckdb
+import pyarrow.parquet as pq
+
+TABLES = ["region","nation","customer","supplier","part","orders",
+          "lineitem","events","documents","embeddings"]
+
+def norm(v):
+    if v is None: return None
+    if isinstance(v, float):
+        if math.isnan(v): return "NaN"
+        return v
+    return v
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name in sorted(oracle):
+        sql = oracle[name]
+        files = sorted(glob.glob(f"{out_dir}/{name}/*.parquet"))
+        if not files:
+            print(f"FAIL {name}: no spark output"); n_fail += 1; continue
+        try:
+            mine = pq.read_table(files[0]).to_pandas()
+        except Exception as e:
+            print(f"FAIL {name}: read error {e}"); n_fail += 1; continue
+        try:
+            them = con.execute(sql).df()
+        except Exception as e:
+            print(f"FAIL {name}: oracle error {e}"); n_fail += 1; continue
+        mine = mine[sorted(mine.columns)]
+        them = them[sorted(them.columns)]
+        if list(mine.columns) != list(them.columns):
+            print(f"FAIL {name}: columns {list(mine.columns)} vs {list(them.columns)}")
+            n_fail += 1; continue
+        if len(mine) != len(them):
+            print(f"FAIL {name}: rows {len(mine)} vs {len(them)}")
+            n_fail += 1; continue
+        bad = 0; max_float_delta = 0.0; first_diff = None
+        for c in mine.columns:
+            a, b = mine[c].tolist(), them[c].tolist()
+            for i, (x, y) in enumerate(zip(a, b)):
+                x, y = norm(x), norm(y)
+                if isinstance(x, float) and isinstance(y, float):
+                    if x != y:
+                        max_float_delta = max(max_float_delta, abs(x - y))
+                        bad += 1
+                        if first_diff is None: first_diff = (c, i, x, y)
+                else:
+                    # timestamps: compare as str to dodge ns/us repr diffs
+                    xs, ys = str(x), str(y)
+                    if xs != ys:
+                        bad += 1
+                        if first_diff is None: first_diff = (c, i, x, y)
+        if bad:
+            print(f"FAIL {name}: {bad} cell diffs, first={first_diff}, "
+                  f"max_float_delta={max_float_delta:g}")
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(mine)} rows)")
+            n_pass += 1
+    print(f"\n{n_pass} pass / {n_fail} fail")
+    return 1 if n_fail else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
