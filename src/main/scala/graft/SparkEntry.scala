@@ -11,9 +11,10 @@ object SparkEntry {
     Queries.q01_agg_basic(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Queries.all
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Queries.all ++ ExtQueries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Queries.oracles
+  def oracleSql: Map[String, String] = Queries.oracles ++ ExtQueries.oracles
 }

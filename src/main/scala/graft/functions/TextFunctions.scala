@@ -1,0 +1,121 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for training-data pipelines: tokenization,
+  * quality scoring, language-ID heuristics, fingerprinting, shingling.
+  *
+  * All pure `Column` expressions (no UDFs) so they stay inside whole-stage
+  * codegen and are oracle-checkable in DuckDB with the same regex/lambda
+  * semantics. Designed to run per-row over 100 TB of documents — each
+  * function is O(doc length), no shuffle, no driver state.
+  */
+object TextFunctions {
+
+  /** whitespace tokens (empty input → empty array, not [""]). */
+  def tokensWs(c: Column): Column =
+    when(length(trim(c)) === 0, array().cast("array<string>"))
+      .otherwise(split(trim(c), "\\s+"))
+
+  def tokenCountWs(c: Column): Column = size(tokensWs(c))
+
+  /** BPE-ish token count: letter runs, digit runs, and single
+    * non-alphanumeric glyphs each count as one token — the standard cheap
+    * proxy for subword-tokenizer counts.
+    */
+  def tokenCountBpe(c: Column): Column =
+    size(regexp_extract_all(c, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+
+  def charCount(c: Column): Column = length(c)
+
+  private def ratioOf(c: Column, charClass: String): Column = {
+    val n = length(c) - length(regexp_replace(c, charClass, ""))
+    when(length(c) === 0, 0.0d).otherwise(n.cast("double") / length(c))
+  }
+
+  /** fraction of characters that are punctuation (explicit class kept
+    * RE2-compatible so the DuckDB oracle matches Java regex exactly).
+    */
+  def punctRatio(c: Column): Column = ratioOf(c, "[!-/:-@\\[-`{-~]")
+  def digitRatio(c: Column): Column = ratioOf(c, "[0-9]")
+  def upperRatio(c: Column): Column = ratioOf(c, "[A-Z]")
+  def whitespaceRatio(c: Column): Column = ratioOf(c, "[ \\t\\n\\r]")
+
+  val StopwordsEn: Seq[String] = Seq("the", "a", "an", "and", "of", "to", "in", "is")
+
+  /** fraction of whitespace tokens that are (lowercased) English stopwords. */
+  def stopwordRatio(c: Column): Column = {
+    val toks = tokensWs(lower(c))
+    val stops = StopwordsEn.map(s => s"'$s'").mkString(", ")
+    val nStop = size(filter(toks, t => t.isin(StopwordsEn.map(x => x: Any): _*)))
+    when(size(toks) === 0, 0.0d).otherwise(nStop.cast("double") / size(toks))
+  }
+
+  /** composite quality score in [0,1] — heuristic mix of length band,
+    * punctuation sanity, and stopword presence (the usual pretraining
+    * quality-filter shape; weights are documented constants, not learned).
+    */
+  def qualityScore(c: Column): Column = {
+    val lenScore = when(length(c) >= 200 && length(c) <= 20000, 1.0d)
+      .when(length(c) >= 50, 0.5d).otherwise(0.0d)
+    val punctOk = when(punctRatio(c) <= 0.2d, 1.0d).otherwise(0.0d)
+    val stopOk = when(stopwordRatio(c) >= 0.05d, 1.0d).otherwise(0.0d)
+    round(lenScore * 0.4d + punctOk * 0.3d + stopOk * 0.3d, 4)
+  }
+
+  /** language-ID by stopword voting (n-gram-free heuristic; deterministic
+    * argmax with fixed priority en > de > fr > es on ties).
+    */
+  private val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "is", "and", "of"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "fr" -> Seq("le", "et", "est", "une", "dans"),
+    "es" -> Seq("el", "y", "es", "una", "en"))
+
+  def langScores(c: Column): Map[String, Column] = {
+    val toks = tokensWs(lower(c))
+    LangMarkers.toMap.map { case (lang, words) =>
+      lang -> size(filter(toks, t => t.isin(words.map(x => x: Any): _*)))
+    }
+  }
+
+  def langId(c: Column): Column = {
+    val s = langScores(c)
+    val (en, de, fr, es) = (s("en"), s("de"), s("fr"), s("es"))
+    when(en >= de && en >= fr && en >= es, "en")
+      .when(de >= fr && de >= es, "de")
+      .when(fr >= es, "fr")
+      .otherwise("es")
+  }
+
+  /** canonical text normalization for fingerprinting/dedup: lowercase,
+    * collapse whitespace, strip non-alphanumeric (keeps spaces).
+    */
+  def normalizeText(c: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9\\s]", ""), "\\s+", " "))
+
+  /** document fingerprint: md5 of the normalized text — reproducible in
+    * any engine (the rolling-hash variant is in Dedup.simhash64).
+    */
+  def fingerprint(c: Column): Column = md5(normalizeText(c))
+
+  /** distinct word k-shingles ("w1 w2 w3" strings) of the raw text. */
+  def wordShingles(c: Column, k: Int): Column = {
+    val toks = tokensWs(c)
+    val n = size(toks)
+    array_distinct(
+      when(n < k, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(1), n - (k - 1)),
+          i => concat_ws(" ", slice(toks, i, lit(k))))))
+  }
+
+  /** distinct character k-shingles of the normalized text. */
+  def charShingles(c: Column, k: Int): Column = {
+    val s = normalizeText(c)
+    array_distinct(
+      when(length(s) < k, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(1), length(s) - (k - 1)),
+          i => s.substr(i, lit(k)))))
+  }
+}

@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (Array[Float]).
+  *
+  * - `cosine` is a pure Column expression (zip_with + aggregate in DOUBLE —
+  *   matches DuckDB's list_cosine_similarity on DOUBLE[] for the oracle).
+  * - `bruteForceTopK` broadcasts the (small) query set and scans the corpus
+  *   once — the exact baseline. At 100 TB the corpus side stays partitioned
+  *   and never shuffles; only |queries| × k rows come back.
+  * - `lshBuckets`/`annTopK` is the scale path: deterministic random-
+  *   hyperplane signs bucket the corpus; probing only the query's bucket
+  *   turns each lookup into a bucket-local scan (recall traded via
+  *   `planes`, multi-probe via hamming-adjacent buckets).
+  */
+object Similarity {
+
+  /** cosine(a, b) computed in double precision, left-to-right. */
+  def cosine(a: Column, b: Column): Column = {
+    val ad = transform(a, x => x.cast("double"))
+    val bd = transform(b, x => x.cast("double"))
+    val dot = aggregate(zip_with(ad, bd, (x, y) => x * y),
+      lit(0.0d), (acc, v) => acc + v)
+    val na = sqrt(aggregate(transform(ad, x => x * x), lit(0.0d), (acc, v) => acc + v))
+    val nb = sqrt(aggregate(transform(bd, x => x * x), lit(0.0d), (acc, v) => acc + v))
+    dot / (na * nb)
+  }
+
+  def dotProduct(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(transform(a, _.cast("double")), transform(b, _.cast("double")),
+        (x, y) => x * y),
+      lit(0.0d), (acc, v) => acc + v)
+
+  def l2Norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0.0d), (acc, v) => acc + v))
+
+  /** Exact top-k neighbors for each query vector.
+    * queries/corpus: (idCol, vecCol). Self-matches (same id) are excluded.
+    */
+  def bruteForceTopK(
+      queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv")))
+    val c = corpus.select(col(idCol).as("match_id"), col(vecCol).as("__cv"))
+    val scored = c.crossJoin(q)
+      .filter(col("match_id") =!= col("query_id"))
+      .select(col("query_id"), col("match_id"),
+        cosine(col("__qv"), col("__cv")).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("match_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Global top-n most-similar pairs (id_a < id_b) — the embedding
+    * near-dup surface when no threshold is known a priori.
+    * O(n²) compare; at scale gate it behind `lshBuckets` candidates.
+    */
+  def topPairs(df: DataFrame, idCol: String, vecCol: String, n: Int): DataFrame = {
+    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("__va"))
+    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("__vb"))
+    a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), cosine(col("__va"), col("__vb")).as("cos"))
+      .orderBy(col("cos").desc, col("id_a").asc, col("id_b").asc)
+      .limit(n)
+  }
+
+  /** Deterministic random-hyperplane LSH signature: `planes` sign bits
+    * packed into a long. Hyperplane p, dim d coefficient is a fixed
+    * xxhash64-derived pseudo-gaussian-ish value in [-1, 1) — seedless
+    * reproducibility across runs and engines that share xxhash64.
+    */
+  def lshSignature(vec: Column, dim: Int, planes: Int = 16): Column = {
+    require(planes <= 63, "planes must fit a long")
+    val vd = transform(vec, x => x.cast("double"))
+    val bits = (0 until planes).map { p =>
+      // dot(vec, plane_p) where plane_p[d] = hash(p, d) scaled to [-1, 1)
+      val prods = (0 until dim).map { d =>
+        val coeff = (xxhash64(lit(p * 10007 + d)).cast("double") /
+          lit(Long.MaxValue.toDouble))
+        element_at(vd, d + 1) * coeff
+      }
+      val dot = prods.reduce(_ + _)
+      shiftleft(when(dot > 0, 1L).otherwise(0L), p)
+    }
+    bits.reduce[Column](_ bitwiseOR _)
+  }
+
+  /** Bucketed ANN top-k: corpus bucketed by LSH signature; each query
+    * probes only its own bucket. Returns (query_id, match_id, cos, rank)
+    * like bruteForceTopK but approximate (bucket-miss ⇒ missing neighbor).
+    */
+  def annTopK(
+      queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int, dim: Int,
+      planes: Int = 12): DataFrame = {
+    val sigQ = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+      lshSignature(col(vecCol), dim, planes).as("__bucket"))
+    val sigC = corpus.select(col(idCol).as("match_id"), col(vecCol).as("__cv"),
+      lshSignature(col(vecCol), dim, planes).as("__bucket"))
+    val scored = sigC.join(broadcast(sigQ), Seq("__bucket"))
+      .filter(col("match_id") =!= col("query_id"))
+      .select(col("query_id"), col("match_id"),
+        cosine(col("__qv"), col("__cv")).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("match_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+}
