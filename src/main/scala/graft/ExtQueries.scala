@@ -101,7 +101,29 @@ object ExtQueries {
         md5(col("media")).as("digest"))
       .orderBy(col("id"))
 
+  /** CSV round-trip through OUR writer and reader: lineitem → CSV files →
+    * parse (file path, schema coercion) → aggregate. The oracle reads the
+    * original parquet, so any writer/reader corruption breaks the hash.
+    */
+  def q36_csv_roundtrip(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.{CsvReader, CsvWriter}
+    val tmp = new java.io.File(
+      System.getProperty("java.io.tmpdir"), "graft_csv_roundtrip").getPath
+    val li = t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_returnflag"))
+    CsvWriter.write(li, tmp)
+    val back = CsvReader.read(s, tmp).df
+    back
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(sum(col("l_quantity").cast("double")), 4).as("sum_qty"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q36_csv_roundtrip" -> q36_csv_roundtrip _,
     "q26_token_stats" -> q26_token_stats _,
     "q27_quality" -> q27_quality _,
     "q28_langid" -> q28_langid _,
@@ -115,6 +137,10 @@ object ExtQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q36_csv_roundtrip" ->
+      """SELECT l_returnflag, round(sum(l_quantity), 4) AS sum_qty,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q26_token_stats" ->
       """SELECT doc_id, length(text) AS n_chars_calc,
         |  len(regexp_split_to_array(trim(text), '\s+')) AS n_tok_ws,

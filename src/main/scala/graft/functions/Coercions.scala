@@ -19,13 +19,26 @@ object Coercions {
     * whitespace, converts accounting `(123)` to -123, `%` suffix divides by
     * 100 (reference row.ts:625-646,679-690). Unparsable → null.
     */
+  private val NumPrefixRe = "^([+-]?(?:\\d+\\.?\\d*|\\.\\d+)(?:[eE][+-]?\\d+)?)"
+
+  /** ANSI-safe numeric cast: extract the leading numeric run (JS parseFloat
+    * semantics — "12abc" → 12) and cast only that; no match → null. A bare
+    * `cast` would THROW on malformed input under Spark 4's default ANSI
+    * mode instead of returning null like the reference.
+    */
+  def parseFloatLike(s: Column): Column = {
+    val prefix = regexp_extract(s, NumPrefixRe, 1)
+    when(prefix =!= "", prefix.cast("double"))
+      .otherwise(lit(null).cast("double"))
+  }
+
   def numberLoose(c: Column): Column = {
     val t = trim(c.cast("string"))
     val isAccounting = t.rlike("^\\(.*\\)$")
     val inner = when(isAccounting, accountingInner(t)).otherwise(t)
     val stripped = regexp_replace(inner, "[$€£¥\\u00a0 ,]", "")
     val isPercent = stripped.rlike("%$")
-    val num = regexp_replace(stripped, "%$", "").cast("double")
+    val num = parseFloatLike(regexp_replace(stripped, "%$", ""))
     val signed = when(isAccounting, -num).otherwise(num)
     when(isPercent, signed / 100.0d).otherwise(signed)
   }
@@ -37,7 +50,8 @@ object Coercions {
     val t = trim(c.cast("string"))
     val stripped = regexp_replace(t, ",", "")
     // parseInt("12.7") === 12: take the leading integer run.
-    regexp_extract(stripped, "^([+-]?\\d+)", 1).cast("long")
+    val prefix = regexp_extract(stripped, "^([+-]?\\d+)", 1)
+    when(prefix =!= "", prefix.cast("long")).otherwise(lit(null).cast("long"))
   }
 
   /** boolean parse: true/1/yes/y and false/0/no/n, case-insensitive
@@ -53,18 +67,18 @@ object Coercions {
   /** percent parse: strips `%` and commas then divides by 100
     * (reference row.ts:692-701).
     */
-  def percentLoose(c: Column): Column = {
-    val t = regexp_replace(trim(c.cast("string")), "[%,]", "")
-    t.cast("double") / 100.0d
-  }
+  def percentLoose(c: Column): Column =
+    parseFloatLike(regexp_replace(trim(c.cast("string")), "[%,]", "")) / 100.0d
 
   /** currency parse — same pipeline as numberLoose in the reference
     * (row.ts:679-690).
     */
   def currencyLoose(c: Column): Column = numberLoose(c)
 
-  /** ISO-8601 date parse (reference row.ts:668-677 — `new Date(value)`). */
-  def dateIso(c: Column): Column = to_timestamp(trim(c.cast("string")))
+  /** ISO-8601 date parse (reference row.ts:668-677 — `new Date(value)`);
+    * try_to_timestamp → null on bad input (ANSI-safe).
+    */
+  def dateIso(c: Column): Column = try_to_timestamp(trim(c.cast("string")))
 
   /** Dynamic-typing *tag* for a string value, mirroring the per-value
     * inference of reference row.ts:442-458: "boolean" | "number" | "null" |

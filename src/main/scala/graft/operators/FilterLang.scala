@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{NumericType, StructType}
 
 /** The CLI filter mini-language (reference: src/cli/commands/filter.ts:26-123).
   *
@@ -33,7 +34,7 @@ object FilterLang {
   private def isNumeric(v: String): Boolean =
     v.matches("^-?(\\d+\\.?\\d*|\\.\\d+)([eE][+-]?\\d+)?$")
 
-  private def clause(s: String): Column = s match {
+  private def clause(s: String, schema: Option[StructType]): Column = s match {
     case KeywordRe(c, op, rawV) =>
       val v = unquote(rawV)
       op.toLowerCase match {
@@ -47,23 +48,34 @@ object FilterLang {
       val numeric = isNumeric(v)
       // Reference filter.ts:63-88: ordering compares parseFloat(col) to the
       // numeric literal; equality compares string forms.
-      def lhs: Column = if (numeric) col(c).cast("double") else col(c)
+      // When the schema says the column is ALREADY numeric, compare
+      // directly — the predicate stays pushdown-eligible (parquet min/max
+      // pruning); the parseFloat guard is only for string-typed data, where
+      // a bare ANSI cast would throw on malformed values.
+      val colIsNumeric = schema.exists(_.fields.exists(f =>
+        f.name == c && f.dataType.isInstanceOf[NumericType]))
+      def lhs: Column =
+        if (colIsNumeric) col(c).cast("double")
+        else graft.functions.Coercions.parseFloatLike(col(c).cast("string"))
       def rhsNum: Column = lit(v.toDouble)
       op match {
         case "==" | "=" =>
           if (numeric) lhs === rhsNum else col(c).cast("string") === lit(v)
         case "!=" =>
           if (numeric) lhs =!= rhsNum else col(c).cast("string") =!= lit(v)
-        case ">"  => lhs.cast("double") > rhsNum
-        case ">=" => lhs.cast("double") >= rhsNum
-        case "<"  => lhs.cast("double") < rhsNum
-        case "<=" => lhs.cast("double") <= rhsNum
+        case ">"  => lhs > rhsNum
+        case ">=" => lhs >= rhsNum
+        case "<"  => lhs < rhsNum
+        case "<=" => lhs <= rhsNum
       }
     case other => expr(other)
   }
 
-  /** Parse a filter expression into a Catalyst `Column`. */
-  def parse(input: String): Column = {
+  /** Parse a filter expression into a Catalyst `Column`. Pass the frame's
+    * schema (Ops.filterExpr does) so numeric-column compares stay
+    * pushdown-eligible.
+    */
+  def parse(input: String, schema: Option[StructType] = None): Column = {
     // Split on && / || at top level (no parens in the reference language);
     // preserve operator order left-to-right like JS evaluation.
     val orParts = input.split("""\|\||(?i)\s+or\s+""")
@@ -71,7 +83,7 @@ object FilterLang {
       .map { part =>
         part
           .split("""&&|(?i)\s+and\s+""")
-          .map(clause)
+          .map(clause(_, schema))
           .reduceLeft(_ && _)
       }
       .reduceLeft(_ || _)

@@ -22,7 +22,8 @@ object Ops {
     def selectCols(names: String*): DataFrame = df.select(names.map(col): _*)
 
     /** CLI filter expression (reference filter.ts) → Catalyst predicate. */
-    def filterExpr(e: String): DataFrame = df.filter(FilterLang.parse(e))
+    def filterExpr(e: String): DataFrame =
+      df.filter(FilterLang.parse(e, Some(df.schema)))
 
     /** reference dataframe.ts:124-145 sort/sorted. Raw (untyped) data sorts
       * lexicographically in the reference; on typed columns Spark's native

@@ -1,0 +1,160 @@
+package graft
+
+import graft.sources.{CsvLineParser, CsvOptions, CsvReader}
+
+/** Reader semantics from FIXTURES.md §§1-6 (reference test suite cases). */
+class CsvReaderSpec extends SparkSpec {
+
+  private def rows(scan: CsvReader.CsvScan): Seq[Seq[Any]] =
+    scan.df.collect().toSeq.map(r => (0 until r.length).map(r.get))
+
+  test("basic 3-col parse with header") {
+    val p = writeTmp("basic.csv", "name,age,city\nAlice,30,NYC\nBob,25,LA\n")
+    val scan = CsvReader.read(spark, p)
+    assert(scan.headers == Seq("name", "age", "city"))
+    assert(rows(scan).toSet == Set(Seq("Alice", "30", "NYC"), Seq("Bob", "25", "LA")))
+  }
+
+  test("quoted comma, escaped quotes, CRLF") {
+    val p = writeTmp("q.csv",
+      "name,addr\r\n\"Alice\",\"123 Main St, Apt 4\"\r\nBob,\"He said \"\"Hello\"\"\"\r\n")
+    val got = rows(CsvReader.read(spark, p)).toSet
+    assert(got == Set(
+      Seq("Alice", "123 Main St, Apt 4"),
+      Seq("Bob", "He said \"Hello\"")))
+  }
+
+  test("unquoted empty is null; quoted empty is empty string") {
+    val p = writeTmp("nulls.csv", "a,b,c\nAlice,,NYC\nBob,\"\",LA\n")
+    val got = rows(CsvReader.read(spark, p))
+    val alice = got.find(_.head == "Alice").get
+    val bob = got.find(_.head == "Bob").get
+    assert(alice(1) == null)
+    assert(bob(1) == "")
+  }
+
+  test("duplicate headers renamed name, name_1, ...") {
+    val p = writeTmp("dup.csv", "name,age,name,score,age\n1,2,3,4,5\n")
+    val scan = CsvReader.read(spark, p)
+    assert(scan.headers == Seq("name", "age", "name_1", "score", "age_1"))
+  }
+
+  test("duplicate headers error mode") {
+    val p = writeTmp("dup2.csv", "a,a\n1,2\n")
+    val ex = intercept[IllegalArgumentException] {
+      CsvReader.read(spark, p, CsvOptions(renameDuplicateHeaders = false))
+    }
+    assert(ex.getMessage.contains("DuplicateHeader"))
+  }
+
+  test("no header: col0..colN") {
+    val p = writeTmp("nohead.csv", "1,2,3\n4,5,6\n")
+    val scan = CsvReader.read(spark, p, CsvOptions(header = false))
+    assert(scan.headers == Seq("col0", "col1", "col2"))
+    assert(rows(scan).toSet == Set(Seq("1", "2", "3"), Seq("4", "5", "6")))
+  }
+
+  test("relaxColumnCountLess fills nulls; relaxColumnCountMore collects __parsed_extra") {
+    val p = writeTmp("mm.csv", "name,age\nBob,25,extra1,extra2\nCharlie\nOk,1\n")
+    val scan = CsvReader.read(spark, p,
+      CsvOptions(relaxColumnCountLess = true, relaxColumnCountMore = true))
+    val got = scan.df.collect().map(r => (r.getString(0),
+      Option(r.get(1)).orNull,
+      Option(r.getAs[scala.collection.Seq[String]]("__parsed_extra"))
+        .map(_.toList).orNull)).toSet
+    assert(got == Set(
+      ("Bob", "25", List("extra1", "extra2")),
+      ("Charlie", null, null),
+      ("Ok", "1", null)))
+  }
+
+  test("strict mode records TooFewFields/TooManyFields errors") {
+    val p = writeTmp("mm2.csv", "name,age\nBob,25,extra\nCharlie\nOk,1\n")
+    val scan = CsvReader.read(spark, p, CsvOptions(skipRecordsWithError = true))
+    assert(scan.df.count() == 1)
+    val errs = scan.errors.collect().map(r => r.getString(1)).sorted.toSeq
+    assert(errs == Seq("TooFewFields", "TooManyFields"))
+  }
+
+  test("comments, skipFirstNLines, preview") {
+    val p = writeTmp("meta.csv",
+      "junk line\nname,age\n# comment row\nA,1\nB,2\nC,3\n")
+    val scan = CsvReader.read(spark, p,
+      CsvOptions(skipFirstNLines = 1, comments = Some("#"), preview = 2))
+    assert(scan.headers == Seq("name", "age"))
+    assert(rows(scan).map(_.head).toSet == Set("A", "B"))
+  }
+
+  test("fromLine/toLine 1-based inclusive window") {
+    val lines = (1 to 10).map(i => s"${('A' + i - 1).toChar},$i").mkString("\n")
+    val p = writeTmp("range.csv", "name,val\n" + lines + "\n")
+    val scan = CsvReader.read(spark, p, CsvOptions(fromLine = 3, toLine = 5))
+    assert(rows(scan).map(_.head).toSet == Set("C", "D", "E"))
+  }
+
+  test("greedy skipEmptyLines drops whitespace-only rows") {
+    val p = writeTmp("empty.csv", "a,b\n1,2\n   \n\n3,4\n")
+    val scan = CsvReader.read(spark, p,
+      CsvOptions(skipEmptyLines = "greedy", maxRecordSize = 1000))
+    assert(scan.df.count() == 2)
+  }
+
+  test("maxRecordSize errors oversized rows") {
+    val p = writeTmp("big.csv", "a,b\n1,2\n" + ("x" * 100) + ",3\n4,5\n")
+    val scan = CsvReader.read(spark, p,
+      CsvOptions(maxRecordSize = 50, skipRecordsWithError = true))
+    assert(scan.df.count() == 2)
+    assert(scan.errors.collect().map(_.getString(1)).toSeq == Seq("MaxRecordSize"))
+  }
+
+  test("delimiter auto-detection: tab, pipe, semicolon") {
+    for (sep <- Seq("\t", "|", ";")) {
+      val p = writeTmp("det.csv",
+        s"a${sep}b${sep}c\n1${sep}2${sep}3\n4${sep}5${sep}6\n")
+      val scan = CsvReader.read(spark, p, CsvOptions(delimiter = None))
+      assert(scan.headers == Seq("a", "b", "c"), s"sep=<$sep>")
+      assert(rows(scan).toSet == Set(Seq("1", "2", "3"), Seq("4", "5", "6")))
+    }
+  }
+
+  test("dynamicTyping: booleans, numbers incl. scientific, strings") {
+    val p = writeTmp("dyn.csv",
+      "flag,num,mixed\ntrue,1.5,abc\nfalse,2e3,5\nTRUE,-0.5,x\n")
+    val scan = CsvReader.read(spark, p, CsvOptions(dynamicTyping = true))
+    val sch = scan.df.schema
+    assert(sch("flag").dataType.typeName == "boolean")
+    assert(sch("num").dataType.typeName == "double")
+    assert(sch("mixed").dataType.typeName == "string")
+    val got = scan.df.collect().find(r => r.getBoolean(0)).get
+    assert(got.getDouble(1) == 1.5 || got.getDouble(1) == 2000.0)
+  }
+
+  test("multiLine: embedded newline in quoted field") {
+    val p = writeTmp("ml.csv", "name,addr\nAlice,\"123 Main St\nApt 4\"\n")
+    val scan = CsvReader.read(spark, p, CsvOptions(multiLine = true))
+    assert(rows(scan) == Seq(Seq("Alice", "123 Main St\nApt 4")))
+  }
+
+  test("fastMode: naive split, no quote handling") {
+    val p = writeTmp("fast.csv", "a,b\n1,\"x\"\n")
+    val scan = CsvReader.read(spark, p, CsvOptions(fastMode = true))
+    assert(rows(scan) == Seq(Seq("1", "\"x\"")))
+  }
+
+  test("buffer scan (readString) + trim") {
+    val scan = CsvReader.readString(spark, "a,b\n  Alice  , 30 \n",
+      CsvOptions(trimWhitespace = true, fastMode = false,
+        maxRecordSize = 100))
+    assert(rows(scan) == Seq(Seq("Alice", "30")))
+  }
+
+  test("unicode row survives") {
+    val p = writeTmp("uni.csv", "a,b,c\n日本語,中文,한국어\n")
+    assert(rows(CsvReader.read(spark, p)) == Seq(Seq("日本語", "中文", "한국어")))
+  }
+
+  test("driver line parser handles nested quotes") {
+    val f = CsvLineParser.parseLine("\"say \"\"hello, world\"\"\",x", ',', '"')
+    assert(f.toSeq == Seq("say \"hello, world\"", "x"))
+  }
+}

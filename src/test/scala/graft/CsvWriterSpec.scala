@@ -1,0 +1,74 @@
+package graft
+
+import graft.sources.CsvWriter
+import graft.sources.CsvWriter.WriteOptions
+
+/** Writer semantics from FIXTURES.md §7 (reference writer/unparse tests). */
+class CsvWriterSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("minimal quoting: embedded comma and quotes") {
+    val df = Seq(("hello, world", "plain"), ("say \"hello\"", "x"))
+      .toDF("a", "b")
+    val s = CsvWriter.unparseString(df, WriteOptions(lineEnding = "\n"))
+    assert(s ==
+      "a,b\n\"hello, world\",plain\n\"say \"\"hello\"\"\",x")
+  }
+
+  test("quoteAll style and CRLF default for unparse") {
+    val df = Seq(("x", "1")).toDF("a", "b")
+    val s = CsvWriter.unparseString(df, WriteOptions(
+      quoteStyle = "all", lineEnding = "\r\n"))
+    assert(s == "\"a\",\"b\"\r\n\"x\",\"1\"")
+  }
+
+  test("nonnumeric quoting: strings quoted, numbers raw") {
+    val df = Seq(("alpha", 1.5, 2L)).toDF("s", "d", "l")
+    val s = CsvWriter.unparseString(df, WriteOptions(
+      quoteStyle = "nonnumeric", lineEnding = "\n", header = false))
+    assert(s == "\"alpha\",1.5,2")
+  }
+
+  test("formula injection escaping") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq(("=SUM(A1:A9)", "+1", "-2", "@cmd", "ok")).toDF("a", "b", "c", "d", "e")
+    val escaped = df.select(df.columns.map(c =>
+      graft.functions.Coercions.escapeFormula(col(c)).as(c)): _*)
+    val out = CsvWriter.unparseString(escaped,
+      WriteOptions(lineEnding = "\n", header = false))
+    assert(out == "'=SUM(A1:A9),'+1,'-2,'@cmd,ok")
+  }
+
+  test("null becomes empty unquoted; empty string round-trips quoted") {
+    val df = Seq((Some("x"), None: Option[String]), (Some(""), Some("y")))
+      .toDF("a", "b")
+    val s = CsvWriter.unparseString(df, WriteOptions(lineEnding = "\n", header = false))
+    // null → empty; "" → empty (minimal style doesn't quote empties —
+    // matches reference minimal writer)
+    assert(s == "x,\n,y")
+  }
+
+  test("round-trip: write then read preserves data") {
+    val dir = java.nio.file.Files.createTempDirectory("rt").toString + "/out"
+    val df = Seq(("a,1", "plain"), ("q\"q", "z")).toDF("x", "y")
+    CsvWriter.write(df, dir)
+    val back = graft.sources.CsvReader.read(spark, dir)
+    assert(back.df.collect().map(r => (r.getString(0), r.getString(1))).toSet ==
+      Set(("a,1", "plain"), ("q\"q", "z")))
+  }
+
+  test("tsv escapes tabs and newlines literally") {
+    val df = Seq(("has\ttab", "ok")).toDF("a", "b")
+    val dir = java.nio.file.Files.createTempDirectory("tsv").toString + "/out"
+    CsvWriter.writeTsv(df, dir)
+    val lines = spark.read.textFile(dir).collect().toSeq
+    assert(lines.exists(_.contains("has\\ttab")))
+  }
+
+  test("jsonl output") {
+    val dir = java.nio.file.Files.createTempDirectory("jl").toString + "/out"
+    CsvWriter.writeJsonl(Seq(("a", 1)).toDF("k", "v"), dir)
+    val lines = spark.read.textFile(dir).collect().toSeq
+    assert(lines == Seq("""{"k":"a","v":1}"""))
+  }
+}

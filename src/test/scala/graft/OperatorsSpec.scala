@@ -1,0 +1,159 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.Coercions
+import graft.operators.{Aggregates, Dedup, FilterLang, Joins}
+import graft.operators.Aggregates.AggSpec
+import graft.operators.Ops._
+
+/** Operator-level golden cases from FIXTURES.md §7 + §5. */
+class OperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ------------------------------------------------------------ aggregates
+
+  test("count includes nulls (group size), sum/mean zero on empty") {
+    val df = Seq(("a", Some(1.0)), ("a", None), ("a", Some(3.0)), ("b", None))
+      .toDF("g", "v")
+    val out = Aggregates.groupByAgg(df, "g", Seq(
+      AggSpec("n", "v", "count"), AggSpec("s", "v", "sum"),
+      AggSpec("m", "v", "mean")))
+      .orderBy("g").collect()
+    assert(out(0).getLong(1) == 3)       // a: count counts the null too
+    assert(out(1).getLong(1) == 1)       // b: 1-row group
+    assert(out(1).getDouble(2) == 0.0)   // b: sum of no numerics = 0
+    assert(out(1).getDouble(3) == 0.0)   // b: mean of no numerics = 0
+  }
+
+  test("stddev is population; median exact avg-of-middle-pair; concat joins ', '") {
+    val df = Seq(("g", 1.0, "x"), ("g", 2.0, "y"), ("g", 3.0, "z"), ("g", 4.0, "w"))
+      .toDF("g", "v", "s")
+    val out = Aggregates.groupByAgg(df, "g", Seq(
+      AggSpec("sd", "v", "stddev"), AggSpec("med", "v", "median"),
+      AggSpec("c", "s", "concat"))).collect()(0)
+    assert(math.abs(out.getDouble(1) - math.sqrt(1.25)) < 1e-12) // ÷n, not n-1
+    assert(out.getDouble(2) == 2.5)                              // (2+3)/2
+    assert(out.getString(3) == "w, x, y, z")                     // sorted concat
+  }
+
+  test("ungrouped column agg parses currency strings (Zig path)") {
+    val df = Seq("1,234.56", "$99.99", "50", "(10)").toDF("v")
+    val out = Aggregates.columnAgg(df, "v", "sum").collect()(0)
+    assert(math.abs(out.getDouble(0) - (1234.56 + 99.99 + 50 - 10)) < 1e-9)
+  }
+
+  // ----------------------------------------------------------------- joins
+
+  test("right-wins column overlap on matched rows only") {
+    val left = Seq((1, "L1", "lv1"), (2, "L2", "lv2"), (3, "L3", "lv3"))
+      .toDF("k", "name", "only_l")
+    val right = Seq((1, "R1"), (3, "R3")).toDF("k", "name")
+    val out = Joins.joinRef(left, right, "k", "left")
+      .orderBy("k").collect()
+    assert(out.map(_.getString(1)).toSeq == Seq("R1", "L2", "R3"))
+    assert(out.map(_.getString(2)).toSeq == Seq("lv1", "lv2", "lv3"))
+  }
+
+  test("right wins even when the right value is null (JS spread semantics)") {
+    val left = Seq((1, "L1")).toDF("k", "name")
+    val right = Seq((1, null.asInstanceOf[String])).toDF("k", "name")
+    val out = Joins.joinRef(left, right, "k", "inner").collect()
+    assert(out(0).isNullAt(1))
+  }
+
+  test("full join keeps unmatched rows from both sides") {
+    val left = Seq((1, "a"), (2, "b")).toDF("k", "l")
+    val right = Seq((2, "x"), (3, "y")).toDF("k", "r")
+    val out = Joins.joinRef(left, right, "k", "full")
+    assert(out.count() == 3)
+  }
+
+  test("cross join is a real cross join (reference declared-unimplemented)") {
+    val l = Seq(1, 2).toDF("a")
+    val r = Seq("x", "y", "z").toDF("b")
+    assert(Joins.joinRef(l, r, "a", "b", "cross").count() == 6)
+  }
+
+  // ------------------------------------------------------------- filterlang
+
+  test("filter language: numeric, equality, string ops, boolean combos") {
+    val df = Seq(("apple", "10"), ("banana", "25"), ("cherry", "100"))
+      .toDF("name", "qty")
+    assert(df.filterExpr("qty > 20").count() == 2)
+    assert(df.filterExpr("qty >= 100").count() == 1) // numeric, not lexicographic
+    assert(df.filterExpr("name == apple").count() == 1)
+    assert(df.filterExpr("name contains an").count() == 1)
+    assert(df.filterExpr("name startsWith ch").count() == 1)
+    assert(df.filterExpr("name endsWith le").count() == 1)
+    assert(df.filterExpr("name matches ^[ab].*").count() == 2)
+    assert(df.filterExpr("qty > 20 && name contains an").count() == 1)
+    assert(df.filterExpr("name == apple || name == cherry").count() == 2)
+  }
+
+  test("filter language falls back to Spark SQL expr") {
+    val df = Seq((1, 2), (3, 1)).toDF("a", "b")
+    assert(df.filterExpr("a + b > 3").count() == 1)
+  }
+
+  // -------------------------------------------------------------- coercions
+
+  test("coercion edge values") {
+    val df = Seq("$1,234.56", "(500)", "75%", " 42 ", "bogus").toDF("v")
+    val out = df.select(Coercions.numberLoose(col("v")).as("n")).collect()
+      .map(r => if (r.isNullAt(0)) null else r.getDouble(0))
+    assert(out(0) == 1234.56 && out(1) == -500.0 && out(2) == 0.75 &&
+      out(3) == 42.0 && out(4) == null)
+  }
+
+  test("integerLoose truncates like parseInt") {
+    val df = Seq("1,200", "12.7", "-5", "x").toDF("v")
+    val out = df.select(Coercions.integerLoose(col("v")).as("n")).collect()
+      .map(r => if (r.isNullAt(0)) null else r.getLong(0))
+    assert(out.toSeq == Seq(1200L, 12L, -5L, null))
+  }
+
+  test("boolean loose accepts y/n/1/0 case-insensitive") {
+    val df = Seq("TRUE", "n", "1", "No", "maybe").toDF("v")
+    val out = df.select(Coercions.boolLoose(col("v")).as("b")).collect()
+      .map(r => if (r.isNullAt(0)) null else r.getBoolean(0))
+    assert(out.toSeq == Seq(true, false, true, false, null))
+  }
+
+  // ------------------------------------------------------------ dedup recall
+
+  test("minhash LSH recovers exact-jaccard near-dup pairs on testdata") {
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+    val exact = Dedup.jaccardPairs(docs, "doc_id", "text", 0.8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sketch = Dedup.minhashNearDupPairs(docs, "doc_id", "text", 0.7)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "testdata should contain planted near-dups")
+    assert(exact.subsetOf(sketch),
+      s"minhash missed ${exact.diff(sketch)}")
+  }
+
+  test("exact dedup keeps min-id representative") {
+    val df = Seq((1L, "same"), (5L, "same"), (3L, "other")).toDF("id", "t")
+    val out = Dedup.exact(df, Seq("t"), "id").select("id")
+      .collect().map(_.getLong(0)).toSet
+    assert(out == Set(1L, 3L))
+  }
+
+  // ------------------------------------------------------------- multimodal
+
+  test("multimodal: pack, stub-decode features, frame sampling") {
+    import graft.operators.Multimodal
+    implicit val s = spark
+    val docs = Seq((1L, "hello world " * 50), (2L, "tiny")).toDF("id", "text")
+    val packed = Multimodal.packText(docs, "id", "text")
+    assert(packed.schema.fieldNames.toSeq == Seq("id", "media", "meta"))
+    val media = packed.select("id", "media").as[(Long, Array[Byte])]
+      .map { case (i, b) => Multimodal.MediaRow(i, b, "text/plain") }
+    val feats = Multimodal.extractFeatures(media, dim = 4).collect()
+    assert(feats.length == 2 && feats.forall(_.features.length == 4))
+    val frames = Multimodal.sampleFrames(media, n = 3, frameBytes = 8).collect()
+    assert(frames.count(_.id == 1L) == 3)
+    assert(frames.forall(_.frame.length <= 8))
+  }
+}
