@@ -1,0 +1,94 @@
+package graft
+
+import graft.cli.Main
+
+/** CLI end-to-end (reference test/phase6-test.ts shape): run commands
+  * against a fixture file, capture stdout.
+  */
+class CliSpec extends SparkSpec {
+
+  private lazy val fixture: String = writeTmp("cli.csv",
+    "name,qty,price\nApple,10,1.50\nBanana,25,0.25\nCherry,100,5.00\n")
+
+  private def runCli(args: String*): (Int, String) = {
+    spark // force shared session so the CLI reuses it (getOrCreate)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ps = new java.io.PrintStream(bos, true, "UTF-8")
+    val code = Main.run(args.toArray, ps)
+    (code, bos.toString("UTF-8"))
+  }
+
+  test("count") {
+    val (code, out) = runCli("count", fixture)
+    assert(code == 0 && out.trim == "3")
+  }
+
+  test("head respects -n and csv format") {
+    val (code, out) = runCli("head", fixture, "-n", "2", "--format", "csv")
+    assert(code == 0)
+    assert(out.contains("Apple") && out.contains("Banana") && !out.contains("Cherry"))
+  }
+
+  test("select by names and by indices") {
+    val (_, byName) = runCli("select", fixture, "--columns", "name,price", "--format", "csv")
+    assert(byName.startsWith("name,price"))
+    val (_, byIdx) = runCli("select", fixture, "--columns", "0,2", "--format", "csv")
+    assert(byIdx.startsWith("name,price"))
+  }
+
+  test("filter expression") {
+    val (_, out) = runCli("filter", fixture, "-f", "qty > 20", "--format", "csv")
+    assert(out.contains("Banana") && out.contains("Cherry") && !out.contains("Apple"))
+  }
+
+  test("sort desc") {
+    val (_, out) = runCli("sort", fixture, "-c", "qty", "--desc", "--format", "csv")
+    val names = out.linesIterator.drop(1).map(_.split(",")(0)).toSeq
+    // string sort: "100" < "25" lexicographically → desc gives 25-qty first? No:
+    // raw CSV is string-typed → lexicographic desc: "25","100","10"→ "25" first
+    assert(names == Seq("Banana", "Cherry", "Apple"))
+  }
+
+  test("validate reports mismatches with exit 1") {
+    val bad = writeTmp("bad.csv", "a,b\n1,2,3\n4\n5,6\n")
+    val (code, out) = runCli("validate", bad)
+    assert(code == 1)
+    assert(out.contains("TooManyFields") && out.contains("TooFewFields"))
+  }
+
+  test("validate OK file") {
+    val (code, out) = runCli("validate", fixture)
+    assert(code == 0 && out.trim == "OK")
+  }
+
+  test("stats profile") {
+    val (_, out) = runCli("stats", fixture, "--format", "csv")
+    assert(out.contains("col_name") && out.contains("name") && out.contains("qty"))
+  }
+
+  test("convert to jsonl") {
+    val dest = java.nio.file.Files.createTempDirectory("conv").toString + "/out"
+    val (code, _) = runCli("convert", fixture, "--to", "jsonl", "-o", dest)
+    assert(code == 0)
+    val lines = spark.read.textFile(dest).collect()
+    assert(lines.length == 3 && lines.forall(_.startsWith("{")))
+  }
+
+  test("completions emit for all shells") {
+    for (sh <- Seq("bash", "zsh", "fish")) {
+      val (code, out) = runCli("completions", sh)
+      assert(code == 0 && out.nonEmpty)
+    }
+  }
+
+  test("table render is default-ish and aligned") {
+    val (_, out) = runCli("head", fixture, "--format", "table")
+    assert(out.linesIterator.next().contains("name"))
+    assert(out.contains("-+-"))
+  }
+
+  test("unknown command exits nonzero") {
+    val (code, _) = runCli("frobnicate", fixture)
+    assert(code == 1)
+  }
+}
