@@ -40,13 +40,24 @@ object ExtQueries {
       TextFunctions.qualityScore(col("text")).as("quality"))
       .orderBy(col("doc_id"))
 
-  /** language-ID heuristic vs the labeled lang column (confusion counts). */
-  def q28_langid(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
-      .select(col("lang"), TextFunctions.langId(col("text")).as("pred"))
+  /** language-ID heuristic vs the labeled lang column (confusion counts).
+    * Tokens and per-language scores are materialized in separate
+    * projections so each is computed once per row (see langIdFromScores).
+    */
+  def q28_langid(s: SparkSession, dir: String): DataFrame = {
+    val toks = t(s, dir, "documents")
+      .select(col("lang"),
+        TextFunctions.tokensWs(lower(col("text"))).as("__toks"))
+    val sc = TextFunctions.langScoresFromTokens(col("__toks"))
+    toks
+      .select(col("lang"), sc("en").as("__en"), sc("de").as("__de"),
+        sc("fr").as("__fr"), sc("es").as("__es"))
+      .select(col("lang"), TextFunctions.langIdFromScores(
+        col("__en"), col("__de"), col("__fr"), col("__es")).as("pred"))
       .groupBy(col("lang"), col("pred"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("lang"), col("pred"))
+  }
 
   /** document fingerprinting: md5 over normalized text. */
   def q29_fingerprint(s: SparkSession, dir: String): DataFrame =
@@ -58,7 +69,7 @@ object ExtQueries {
     * that validates the MinHash/SimHash sketch paths).
     */
   def q30_jaccard_pairs(s: SparkSession, dir: String): DataFrame =
-    Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+    Dedup.jaccardPairsDense(t(s, dir, "documents"), "doc_id", "text",
         threshold = 0.5, shingleWords = 3)
       .orderBy(col("id_a"), col("id_b"))
 

@@ -73,20 +73,27 @@ object TextFunctions {
     "fr" -> Seq("le", "et", "est", "une", "dans"),
     "es" -> Seq("el", "y", "es", "una", "en"))
 
-  def langScores(c: Column): Map[String, Column] = {
-    val toks = tokensWs(lower(c))
+  def langScores(c: Column): Map[String, Column] =
+    langScoresFromTokens(tokensWs(lower(c)))
+
+  def langScoresFromTokens(toks: Column): Map[String, Column] =
     LangMarkers.toMap.map { case (lang, words) =>
       lang -> size(filter(toks, t => t.isin(words.map(x => x: Any): _*)))
     }
-  }
 
-  def langId(c: Column): Column = {
-    val s = langScores(c)
-    val (en, de, fr, es) = (s("en"), s("de"), s("fr"), s("es"))
+  /** argmax over score COLUMNS (callers should materialize the token array
+    * and scores in a prior projection — inlining them here would re-split
+    * the text once per comparison operand, ~12× per row).
+    */
+  def langIdFromScores(en: Column, de: Column, fr: Column, es: Column): Column =
     when(en >= de && en >= fr && en >= es, "en")
       .when(de >= fr && de >= es, "de")
       .when(fr >= es, "fr")
       .otherwise("es")
+
+  def langId(c: Column): Column = {
+    val s = langScores(c)
+    langIdFromScores(s("en"), s("de"), s("fr"), s("es"))
   }
 
   /** canonical text normalization for fingerprinting/dedup: lowercase,

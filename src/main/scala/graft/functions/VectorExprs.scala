@@ -1,0 +1,182 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Native Catalyst expressions for embedding math.
+  *
+  * The built-in composition `aggregate(zip_with(a, b, *), ...)` allocates an
+  * intermediate 64-element array per PAIR and interprets two lambdas per
+  * element — measured 40 s for the 12.5M-pair scan at sf0.1. These
+  * expressions generate a tight primitive loop inside whole-stage codegen
+  * (no allocation, no virtual calls): the same scan runs in a few seconds.
+  * Pattern follows Spark's own BinaryMathExpression/doGenCode contract
+  * (public API, spark.apache.org docs).
+  *
+  * Both accept float or double arrays (floats are widened per element in
+  * the loop — no array copy).
+  */
+object VectorExprs {
+
+  private def elem(arr: String, dt: DataType, i: String): String = dt match {
+    case FloatType => s"(double)$arr.getFloat($i)"
+    case _         => s"$arr.getDouble($i)"
+  }
+
+  private def elemEval(a: ArrayData, dt: DataType, i: Int): Double = dt match {
+    case FloatType => a.getFloat(i).toDouble
+    case _         => a.getDouble(i)
+  }
+
+  abstract class VectorBinary extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    protected def leftElemType: DataType =
+      left.dataType.asInstanceOf[ArrayType].elementType
+    protected def rightElemType: DataType =
+      right.dataType.asInstanceOf[ArrayType].elementType
+  }
+
+  /** dot(a, b) — Σ a_i·b_i over the common prefix length. */
+  case class DotProduct(left: Expression, right: Expression) extends VectorBinary {
+    override def prettyName: String = "vec_dot"
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val n = math.min(x.numElements(), y.numElements())
+      var s = 0.0d
+      var i = 0
+      while (i < n) { s += elemEval(x, leftElemType, i) * elemEval(y, rightElemType, i); i += 1 }
+      s
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val n = ctx.freshName("n")
+        val i = ctx.freshName("i")
+        val s = ctx.freshName("s")
+        s"""
+          int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+          double $s = 0.0;
+          for (int $i = 0; $i < $n; $i++) {
+            $s += ${elem(a, leftElemType, i)} * ${elem(b, rightElemType, i)};
+          }
+          ${ev.value} = $s;
+        """
+      })
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  /** ||a||₂ — sqrt(Σ a_i²). */
+  case class L2Norm(child: Expression) extends UnaryExpression {
+    override def prettyName: String = "vec_l2norm"
+    override def dataType: DataType = DoubleType
+    private def elemType: DataType =
+      child.dataType.asInstanceOf[ArrayType].elementType
+
+    override def nullSafeEval(a: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val n = x.numElements()
+      var s = 0.0d
+      var i = 0
+      while (i < n) { val v = elemEval(x, elemType, i); s += v * v; i += 1 }
+      math.sqrt(s)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => {
+        val n = ctx.freshName("n")
+        val i = ctx.freshName("i")
+        val s = ctx.freshName("s")
+        val v = ctx.freshName("v")
+        s"""
+          int $n = $a.numElements();
+          double $s = 0.0;
+          for (int $i = 0; $i < $n; $i++) {
+            double $v = ${elem(a, elemType, i)};
+            $s += $v * $v;
+          }
+          ${ev.value} = java.lang.Math.sqrt($s);
+        """
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** |A ∩ B| of two bitsets stored as array<long>: Σ popcount(a_i & b_i).
+    * The dense-set-similarity kernel: one pair compare = (nbits/64) ANDs +
+    * popcounts, no hashing, no allocation (see Dedup.jaccardPairsDense).
+    */
+  case class BitsetIntersectCount(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def prettyName: String = "bitset_inter"
+    override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val n = math.min(x.numElements(), y.numElements())
+      var s = 0L
+      var i = 0
+      while (i < n) { s += java.lang.Long.bitCount(x.getLong(i) & y.getLong(i)); i += 1 }
+      s
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val n = ctx.freshName("n")
+        val i = ctx.freshName("i")
+        val s = ctx.freshName("s")
+        s"""
+          int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+          long $s = 0L;
+          for (int $i = 0; $i < $n; $i++) {
+            $s += java.lang.Long.bitCount($a.getLong($i) & $b.getLong($i));
+          }
+          ${ev.value} = $s;
+        """
+      })
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  /** Idempotently register vec_dot/vec_l2norm in the active session's
+    * function registry (the public Column-from-Expression bridge in
+    * Spark 4 — Column constructors are no longer public API).
+    */
+  def ensureRegistered(): Unit = {
+    val spark = SparkSession.active
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "vec_dot", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "vec_l2norm", exprs => L2Norm(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bitset_inter", exprs => BitsetIntersectCount(exprs(0), exprs(1)), "built-in")
+  }
+
+  def bitset_inter(a: Column, b: Column): Column = {
+    ensureRegistered()
+    call_function("bitset_inter", a, b)
+  }
+
+  def vec_dot(a: Column, b: Column): Column = {
+    ensureRegistered()
+    call_function("vec_dot", a, b)
+  }
+
+  def vec_l2norm(a: Column): Column = {
+    ensureRegistered()
+    call_function("vec_l2norm", a)
+  }
+}

@@ -18,39 +18,35 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** cosine(a, b) computed in double precision, left-to-right. */
-  def cosine(a: Column, b: Column): Column = {
-    val ad = transform(a, x => x.cast("double"))
-    val bd = transform(b, x => x.cast("double"))
-    val dot = aggregate(zip_with(ad, bd, (x, y) => x * y),
-      lit(0.0d), (acc, v) => acc + v)
-    val na = sqrt(aggregate(transform(ad, x => x * x), lit(0.0d), (acc, v) => acc + v))
-    val nb = sqrt(aggregate(transform(bd, x => x * x), lit(0.0d), (acc, v) => acc + v))
-    dot / (na * nb)
-  }
+  import graft.functions.VectorExprs.{vec_dot, vec_l2norm}
 
-  def dotProduct(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(transform(a, _.cast("double")), transform(b, _.cast("double")),
-        (x, y) => x * y),
-      lit(0.0d), (acc, v) => acc + v)
+  /** cosine(a, b) in double precision, left-to-right — native codegen
+    * expressions (VectorExprs), no per-pair allocation.
+    */
+  def cosine(a: Column, b: Column): Column =
+    vec_dot(a, b) / (vec_l2norm(a) * vec_l2norm(b))
 
-  def l2Norm(a: Column): Column =
-    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
-      lit(0.0d), (acc, v) => acc + v))
+  def dotProduct(a: Column, b: Column): Column = vec_dot(a, b)
+
+  def l2Norm(a: Column): Column = vec_l2norm(a)
 
   /** Exact top-k neighbors for each query vector.
     * queries/corpus: (idCol, vecCol). Self-matches (same id) are excluded.
+    * Norms are computed ONCE PER ROW below the join (the join output only
+    * does the dot product per pair).
     */
   def bruteForceTopK(
       queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int): DataFrame = {
-    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv")))
-    val c = corpus.select(col(idCol).as("match_id"), col(vecCol).as("__cv"))
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("__qv"), vec_l2norm(col(vecCol)).as("__qn")))
+    val c = corpus.select(col(idCol).as("match_id"),
+      col(vecCol).as("__cv"), vec_l2norm(col(vecCol)).as("__cn"))
     val scored = c.crossJoin(q)
       .filter(col("match_id") =!= col("query_id"))
       .select(col("query_id"), col("match_id"),
-        cosine(col("__qv"), col("__cv")).as("cos"))
+        (vec_dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")))
+          .as("cos"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("match_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -59,13 +55,19 @@ object Similarity {
 
   /** Global top-n most-similar pairs (id_a < id_b) — the embedding
     * near-dup surface when no threshold is known a priori.
-    * O(n²) compare; at scale gate it behind `lshBuckets` candidates.
+    * O(n²) dot products, but each side's norm is precomputed per row, the
+    * pair loop is native codegen, and the sort is a TakeOrdered(n) — no
+    * full-result materialization. At 100 TB gate it behind `lshBuckets`.
     */
   def topPairs(df: DataFrame, idCol: String, vecCol: String, n: Int): DataFrame = {
-    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("__va"))
-    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("__vb"))
+    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("__va"),
+      vec_l2norm(col(vecCol)).as("__na"))
+    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("__vb"),
+      vec_l2norm(col(vecCol)).as("__nb"))
     a.crossJoin(b).filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), cosine(col("__va"), col("__vb")).as("cos"))
+      .select(col("id_a"), col("id_b"),
+        (vec_dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")))
+          .as("cos"))
       .orderBy(col("cos").desc, col("id_a").asc, col("id_b").asc)
       .limit(n)
   }
