@@ -75,6 +75,23 @@ object Aggregates {
     df.groupBy(groupCols.map(col): _*).agg(cols.head, cols.tail: _*)
   }
 
+  /** Custom aggregate closure over the group's value array — the
+    * reference's `{col, fn: values => any}` spec (dataframe.ts:40-44,
+    * 281-283). The group's values are collected (same materialization the
+    * reference does) and the closure applied; for scale-safe custom
+    * aggregation prefer a typed `Aggregator[IN,BUF,OUT]` (see
+    * OperatorsSpec for an example) — this path is the parity surface.
+    */
+  def customAggDouble(inCol: String, f: Seq[Double] => Double): Column = {
+    val u = udf((xs: Seq[Double]) => f(xs))
+    u(collect_list(col(inCol).cast("double")))
+  }
+
+  def customAggString(inCol: String, f: Seq[String] => String): Column = {
+    val u = udf((xs: Seq[String]) => f(xs))
+    u(collect_list(col(inCol).cast("string")))
+  }
+
   /** Whole-column (ungrouped) aggregates with loose numeric parsing, the
     * Zig path (reference src/zig/dataframe.zig:344-464): values go through
     * the `$`/comma/percent-stripping parseFloat before aggregating, and

@@ -1,5 +1,7 @@
 package graft.operators
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -77,6 +79,24 @@ object Ops {
         .filter(col("__ln") >= from && col("__ln") <= to)
         .drop("__ln")
     }
+
+    /** Apply a value transform to each (or selected) column — the
+      * reference's `transform` parse hook (parser.ts:95-98).
+      */
+    def transformValues(f: Column => Column, cols: Seq[String] = Nil): DataFrame = {
+      val targets = if (cols.isEmpty) df.columns.toSeq else cols
+      df.select(df.columns.toSeq.map { c =>
+        if (targets.contains(c)) f(col(s"`$c`")).as(c) else col(s"`$c`")
+      }: _*)
+    }
+
+    /** Driver-side chunked iteration — the reference's `chunk` callback
+      * (parser.ts:101-104, default 1000 rows). Streams partitions through
+      * the driver via toLocalIterator: only one partition is resident.
+      */
+    def foreachChunk(chunkSize: Int = 1000)(
+        f: Seq[org.apache.spark.sql.Row] => Unit): Unit =
+      df.toLocalIterator().asScala.grouped(chunkSize).foreach(g => f(g.toSeq))
 
     /** Drop rows whose every column is null or blank (reference
       * skipRecordsWithEmptyValues / greedy skipEmptyLines,
