@@ -1,0 +1,195 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Joins, Similarity, Stats}
+
+/** Second query batch: relational extensions (semi/anti, rollup, analytic
+  * windows, sessions, quantiles, JSON) + remaining operator surfaces.
+  */
+object Queries2 {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  /** semi/anti joins (EXISTS / NOT EXISTS). */
+  def q37_semi_anti(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders")
+    val semi = Joins.semiJoin(c, o, "c_custkey", "o_custkey")
+      .agg(count(lit(1)).as("n")).select(lit("semi").as("op"), col("n"))
+    val anti = Joins.antiJoin(c, o, "c_custkey", "o_custkey")
+      .agg(count(lit(1)).as("n")).select(lit("anti").as("op"), col("n"))
+    anti.union(semi).orderBy(col("op"))
+  }
+
+  /** rollup grouping sets (extension; Spark `rollup`). */
+  def q38_rollup(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 4).as("qty"))
+      .orderBy(col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+
+  /** lag/lead analytic windows. */
+  def q39_lag_lead(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    t(s, dir, "orders").select(
+      col("o_custkey"), col("o_orderkey"),
+      round(lag(col("o_totalprice"), 1).over(w), 4).as("prev_px"),
+      lead(col("o_orderkey"), 1).over(w).as("next_ok"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  /** gap-based sessionization in batch (the SQL-expressible twin of
+    * Streams.sessionize; 30-minute gap).
+    */
+  def q40_sessions(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    val withBrk = t(s, dir, "events").select(
+      col("user_id"), col("ts"), col("value"),
+      when(lag(col("ts"), 1).over(w).isNull, 0)
+        .when(unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w))
+          > 1800000000L, 1)
+        .otherwise(0).as("brk"))
+    withBrk
+      .withColumn("sid", sum(col("brk"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("v"),
+        min(col("ts")).as("session_start"))
+      .orderBy(col("user_id"), col("sid"))
+  }
+
+  /** exact interpolated quantiles per group. */
+  def q41_quantiles(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(
+        round(percentile(col("value"), lit(0.25)), 4).as("p25"),
+        round(percentile(col("value"), lit(0.5)), 4).as("p50"),
+        round(percentile(col("value"), lit(0.75)), 4).as("p75"),
+        round(avg(col("value")), 4).as("mean"))
+      .orderBy(col("event_type"))
+
+  /** JSON field extraction from the events props column. */
+  def q42_json(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("k")).as("ksum"), count(lit(1)).as("n"))
+      .orderBy(col("event_type"))
+
+  /** exact dedup keep-first on a real key (min line per order). */
+  def q43_dedup_first(s: SparkSession, dir: String): DataFrame =
+    // (l_orderkey, l_linenumber) is NOT unique in the synthetic data —
+    // tie-break through the remaining columns for a deterministic pick
+    Dedup.exact(t(s, dir, "lineitem"), Seq("l_orderkey"),
+        "l_linenumber", "l_quantity", "l_partkey", "l_suppkey")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        round(col("l_quantity"), 4).as("qty"))
+      .orderBy(col("l_orderkey"))
+
+  /** LSH-bucketed approximate NN (the at-scale ANN path; rows-only —
+    * approximate by design, recall vs q33 eyeballed in review).
+    */
+  def q44_ann_topk(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.annTopK(emb.filter(col("vec_id") % 50 === 0), emb,
+        "vec_id", "embedding", k = 5, dim = 64, planes = 8)
+      .select(col("query_id"), col("match_id"), round(col("cos"), 6).as("cos"),
+        col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** numeric min/max/mean profile (stats numeric branch). */
+  def q45_stats_numeric(s: SparkSession, dir: String): DataFrame =
+    Stats.numericProfile(t(s, dir, "orders"),
+        Seq("o_totalprice", "o_custkey"))
+      .orderBy(col("col_name"))
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q37_semi_anti" -> q37_semi_anti _,
+    "q38_rollup" -> q38_rollup _,
+    "q39_lag_lead" -> q39_lag_lead _,
+    "q40_sessions" -> q40_sessions _,
+    "q41_quantiles" -> q41_quantiles _,
+    "q42_json" -> q42_json _,
+    "q43_dedup_first" -> q43_dedup_first _,
+    "q44_ann_topk" -> q44_ann_topk _,
+    "q45_stats_numeric" -> q45_stats_numeric _
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q37_semi_anti" ->
+      """SELECT 'anti' AS op, count(*) AS n FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |UNION ALL
+        |SELECT 'semi', count(*) FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY op""".stripMargin,
+    "q38_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  round(sum(l_quantity), 4) AS qty
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q39_lag_lead" ->
+      """SELECT o_custkey, o_orderkey,
+        |  round(lag(o_totalprice, 1) OVER w, 4) AS prev_px,
+        |  lead(o_orderkey, 1) OVER w AS next_ok
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q40_sessions" ->
+      """WITH b AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL THEN 0
+        |         WHEN ts - lag(ts) OVER w > INTERVAL '30 minutes' THEN 1
+        |         ELSE 0 END AS brk
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        |), sids AS (
+        |  SELECT user_id, ts, value,
+        |    CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+        |  FROM b
+        |)
+        |SELECT user_id, sid, count(*) AS n, round(sum(value), 4) AS v,
+        |  min(ts) AS session_start
+        |FROM sids GROUP BY user_id, sid ORDER BY user_id, sid""".stripMargin,
+    "q41_quantiles" ->
+      """SELECT event_type,
+        |  round(quantile_cont(value, 0.25), 4) AS p25,
+        |  round(quantile_cont(value, 0.5), 4) AS p50,
+        |  round(quantile_cont(value, 0.75), 4) AS p75,
+        |  round(avg(value), 4) AS mean
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q42_json" ->
+      """SELECT event_type,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+        |    AS BIGINT) AS ksum,
+        |  count(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q43_dedup_first" ->
+      """SELECT l_orderkey, l_linenumber, round(l_quantity, 4) AS qty
+        |FROM lineitem
+        |QUALIFY row_number() OVER
+        |  (PARTITION BY l_orderkey
+        |   ORDER BY l_linenumber, l_quantity, l_partkey, l_suppkey) = 1
+        |ORDER BY l_orderkey""".stripMargin,
+    "q45_stats_numeric" ->
+      """SELECT col_name, vmin, vmax, vmean FROM (
+        |  SELECT 'o_custkey' AS col_name,
+        |    round(CAST(min(o_custkey) AS DOUBLE), 4) AS vmin,
+        |    round(CAST(max(o_custkey) AS DOUBLE), 4) AS vmax,
+        |    round(avg(o_custkey), 4) AS vmean FROM orders
+        |  UNION ALL SELECT 'o_totalprice',
+        |    round(CAST(min(o_totalprice) AS DOUBLE), 4),
+        |    round(CAST(max(o_totalprice) AS DOUBLE), 4),
+        |    round(avg(o_totalprice), 4) FROM orders)
+        |ORDER BY col_name""".stripMargin
+  )
+}

@@ -31,9 +31,12 @@ object Dedup {
     * value of `keyCols`. Single hash aggregation — at 100 TB this is the
     * canonical map-side-combinable groupBy.
     */
-  def exact(df: DataFrame, keyCols: Seq[String], tieBreak: String): DataFrame = {
+  def exact(df: DataFrame, keyCols: Seq[String], tieBreak: String*): DataFrame = {
+    require(tieBreak.nonEmpty,
+      "deterministic dedup needs at least one tie-break column")
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(keyCols.map(col): _*).orderBy(col(tieBreak).asc)
+      .partitionBy(keyCols.map(col): _*)
+      .orderBy(tieBreak.map(c => col(c).asc): _*)
     df.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
   }
