@@ -77,4 +77,28 @@ object Joins {
     left.join(right, left(lk) === right(rk), "left_semi")
   def antiJoin(left: DataFrame, right: DataFrame, lk: String, rk: String): DataFrame =
     left.join(right, left(lk) === right(rk), "left_anti")
+
+  /** Salted equi-join for skewed keys (inner only): the skewed LEFT side
+    * gets a random-ish salt in [0, buckets); the RIGHT side is replicated
+    * `buckets` times — one hot key's rows spread over `buckets` reducer
+    * partitions instead of one straggler.
+    *
+    * AQE's skew-join handling (`spark.sql.adaptive.skewJoin.enabled`, on
+    * by default here) covers most cases at runtime; explicit salting is
+    * for the pathological keys AQE can't split (e.g. a single key bigger
+    * than an executor). Salt is derived from a hash of the whole left row
+    * — deterministic, no rand() (replayable plans).
+    */
+  def saltedJoin(left: DataFrame, right: DataFrame,
+      lk: String, rk: String, buckets: Int): DataFrame = {
+    val saltedL = left.withColumn("__salt",
+      pmod(xxhash64(left.columns.map(c => col(s"`$c`")): _*), lit(buckets)))
+    val replicatedR = right
+      .withColumn("__salt", explode(sequence(lit(0), lit(buckets - 1))))
+      .withColumn("__salt", col("__salt").cast("long"))
+    saltedL.join(replicatedR,
+        saltedL(lk) === replicatedR(rk) &&
+          saltedL("__salt") === replicatedR("__salt"), "inner")
+      .drop("__salt")
+  }
 }

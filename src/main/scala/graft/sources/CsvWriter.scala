@@ -63,6 +63,10 @@ object CsvWriter {
         .option("header", opts.header.toString)
         .option("quoteAll", (opts.quoteStyle == "all").toString)
         .option("emptyValue", "\"\"")
+        // Spark's CSV WRITER trims cell whitespace by default — the
+        // reference writer emits values verbatim
+        .option("ignoreLeadingWhiteSpace", "false")
+        .option("ignoreTrailingWhiteSpace", "false")
         .csv(path)
     }
   }
