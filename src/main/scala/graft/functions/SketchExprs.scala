@@ -1,0 +1,132 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Per-ROW sketch expressions: compute a document's MinHash signature or
+  * SimHash fingerprint directly from its shingle/token array — no explode,
+  * no shuffle, no aggregation. At 100 TB this turns sketching into a pure
+  * map over the corpus (the explode+groupBy formulation shuffles
+  * |docs|×|shingles| rows; this shuffles nothing).
+  *
+  * Hashing matches the SQL `xxhash64(string)` function exactly (XXH64 over
+  * the UTF-8 bytes, seed 42), so results are identical to the
+  * explode-based pipeline they replace. Per-element work happens once per
+  * DOCUMENT (not per compared pair), so interpreted eval (CodegenFallback)
+  * costs only boxing per row — the inner loops are primitive.
+  */
+object SketchExprs {
+
+  private val XxSeed = 42L
+
+  @inline private[functions] def xxh64(s: UTF8String): Long =
+    XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), XxSeed)
+
+  @inline private[functions] def fmix64(k0: Long): Long = {
+    var k = k0
+    k ^= k >>> 33
+    k *= 0xff51afd7ed558ccdL
+    k ^= k >>> 33
+    k *= 0xc4ceb9fe1a85ec53L
+    k ^= k >>> 33
+    k
+  }
+
+  /** minhash_array(shingles, n) → array<long>: component-wise minima of
+    * the Kirsch–Mitzenmacher family h1 + i·h2 over all elements —
+    * identical values to MinHashAgg over exploded rows.
+    */
+  case class MinHashArray(child: Expression, numHashes: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def prettyName: String = "minhash_array"
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val sig = Array.fill(numHashes)(Long.MaxValue)
+      val n = arr.numElements()
+      var e = 0
+      while (e < n) {
+        val s = arr.getUTF8String(e)
+        if (s != null) {
+          val x = xxh64(s)
+          val h1 = fmix64(x)
+          val h2 = fmix64(x ^ 0x9e3779b97f4a7c15L) | 1L
+          var h = h1
+          var i = 0
+          while (i < numHashes) {
+            if (h < sig(i)) sig(i) = h
+            h += h2
+            i += 1
+          }
+        }
+        e += 1
+      }
+      new GenericArrayData(sig)
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** simhash_array(tokens) → long: 64-bit SimHash with ±1 bit votes per
+    * token occurrence — identical values to the explode-based simhash64.
+    */
+  case class SimHashArray(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def prettyName: String = "simhash_array"
+    override def dataType: DataType = LongType
+
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val votes = new Array[Int](64)
+      val n = arr.numElements()
+      var e = 0
+      while (e < n) {
+        val s = arr.getUTF8String(e)
+        if (s != null) {
+          val h = xxh64(s)
+          var i = 0
+          while (i < 64) {
+            if (((h >>> i) & 1L) == 1L) votes(i) += 1 else votes(i) -= 1
+            i += 1
+          }
+        }
+        e += 1
+      }
+      var fp = 0L
+      var i = 0
+      while (i < 64) { if (votes(i) > 0) fp |= (1L << i); i += 1 }
+      fp
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  def ensureRegistered(): Unit = {
+    val spark = SparkSession.active
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "minhash_array",
+      exprs => MinHashArray(exprs(0), exprs(1).eval().asInstanceOf[Int]),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "simhash_array", exprs => SimHashArray(exprs.head), "built-in")
+  }
+
+  def minhash_array(shingles: Column, numHashes: Int): Column = {
+    ensureRegistered()
+    call_function("minhash_array", shingles,
+      org.apache.spark.sql.functions.lit(numHashes))
+  }
+
+  def simhash_array(tokens: Column): Column = {
+    ensureRegistered()
+    call_function("simhash_array", tokens)
+  }
+}

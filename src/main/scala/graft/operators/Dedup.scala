@@ -44,20 +44,18 @@ object Dedup {
   // ---------------------------------------------------------------- minhash
 
   /** MinHash signatures: one row per doc with an array<long> `sig` column.
-    * One explode + one groupBy running [[graft.plans.MinHashAgg]] — the
-    * whole family updates in a single primitive-buffer pass with map-side
-    * partial aggregation, so the shuffle carries |docs| × numHashes longs
-    * regardless of shingle count.
+    * Computed per ROW by [[graft.functions.SketchExprs.MinHashArray]] — a
+    * pure map over the corpus, NO explode and NO shuffle (the
+    * explode+groupBy formulation, kept as [[graft.plans.MinHashAgg]] for
+    * pre-tokenized inputs, shuffles |docs|×|shingles| rows).
     */
   def minhashSignatures(
       df: DataFrame, idCol: String, textCol: String,
-      shingleWords: Int = 3, numHashes: Int = 128): DataFrame = {
-    val sh = df.select(col(idCol),
-      explode(TextFunctions.wordShingles(col(textCol), shingleWords)).as("__sh"))
-      .withColumn("__h", xxhash64(col("__sh")))
-    sh.groupBy(col(idCol))
-      .agg(graft.plans.MinHashAgg.minhash_agg(col("__h"), numHashes).as("sig"))
-  }
+      shingleWords: Int = 3, numHashes: Int = 128): DataFrame =
+    df.select(col(idCol),
+      graft.functions.SketchExprs.minhash_array(
+        TextFunctions.wordShingles(col(textCol), shingleWords), numHashes)
+        .as("sig"))
 
   /** LSH candidate pairs from signatures: band the signature
     * (bands × rowsPerBand = numHashes), hash each band, self-join per
@@ -97,7 +95,13 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.7, shingleWords: Int = 3,
       numHashes: Int = 128, bands: Int = 32): DataFrame = {
+    // The signature relation feeds FOUR plan branches (both band-join
+    // sides + both estimate sides). A deliberate repartition inserts one
+    // small exchange (|docs| × numHashes longs) that Spark's
+    // ReusedExchange shares across the branches — without it the per-row
+    // sketch (shingling + hashing) re-executes once per branch.
     val sig = minhashSignatures(df, idCol, textCol, shingleWords, numHashes)
+      .repartition(col(idCol))
     val cand = lshCandidates(sig, idCol, bands, numHashes / bands)
     estimateJaccard(sig, idCol, cand, numHashes)
       .filter(col("est_jaccard") >= threshold)
@@ -207,25 +211,15 @@ object Dedup {
 
   // ---------------------------------------------------------------- simhash
 
-  /** 64-bit SimHash over whitespace tokens: per-token xxhash64, each bit
-    * votes ±1, sign of the vote sum forms the fingerprint bit. One explode
-    * + one groupBy with 64 parallel sums.
+  /** 64-bit SimHash over whitespace tokens: per-token hash, each bit votes
+    * ±1, sign of the vote sum forms the fingerprint bit. Computed per ROW
+    * ([[graft.functions.SketchExprs.SimHashArray]]) — no explode/shuffle.
     */
-  def simhash64(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tok = df.select(col(idCol),
-      explode(TextFunctions.tokensWs(TextFunctions.normalizeText(col(textCol))))
-        .as("__t"))
-      .withColumn("__h", xxhash64(col("__t")))
-    val bitSums = (0 until 64).map { i =>
-      sum(when(shiftright(col("__h"), i).bitwiseAND(1L) === 1L, 1)
-        .otherwise(-1)).as(s"s_$i")
-    }
-    val sums = tok.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
-    val fp = (0 until 64)
-      .map(i => shiftleft(when(col(s"s_$i") > 0, 1L).otherwise(0L), i))
-      .reduce[Column](_ bitwiseOR _)
-    sums.select(col(idCol), fp.as("simhash"))
-  }
+  def simhash64(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+      graft.functions.SketchExprs.simhash_array(
+        TextFunctions.tokensWs(TextFunctions.normalizeText(col(textCol))))
+        .as("simhash"))
 
   /** SimHash near-dup pairs: hamming(simhash_a, simhash_b) <= maxHamming.
     * Banding: split the 64-bit fingerprint into 4×16-bit keys — any pair
