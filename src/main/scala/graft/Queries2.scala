@@ -106,6 +106,19 @@ object Queries2 {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** IVF (k-means inverted-file) approximate NN — the second ANN scale
+    * path beside LSH (rows-only; KMeans isn't reproducible in DuckDB;
+    * nprobe==nlist equality with brute force is asserted in IvfSpec).
+    */
+  def q46_ivf_topk(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.ivfTopK(emb.filter(col("vec_id") % 50 === 0), emb,
+        "vec_id", "embedding", k = 5, nlist = 16, nprobe = 4)
+      .select(col("query_id"), col("match_id"), round(col("cos"), 6).as("cos"),
+        col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** numeric min/max/mean profile (stats numeric branch). */
   def q45_stats_numeric(s: SparkSession, dir: String): DataFrame =
     Stats.numericProfile(t(s, dir, "orders"),
@@ -121,7 +134,8 @@ object Queries2 {
     "q42_json" -> q42_json _,
     "q43_dedup_first" -> q43_dedup_first _,
     "q44_ann_topk" -> q44_ann_topk _,
-    "q45_stats_numeric" -> q45_stats_numeric _
+    "q45_stats_numeric" -> q45_stats_numeric _,
+    "q46_ivf_topk" -> q46_ivf_topk _
   )
 
   val oracles: Map[String, String] = Map(

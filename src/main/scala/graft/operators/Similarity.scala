@@ -93,6 +93,62 @@ object Similarity {
     bits.reduce[Column](_ bitwiseOR _)
   }
 
+  /** IVF (inverted-file) ANN: k-means coarse quantizer over the corpus;
+    * each query probes its `nprobe` nearest centroids' inverted lists.
+    * The classic FAISS-style IVF shape (public technique): recall/cost
+    * traded via nlist × nprobe. Centroids train on a corpus sample with a
+    * fixed seed (deterministic); corpus assignment is one scan; the probe
+    * join touches only nprobe/nlist of the corpus per query.
+    */
+  def ivfTopK(
+      queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    import org.apache.spark.ml.linalg.Vector
+
+    val corpusVec = corpus.select(col(idCol).as("match_id"),
+      col(vecCol).as("__cv"), array_to_vector(col(vecCol)).as("features"))
+    val km = new KMeans().setK(nlist).setSeed(42L).setMaxIter(10)
+    val model = km.fit(corpusVec.select("features"))
+    val centroids: Array[Array[Double]] = model.clusterCenters.map(_.toArray)
+
+    // centroid assignment as a broadcast-free closure (centroids are tiny)
+    val spark = corpus.sparkSession
+    val bcCent = spark.sparkContext.broadcast(centroids)
+    val assignN = udf { (v: Vector, n: Int) =>
+      val cs = bcCent.value
+      val arr = v.toArray
+      val dists = cs.indices.map { ci =>
+        val c = cs(ci)
+        var s = 0.0; var i = 0
+        while (i < arr.length) { val d = arr(i) - c(i); s += d * d; i += 1 }
+        (s, ci)
+      }
+      dists.sortBy(_._1).take(n).map(_._2)
+    }
+
+    val bucketedCorpus = corpusVec
+      .withColumn("__list", assignN(col("features"), lit(1))(0))
+      .select(col("match_id"), col("__cv"), col("__list"),
+        vec_l2norm(col("__cv")).as("__cn"))
+    val probes = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+        array_to_vector(col(vecCol)).as("features"))
+      .withColumn("__list", explode(assignN(col("features"), lit(nprobe))))
+      .select(col("query_id"), col("__qv"), col("__list"),
+        vec_l2norm(col("__qv")).as("__qn"))
+
+    val scored = bucketedCorpus.join(broadcast(probes), Seq("__list"))
+      .filter(col("match_id") =!= col("query_id"))
+      .select(col("query_id"), col("match_id"),
+        (vec_dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")))
+          .as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("match_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** Bucketed ANN top-k: corpus bucketed by LSH signature; each query
     * probes only its own bucket. Returns (query_id, match_id, cos, rank)
     * like bruteForceTopK but approximate (bucket-miss ⇒ missing neighbor).

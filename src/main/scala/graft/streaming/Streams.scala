@@ -53,6 +53,15 @@ object Streams {
         keys.map(col) :+ col("n") :+ col("total"): _*)
   }
 
+  /** Streaming deduplication: drop repeats of `keyCols` within the
+    * watermark horizon (state is bounded by the horizon — the streaming
+    * twin of Dedup.exact).
+    */
+  def dedupStream(df: DataFrame, tsCol: String, watermark: String,
+      keyCols: Seq[String]): DataFrame =
+    df.withWatermark(tsCol, watermark)
+      .dropDuplicates(keyCols :+ tsCol)
+
   // ------------------------------------------------------- sessionization
 
   final case class Event(user_id: Long, ts: java.sql.Timestamp, value: Double)
