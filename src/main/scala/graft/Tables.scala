@@ -9,7 +9,17 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  // Memoize analyzed plans per (session, path): avoids re-listing files
+  // and re-reading parquet footers on every one of the catalog's ~46
+  // queries. This caches PLANS, not data — each query still scans.
+  private val planCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    planCache.computeIfAbsent((spark, sfDir, name),
+      { case (s, d, n) => load(s, d, n) })
+
+  private def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     if (name == "events") {
       // events.ts is parquet TIMESTAMP(NANOS), which Spark's TimestampType
       // (µs) rejects outright. Read the raw int64 nanos and truncate to µs

@@ -37,14 +37,66 @@ object SketchExprs {
     k
   }
 
+  /** shingle_hashes(tokens, k) → array<long>: DISTINCT hashes of the
+    * k-token windows, combined directly from per-token hashes — no shingle
+    * string is ever materialized (building "w1 w2 w3" strings for
+    * |corpus|×|tokens| windows was the dominant allocation cost of the
+    * shingle pipelines). Equality of combined hashes ≡ equality of token
+    * windows (collision odds ~2^-64 per pair).
+    */
+  case class ShingleHashes(child: Expression, k: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def prettyName: String = "shingle_hashes"
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      if (n < k) return new GenericArrayData(Array.empty[Long])
+      val th = new Array[Long](n)
+      var i = 0
+      while (i < n) {
+        val s = arr.getUTF8String(i)
+        th(i) = if (s == null) 0L else xxh64(s)
+        i += 1
+      }
+      val m = n - k + 1
+      val out = new Array[Long](m)
+      i = 0
+      while (i < m) {
+        var h = 0x9e3779b97f4a7c15L
+        var j = 0
+        while (j < k) { h = fmix64(h ^ th(i + j)) * 31L + j; j += 1 }
+        out(i) = h
+        i += 1
+      }
+      // distinct (reference shingle sets are distinct): sort + unique
+      java.util.Arrays.sort(out)
+      var w = 0
+      i = 0
+      while (i < m) {
+        if (w == 0 || out(i) != out(w - 1)) { out(w) = out(i); w += 1 }
+        i += 1
+      }
+      new GenericArrayData(java.util.Arrays.copyOf(out, w))
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** minhash_array(shingles, n) → array<long>: component-wise minima of
     * the Kirsch–Mitzenmacher family h1 + i·h2 over all elements —
-    * identical values to MinHashAgg over exploded rows.
+    * identical values to MinHashAgg over exploded rows. Accepts either
+    * string elements (hashed here) or long elements (pre-hashed, e.g.
+    * ShingleHashes output).
     */
   case class MinHashArray(child: Expression, numHashes: Int)
       extends UnaryExpression with CodegenFallback {
     override def prettyName: String = "minhash_array"
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    private lazy val elemIsLong =
+      child.dataType.asInstanceOf[ArrayType].elementType == LongType
 
     override def nullSafeEval(input: Any): Any = {
       val arr = input.asInstanceOf[ArrayData]
@@ -52,18 +104,20 @@ object SketchExprs {
       val n = arr.numElements()
       var e = 0
       while (e < n) {
-        val s = arr.getUTF8String(e)
-        if (s != null) {
-          val x = xxh64(s)
-          val h1 = fmix64(x)
-          val h2 = fmix64(x ^ 0x9e3779b97f4a7c15L) | 1L
-          var h = h1
-          var i = 0
-          while (i < numHashes) {
-            if (h < sig(i)) sig(i) = h
-            h += h2
-            i += 1
+        val x =
+          if (elemIsLong) arr.getLong(e)
+          else {
+            val s = arr.getUTF8String(e)
+            if (s == null) 0L else xxh64(s)
           }
+        val h1 = fmix64(x)
+        val h2 = fmix64(x ^ 0x9e3779b97f4a7c15L) | 1L
+        var h = h1
+        var i = 0
+        while (i < numHashes) {
+          if (h < sig(i)) sig(i) = h
+          h += h2
+          i += 1
         }
         e += 1
       }
@@ -117,6 +171,16 @@ object SketchExprs {
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "simhash_array", exprs => SimHashArray(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "shingle_hashes",
+      exprs => ShingleHashes(exprs(0), exprs(1).eval().asInstanceOf[Int]),
+      "built-in")
+  }
+
+  def shingle_hashes(tokens: Column, k: Int): Column = {
+    ensureRegistered()
+    call_function("shingle_hashes", tokens,
+      org.apache.spark.sql.functions.lit(k))
   }
 
   def minhash_array(shingles: Column, numHashes: Int): Column = {

@@ -54,7 +54,8 @@ object Dedup {
       shingleWords: Int = 3, numHashes: Int = 128): DataFrame =
     df.select(col(idCol),
       graft.functions.SketchExprs.minhash_array(
-        TextFunctions.wordShingles(col(textCol), shingleWords), numHashes)
+        graft.functions.SketchExprs.shingle_hashes(
+          TextFunctions.tokensWs(col(textCol)), shingleWords), numHashes)
         .as("sig"))
 
   /** LSH candidate pairs from signatures: band the signature
@@ -119,16 +120,14 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       threshold: Double, shingleWords: Int = 3,
       candidates: Option[DataFrame] = None): DataFrame = {
+    // shingle HASHES only (never strings): ShingleHashes combines
+    // per-token hashes per window — the shuffle carries 8-byte keys and no
+    // shingle string is allocated (collision odds ~2^-40+, unobservable).
     val sh = df.select(col(idCol).as("id"),
-      TextFunctions.wordShingles(col(textCol), shingleWords).as("shingles"))
+      graft.functions.SketchExprs.shingle_hashes(
+        TextFunctions.tokensWs(col(textCol)), shingleWords).as("shingles"))
     val sizes = sh.select(col("id"), size(col("shingles")).as("n"))
-    // join on the 64-bit shingle hash, not the string — the shuffle carries
-    // 8-byte keys instead of ~40-byte strings and the join compares longs
-    // (collision odds over millions of distinct shingles are ~2^-40+,
-    // far below any observable effect; shingles are already distinct).
-    val ex = sh.select(col("id"),
-      explode(col("shingles")).as("__s"))
-      .select(col("id"), xxhash64(col("__s")).as("h"))
+    val ex = sh.select(col("id"), explode(col("shingles")).as("h"))
     val inter0 = ex.as("a").join(ex.as("b"),
         col("a.h") === col("b.h") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
@@ -166,8 +165,8 @@ object Dedup {
     // longs per doc — |docs|·|shingles|·8 bytes total, collectable by the
     // dense-regime premise; the sparse/LSH paths cover everything else).
     val hashed = df.select(col(idCol).cast("long").as("id"),
-        transform(TextFunctions.wordShingles(col(textCol), shingleWords),
-          s => xxhash64(s)).as("hs"))
+        graft.functions.SketchExprs.shingle_hashes(
+          TextFunctions.tokensWs(col(textCol)), shingleWords).as("hs"))
       .as[(Long, Array[Long])]
       .collect()
 
