@@ -19,6 +19,9 @@ final case class CsvOptions(
     /** per-value type inference → engine-level schema inference
       * (row.ts:442-458). */
     dynamicTyping: Boolean = false,
+    /** per-column opt-in form (reference record/predicate variants,
+      * row.ts:423-436): None → all columns when dynamicTyping is set. */
+    dynamicTypingCols: Option[Set[String]] = None,
     comments: Option[String] = None,
     /** stop after N data rows, header excluded (parser.zig:345-353). */
     preview: Int = 0,

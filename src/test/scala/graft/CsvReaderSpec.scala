@@ -153,6 +153,14 @@ class CsvReaderSpec extends SparkSpec {
     assert(rows(CsvReader.read(spark, p)) == Seq(Seq("日本語", "中文", "한국어")))
   }
 
+  test("dynamicTyping per-column opt-in leaves other columns strings") {
+    val p = writeTmp("dynsel.csv", "a,b\n1,2\n3,4\n")
+    val scan = CsvReader.read(spark, p, CsvOptions(
+      dynamicTyping = true, dynamicTypingCols = Some(Set("a"))))
+    assert(scan.df.schema("a").dataType.typeName == "double")
+    assert(scan.df.schema("b").dataType.typeName == "string")
+  }
+
   test("driver line parser handles nested quotes") {
     val f = CsvLineParser.parseLine("\"say \"\"hello, world\"\"\",x", ',', '"')
     assert(f.toSeq == Seq("say \"hello, world\"", "x"))

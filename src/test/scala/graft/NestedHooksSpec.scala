@@ -61,6 +61,37 @@ class NestedHooksSpec extends SparkSpec {
     assert(sizes.sum == 25 && sizes.max <= 10)
   }
 
+  test("schema coercion: types, defaults, non-nullable errors") {
+    import graft.sources.SchemaCoercion
+    import graft.sources.SchemaCoercion.ColSpec
+    val df = Seq(
+      ("$1,299.50", "yes", "50%", "2024-03-01", "7"),
+      ("bogus", "n", "x", "notadate", ""))
+      .toDF("price", "active", "disc", "day", "qty")
+    val out = SchemaCoercion(df, Map(
+      "price" -> ColSpec("currency"),
+      "active" -> ColSpec("boolean"),
+      "disc" -> ColSpec("percent"),
+      "day" -> ColSpec("date"),
+      "qty" -> ColSpec("integer", nullable = false, default = Some("0"))))
+    val rows = out.df.collect()
+    assert(rows(0).getDouble(0) == 1299.50)
+    assert(rows(0).getBoolean(1))
+    assert(rows(0).getDouble(2) == 0.5)
+    assert(rows(0).getTimestamp(3).toString.startsWith("2024-03-01"))
+    assert(rows(0).getLong(4) == 7L)
+    assert(rows(1).isNullAt(0) && !rows(1).getBoolean(1) && rows(1).isNullAt(2))
+    assert(rows(1).getLong(4) == 0L) // default applied
+    // non-nullable WITHOUT default errors
+    val strict = SchemaCoercion(df, Map("day" -> ColSpec("date", nullable = false)))
+    val errs = strict.errors.collect()
+    assert(errs.length == 1 && errs(0).getString(1) == "InvalidCast")
+  }
+
+  test("entry() flagship returns rows (driver smoke contract)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
   test("URL scan over file:// (driver fetch then buffer parse)") {
     val p = writeTmp("url.csv", "a,b\n1,2\n")
     val scan = graft.sources.CsvReader.readUrl(spark, s"file://$p")
