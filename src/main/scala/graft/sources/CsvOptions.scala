@@ -47,8 +47,10 @@ final case class CsvOptions(
     /** quoted fields may contain newlines — delegates to the file-scan path
       * (Spark multiLine). */
     multiLine: Boolean = false,
-    /** charset for the file-scan path (iconv.zig heuristics → explicit). */
+    /** charset for the file-scan path; None + detectEncoding=true →
+      * heuristic detection (iconv.zig BOM + UTF-8-validity rules). */
     encoding: Option[String] = None,
+    detectEncoding: Boolean = false,
     /** no quote machinery, naive split (parser.ts:1332-1475). */
     fastMode: Boolean = false) {
   def relaxBoth: CsvOptions =
@@ -71,11 +73,38 @@ object CsvErrorCodes {
   val DuplicateHeader = "DuplicateHeader"
 }
 
-/** Driver-side single-record RFC-4180 parsing + delimiter detection.
-  * Used ONLY for header rows and 8 KB detection samples — never on data
-  * paths (those go through Spark's CSV parser).
+/** Driver-side single-record RFC-4180 parsing + delimiter/encoding
+  * detection. Used ONLY for header rows and 8 KB detection samples — never
+  * on data paths (those go through Spark's CSV parser).
   */
 object CsvLineParser {
+
+  /** Encoding detection on a byte sample (reference src/zig/iconv.zig:
+    * 42-74,150-221): BOM sniff for UTF-8/16/32, else UTF-8 validity check
+    * with windows-1252 fallback.
+    */
+  def detectEncoding(bytes: Array[Byte]): String = {
+    def b(i: Int): Int = bytes(i) & 0xff
+    if (bytes.length >= 3 && b(0) == 0xef && b(1) == 0xbb && b(2) == 0xbf) "UTF-8"
+    else if (bytes.length >= 4 && b(0) == 0xff && b(1) == 0xfe && b(2) == 0 && b(3) == 0) "UTF-32LE"
+    else if (bytes.length >= 4 && b(0) == 0 && b(1) == 0 && b(2) == 0xfe && b(3) == 0xff) "UTF-32BE"
+    else if (bytes.length >= 2 && b(0) == 0xff && b(1) == 0xfe) "UTF-16LE"
+    else if (bytes.length >= 2 && b(0) == 0xfe && b(1) == 0xff) "UTF-16BE"
+    else {
+      // no BOM: strict UTF-8 validation; malformed → windows-1252
+      val dec = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+        .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+        .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+      try { dec.decode(java.nio.ByteBuffer.wrap(bytes)); "UTF-8" }
+      catch { case _: java.nio.charset.CharacterCodingException => "windows-1252" }
+    }
+  }
+
+  /** Detect the encoding of a local file from its first 8 KB. */
+  def detectFileEncoding(path: String): String = {
+    val in = new java.io.FileInputStream(path)
+    try detectEncoding(in.readNBytes(8192)) finally in.close()
+  }
 
   /** Parse one CSV record (no embedded newlines) into fields. */
   def parseLine(line: String, sep: Char, quote: Char): Array[String] = {

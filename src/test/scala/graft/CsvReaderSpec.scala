@@ -161,6 +161,26 @@ class CsvReaderSpec extends SparkSpec {
     assert(scan.df.schema("b").dataType.typeName == "string")
   }
 
+  test("encoding detection: BOMs and windows-1252 heuristic") {
+    import graft.sources.CsvLineParser.detectEncoding
+    assert(detectEncoding(Array(0xef, 0xbb, 0xbf, 'a').map(_.toByte)) == "UTF-8")
+    assert(detectEncoding(Array(0xff, 0xfe, 'a', 0).map(_.toByte)) == "UTF-16LE")
+    assert(detectEncoding(Array(0xfe, 0xff, 0, 'a').map(_.toByte)) == "UTF-16BE")
+    assert(detectEncoding("plain ascii".getBytes("UTF-8")) == "UTF-8")
+    // 0xe9 alone is malformed UTF-8 (latin-1 e-acute)
+    assert(detectEncoding(Array('c', 'a', 'f', 0xe9).map(_.toByte)) == "windows-1252")
+  }
+
+  test("windows-1252 file parses via detected encoding (line path)") {
+    val dir = java.nio.file.Files.createTempDirectory("enc")
+    val p = dir.resolve("w.csv")
+    java.nio.file.Files.write(p,
+      "name,word\nrow1,café\n".getBytes("windows-1252"))
+    val scan = CsvReader.read(spark, p.toString, CsvOptions(
+      detectEncoding = true, maxRecordSize = 1000))
+    assert(rows(scan) == Seq(Seq("row1", "café")))
+  }
+
   test("driver line parser handles nested quotes") {
     val f = CsvLineParser.parseLine("\"say \"\"hello, world\"\"\",x", ',', '"')
     assert(f.toSeq == Seq("say \"hello, world\"", "x"))
