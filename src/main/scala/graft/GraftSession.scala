@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** One-stop session factory: recommended configs (AQE, UTC, sane shuffle
+  * partitioning for the master) + all graft custom functions registered so
+  * they are callable from `spark.sql` as well as the Column API.
+  */
+object GraftSession {
+
+  def builder(master: String = "local[*]",
+      shufflePartitions: Int = 32): SparkSession.Builder =
+    SparkSession.builder()
+      .master(master)
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+
+  /** Register graft's native functions (vec_dot, vec_l2norm, bitset_inter,
+    * minhash_array, simhash_array, shingle_hashes, minhash_agg) in the
+    * session's function registry for SQL use. Idempotent.
+    */
+  def init(spark: SparkSession): SparkSession = {
+    val prev = SparkSession.getActiveSession
+    SparkSession.setActiveSession(spark)
+    try {
+      functions.VectorExprs.ensureRegistered()
+      functions.SketchExprs.ensureRegistered()
+      plans.MinHashAgg.ensureRegistered()
+    } finally prev.foreach(SparkSession.setActiveSession)
+    spark
+  }
+
+  def create(master: String = "local[*]", shufflePartitions: Int = 32): SparkSession =
+    init(builder(master, shufflePartitions).getOrCreate())
+}

@@ -125,7 +125,29 @@ object Queries2 {
         Seq("o_totalprice", "o_custkey"))
       .orderBy(col("col_name"))
 
+  /** full SQL dialect over registered views — strictly beyond the
+    * reference (it has no SQL at all): TPC-H Q3 shape through
+    * `spark.sql`, custom functions available via GraftSession.init.
+    */
+  def q47_sql_dialect(s: SparkSession, dir: String): DataFrame = {
+    GraftSession.init(s)
+    Tables.registerAll(s, dir)
+    s.sql(
+      """SELECT o_orderkey,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+        |  o_orderdate
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+        |GROUP BY o_orderkey, o_orderdate
+        |ORDER BY revenue DESC, o_orderkey
+        |LIMIT 20""".stripMargin)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q47_sql_dialect" -> q47_sql_dialect _,
     "q37_semi_anti" -> q37_semi_anti _,
     "q38_rollup" -> q38_rollup _,
     "q39_lag_lead" -> q39_lag_lead _,
@@ -139,6 +161,18 @@ object Queries2 {
   )
 
   val oracles: Map[String, String] = Map(
+    "q47_sql_dialect" ->
+      """SELECT o_orderkey,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+        |  o_orderdate
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+        |GROUP BY o_orderkey, o_orderdate
+        |ORDER BY revenue DESC, o_orderkey
+        |LIMIT 20""".stripMargin,
     "q37_semi_anti" ->
       """SELECT 'anti' AS op, count(*) AS n FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)

@@ -88,6 +88,14 @@ class NestedHooksSpec extends SparkSpec {
     assert(errs.length == 1 && errs(0).getString(1) == "InvalidCast")
   }
 
+  test("GraftSession.init exposes custom functions to SQL") {
+    GraftSession.init(spark)
+    val r = spark.sql(
+      "SELECT vec_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d, " +
+      "vec_l2norm(array(3.0D, 4.0D)) AS n").collect()(0)
+    assert(r.getDouble(0) == 11.0 && r.getDouble(1) == 5.0)
+  }
+
   test("entry() flagship returns rows (driver smoke contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
