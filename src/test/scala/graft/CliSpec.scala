@@ -87,6 +87,22 @@ class CliSpec extends SparkSpec {
     assert(out.contains("-+-"))
   }
 
+  test("stdin scan via '-' path") {
+    val in = new java.io.ByteArrayInputStream(
+      "a,b\n1,2\n3,4\n".getBytes("UTF-8"))
+    val old = System.in
+    try {
+      System.setIn(in)
+      val (code, out) = runCli("count", "-")
+      assert(code == 0 && out.trim == "2")
+    } finally System.setIn(old)
+  }
+
+  test("benchmark command reports MB/s") {
+    val (code, out) = runCli("benchmark", fixture, "--iterations", "1")
+    assert(code == 0 && out.contains("MB/s"))
+  }
+
   test("unknown command exits nonzero") {
     val (code, _) = runCli("frobnicate", fixture)
     assert(code == 1)

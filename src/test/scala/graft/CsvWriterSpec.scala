@@ -57,6 +57,17 @@ class CsvWriterSpec extends SparkSpec {
       Set(("a,1", "plain"), ("q\"q", "z")))
   }
 
+  test("append mode adds rows to an existing sink") {
+    val dir = java.nio.file.Files.createTempDirectory("ap").toString + "/out"
+    CsvWriter.write(Seq(("a", "1")).toDF("x", "y"), dir,
+      WriteOptions(header = false))
+    CsvWriter.write(Seq(("b", "2")).toDF("x", "y"), dir,
+      WriteOptions(header = false), mode = "append")
+    val back = graft.sources.CsvReader.read(spark, dir,
+      graft.sources.CsvOptions(header = false))
+    assert(back.df.collect().map(_.getString(0)).toSet == Set("a", "b"))
+  }
+
   test("tsv escapes tabs and newlines literally") {
     val df = Seq(("has\ttab", "ok")).toDF("a", "b")
     val dir = java.nio.file.Files.createTempDirectory("tsv").toString + "/out"
