@@ -146,8 +146,27 @@ object Queries2 {
         |LIMIT 20""".stripMargin)
   }
 
+  /** NATIVE as-of join through the custom-operator stack (marker →
+    * optimizer rewrite → AsOfJoinStrategy → AsOfJoinExec). Same oracle as
+    * the compositional q23 — the custom physical operator itself is
+    * DuckDB-verified.
+    */
+  def q48_asof_native(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events").select(col("event_id"), col("user_id"), col("ts"))
+    val o = t(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+      .orderBy(col("o_orderdate"), col("o_orderkey")) // max-key tiebreak
+    graft.plans.AsOfJoin
+      .asofJoin(e, o, "user_id", "o_custkey", "ts", "o_orderdate")
+      .select(col("event_id"), col("user_id"),
+        col("o_orderkey").as("last_order"),
+        col("o_orderdate").as("last_order_date"))
+      .orderBy(col("event_id"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q47_sql_dialect" -> q47_sql_dialect _,
+    "q48_asof_native" -> q48_asof_native _,
     "q37_semi_anti" -> q37_semi_anti _,
     "q38_rollup" -> q38_rollup _,
     "q39_lag_lead" -> q39_lag_lead _,
@@ -161,6 +180,15 @@ object Queries2 {
   )
 
   val oracles: Map[String, String] = Map(
+    "q48_asof_native" ->
+      """SELECT event_id, user_id, o_orderkey AS last_order,
+        |  o_orderdate AS last_order_date
+        |FROM events e LEFT JOIN orders o
+        |  ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+        |QUALIFY row_number() OVER
+        |  (PARTITION BY event_id
+        |   ORDER BY o_orderdate DESC NULLS LAST, o_orderkey DESC NULLS LAST) = 1
+        |ORDER BY event_id""".stripMargin,
     "q47_sql_dialect" ->
       """SELECT o_orderkey,
         |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,

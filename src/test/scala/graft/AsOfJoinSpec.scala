@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.plans.AsOfJoin
+
+class AsOfJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("native as-of join: basic, ties, unmatched") {
+    val trades = Seq(
+      (1L, ts("2024-01-01 10:00:05"), "t1"),
+      (1L, ts("2024-01-01 10:00:00"), "t2"), // exactly at quote time
+      (2L, ts("2024-01-01 09:00:00"), "t3"), // before any quote
+      (3L, ts("2024-01-01 12:00:00"), "t4")) // key with no quotes
+      .toDF("sym", "t_ts", "trade")
+    val quotes = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 100.0),
+      (1L, ts("2024-01-01 10:00:03"), 101.0),
+      (2L, ts("2024-01-01 09:30:00"), 50.0))
+      .toDF("q_sym", "q_ts", "px")
+
+    val out = AsOfJoin.asofJoin(trades, quotes, "sym", "q_sym", "t_ts", "q_ts")
+      .select(col("trade"), col("px")).collect()
+      .map(r => (r.getString(0), if (r.isNullAt(1)) null else r.getDouble(1)))
+      .toMap
+    assert(out("t1") == 101.0) // latest quote <= 10:00:05
+    assert(out("t2") == 100.0) // equality counts
+    assert(out("t3") == null)  // no quote yet
+    assert(out("t4") == null)  // unknown key
+  }
+
+  test("native as-of join matches the compositional q23 result") {
+    val dir = "/root/testdata/sf0.001"
+    val e = Tables(spark, dir, "events").select(col("event_id"), col("user_id"), col("ts"))
+    // pre-sort build side by orderkey so equal-date ties resolve to the
+    // max key, matching q23's desc tiebreak
+    val o = Tables(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val native = AsOfJoin.asofJoin(e, o, "user_id", "o_custkey", "ts", "o_orderdate")
+      .select(col("event_id"), col("o_orderkey"))
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    val composed = Queries.q23_asof_join(spark, dir)
+      .select(col("event_id"), col("last_order"))
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(native.size == composed.size)
+    val diffs = composed.collect {
+      case (k, v) if native.getOrElse(k, -2L) != v => (k, v, native.get(k))
+    }
+    assert(diffs.isEmpty, s"first diffs: ${diffs.take(5)}")
+  }
+
+  test("physical plan contains AsOfJoinExec (strategy fired)") {
+    val e = Tables(spark, "/root/testdata/sf0.001", "events")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val o = Tables(spark, "/root/testdata/sf0.001", "orders")
+    val plan = AsOfJoin.asofJoin(e, o, "user_id", "o_custkey", "ts", "o_orderdate")
+      .queryExecution.sparkPlan.toString // pre-AQE physical plan
+    // TreeNode.nodeName strips the Exec suffix
+    assert(plan.startsWith("AsOfJoin"), plan.take(500))
+  }
+}
