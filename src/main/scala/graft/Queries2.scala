@@ -113,7 +113,7 @@ object Queries2 {
   def q46_ivf_topk(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
     Similarity.ivfTopK(emb.filter(col("vec_id") % 50 === 0), emb,
-        "vec_id", "embedding", k = 5, nlist = 16, nprobe = 4)
+        "vec_id", "embedding", k = 5, nlist = 8, nprobe = 2)
       .select(col("query_id"), col("match_id"), round(col("cos"), 6).as("cos"),
         col("rank"))
       .orderBy(col("query_id"), col("rank"))

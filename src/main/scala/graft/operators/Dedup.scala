@@ -228,7 +228,9 @@ object Dedup {
   def simhashNearDupPairs(
       df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
-    val sig = simhash64(df, idCol, textCol)
+    // repartition = shared exchange: the banded relation branches twice
+    // (join l/r); without it the per-row sketch re-executes per branch
+    val sig = simhash64(df, idCol, textCol).repartition(col(idCol))
     val bandCols = (0 until 4).map(j =>
       shiftright(col("simhash"), j * 16).bitwiseAND(0xFFFFL).as(s"band_$j"))
     val banded = sig.select(col(idCol).as("id") +: col("simhash") +: bandCols: _*)

@@ -73,22 +73,18 @@ object Similarity {
   }
 
   /** Deterministic random-hyperplane LSH signature: `planes` sign bits
-    * packed into a long. Hyperplane p, dim d coefficient is a fixed
-    * xxhash64-derived pseudo-gaussian-ish value in [-1, 1) — seedless
-    * reproducibility across runs and engines that share xxhash64.
+    * packed into a long. Hyperplanes are seeded-PRNG literal arrays and the
+    * projection is ONE vec_dot per plane — an earlier element_at
+    * formulation expanded to planes×dim expression subtrees, each
+    * re-deriving the cast array (hundreds of array traversals per row).
     */
   def lshSignature(vec: Column, dim: Int, planes: Int = 16): Column = {
     require(planes <= 63, "planes must fit a long")
-    val vd = transform(vec, x => x.cast("double"))
+    val rnd = new java.util.SplittableRandom(42L)
     val bits = (0 until planes).map { p =>
-      // dot(vec, plane_p) where plane_p[d] = hash(p, d) scaled to [-1, 1)
-      val prods = (0 until dim).map { d =>
-        val coeff = (xxhash64(lit(p * 10007 + d)).cast("double") /
-          lit(Long.MaxValue.toDouble))
-        element_at(vd, d + 1) * coeff
-      }
-      val dot = prods.reduce(_ + _)
-      shiftleft(when(dot > 0, 1L).otherwise(0L), p)
+      val coeffs: Seq[Double] = Seq.fill(dim)(rnd.nextDouble() * 2.0 - 1.0)
+      shiftleft(
+        when(vec_dot(vec, typedlit(coeffs)) > 0, 1L).otherwise(0L), p)
     }
     bits.reduce[Column](_ bitwiseOR _)
   }
