@@ -151,6 +151,36 @@ object VectorExprs {
       copy(left = newLeft, right = newRight)
   }
 
+  /** bitset_pack(indices) → array<long>: set bit i for every element of the
+    * input array<int> of bit positions. Sized to the row's own max index —
+    * valid for intersection popcounts because a bit shared by two docs has
+    * the same dictionary index in both, hence lies within min(len_a, len_b),
+    * exactly the prefix [[BitsetIntersectCount]] scans. Runs once per DOC
+    * (not per pair), so interpreted eval is fine.
+    */
+  case class BitsetPack(child: Expression)
+      extends UnaryExpression
+      with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    override def prettyName: String = "bitset_pack"
+    override def dataType: DataType =
+      ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      var max = -1
+      var i = 0
+      while (i < n) { val v = arr.getInt(i); if (v > max) max = v; i += 1 }
+      val out = new Array[Long]((max >> 6) + 1)
+      i = 0
+      while (i < n) { val v = arr.getInt(i); out(v >> 6) |= (1L << (v & 63)); i += 1 }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** Idempotently register vec_dot/vec_l2norm in the active session's
     * function registry (the public Column-from-Expression bridge in
     * Spark 4 — Column constructors are no longer public API).
@@ -163,6 +193,13 @@ object VectorExprs {
       "vec_l2norm", exprs => L2Norm(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "bitset_inter", exprs => BitsetIntersectCount(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bitset_pack", exprs => BitsetPack(exprs.head), "built-in")
+  }
+
+  def bitset_pack(indices: Column): Column = {
+    ensureRegistered()
+    call_function("bitset_pack", indices)
   }
 
   def bitset_inter(a: Column, b: Column): Column = {

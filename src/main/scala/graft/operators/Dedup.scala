@@ -145,67 +145,61 @@ object Dedup {
   /** Exact Jaccard for the DENSE regime — when the shingle vocabulary is
     * small relative to the corpus (every shingle appears in many docs), the
     * explode-self-join plan above degenerates to |vocab|·df² intermediate
-    * pairs (measured 28 s vs DuckDB's 2.5 s at sf0.1). This plan instead:
-    *   1. dictionary-encodes distinct shingle hashes to dense bit indices
-    *     (broadcast-sized by the regime's premise),
-    *   2. packs each doc's shingle set into an array<long> bitmap,
-    *   3. compares pairs with the codegen popcount(AND) kernel — no join
-    *     explosion, no shuffle beyond the small bitmap build.
+    * pairs (measured 28 s vs DuckDB's 2.5 s at sf0.1). This plan instead,
+    * fully distributed (no driver-side materialization):
+    *   1. dictionary-encodes distinct shingle hashes to dense bit indices —
+    *      distinct + row_number (single-partition window over the VOCAB
+    *      only, broadcast-sized by the regime's premise), broadcast-joined
+    *      back onto the exploded shingles;
+    *   2. packs each doc's shingle set into an array<long> bitmap in ONE
+    *      groupBy(id) agg (bitmaps sized to the doc's own max index —
+    *      correct for intersections, which live in the common prefix);
+    *   3. compares pairs with the codegen popcount(AND) kernel INSIDE the
+    *      broadcast-nested-loop join condition, so pairs below the
+    *      threshold are filtered during the loop and never materialize a
+    *      joined row (materializing both bitmaps into every pair row was
+    *      measured at 32 s vs ~2 s at sf0.1).
     * All-pairs compare is O(n²·vocab/64) bit-ops; gate behind LSH
-    * candidates (`candidates`) when n² itself is the problem.
+    * candidates when n² itself is the problem (see minhashNearDupPairs).
     * Results are EXACTLY the sparse plan's (same hash space).
     */
   def jaccardPairsDense(
       df: DataFrame, idCol: String, textCol: String,
       threshold: Double, shingleWords: Int = 3): DataFrame = {
     val spark = df.sparkSession
-    import spark.implicits._
+    import graft.functions.VectorExprs
 
-    // ONE distributed pass: per-doc distinct shingle hashes (an array of
-    // longs per doc — |docs|·|shingles|·8 bytes total, collectable by the
-    // dense-regime premise; the sparse/LSH paths cover everything else).
-    val hashed = df.select(col(idCol).cast("long").as("id"),
-        graft.functions.SketchExprs.shingle_hashes(
-          TextFunctions.tokensWs(col(textCol)), shingleWords).as("hs"))
-      .as[(Long, Array[Long])]
-      .collect()
+    // 1. distributed shingle-hash (distinct per doc by ShingleHashes) and
+    //    dictionary-encode. Docs with zero shingles drop out here — they
+    //    cannot reach any positive threshold (jaccard would be 0 or 0/0).
+    val ex = df.select(col(idCol).cast("long").as("id"),
+        explode(graft.functions.SketchExprs.shingle_hashes(
+          TextFunctions.tokensWs(col(textCol)), shingleWords)).as("h"))
+    val dict = ex.select(col("h")).distinct()
+      .withColumn("idx", (row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("h"))) - 1)
+        .cast("int"))
 
-    // driver: dictionary-encode + pack bitmaps (linear, hash-map inserts)
-    val dict = new java.util.HashMap[Long, Integer]()
-    hashed.foreach(_._2.foreach { h =>
-      if (!dict.containsKey(h)) dict.put(h, dict.size())
-    })
-    val nWords = (dict.size() + 63) / 64
-    val packed: Array[(Long, Long, Array[Long])] = hashed.map { case (id, hs) =>
-      val bs = new Array[Long](nWords)
-      hs.foreach { h => val b = dict.get(h).intValue(); bs(b >> 6) |= (1L << (b & 63)) }
-      (id, hs.length.toLong, bs)
-    }
+    // 2. bitmap pack: one broadcast hash join + one hash aggregation.
+    val packed = ex.join(broadcast(dict), "h")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n"),
+        VectorExprs.bitset_pack(collect_list(col("idx"))).as("bs"))
 
-    // distributed pair loop: spark.range drives the O(n²) popcount(AND)
-    // kernel across all cores against the broadcast bitmap table; only
-    // qualifying pairs are ever emitted (a DataFrame cross join would
-    // memcpy both ~vocab/8-byte bitmaps into every joined row first —
-    // measured 32 s vs ~2 s for this shape at sf0.1).
-    val bcAll = spark.sparkContext.broadcast(packed)
-    val thr = threshold
-    val par = spark.sparkContext.defaultParallelism * 4
-    spark.range(0, packed.length, 1, par).mapPartitions { idxs =>
-      val arr = bcAll.value
-      idxs.flatMap { ai =>
-        val (ida, na, ba) = arr(ai.toInt)
-        arr.iterator.filter(_._1 > ida).flatMap { case (idb, nb, bb) =>
-          var s = 0L
-          var i = 0
-          val n = math.min(ba.length, bb.length)
-          while (i < n) { s += java.lang.Long.bitCount(ba(i) & bb(i)); i += 1 }
-          // HALF_UP to match round(x, 4) in both engines
-          val j = BigDecimal(s.toDouble / (na + nb - s))
-            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
-          if (j >= thr) Iterator.single((ida, idb, s, j)) else Iterator.empty
-        }
-      }
-    }.toDF("id_a", "id_b", "inter", "jaccard")
+    // 3. O(n²) popcount loop as a BNL join with the kernel in the join
+    //    condition. Explicit repartition (a fixed number, which AQE
+    //    honors) spreads the streamed side across cores — the groupBy
+    //    output would otherwise be AQE-coalesced to one partition.
+    val par = spark.sparkContext.defaultParallelism * 2
+    val a = packed.select(col("id").as("id_a"), col("n").as("n_a"),
+      col("bs").as("bs_a")).repartition(par)
+    val b = packed.select(col("id").as("id_b"), col("n").as("n_b"),
+      col("bs").as("bs_b"))
+    val inter = VectorExprs.bitset_inter(col("bs_a"), col("bs_b"))
+    // HALF_UP round to 4, matching the sparse plan and the DuckDB oracle
+    val jac = round(inter.cast("double") / (col("n_a") + col("n_b") - inter), 4)
+    a.join(broadcast(b), col("id_a") < col("id_b") && jac >= threshold)
+      .select(col("id_a"), col("id_b"), inter.as("inter"), jac.as("jaccard"))
   }
 
   // ---------------------------------------------------------------- simhash
