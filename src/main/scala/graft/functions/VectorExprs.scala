@@ -181,20 +181,82 @@ object VectorExprs {
       copy(child = newChild)
   }
 
-  /** Idempotently register vec_dot/vec_l2norm in the active session's
-    * function registry (the public Column-from-Expression bridge in
-    * Spark 4 — Column constructors are no longer public API).
+  /** |A ∩ B| of two SORTED-ascending distinct array<long> sets, counted by
+    * a single merge scan — no hashing, no intermediate array (built-in
+    * `size(array_intersect(a, b))` builds a hash set + result array per
+    * pair). The verify kernel for LSH-gated exact Jaccard: inputs are
+    * [[SketchExprs.ShingleHashes]] outputs, which are sorted distinct.
+    */
+  case class SortedInterCount(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def prettyName: String = "sorted_inter_count"
+    override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val na = x.numElements()
+      val nb = y.numElements()
+      var i = 0; var j = 0; var s = 0L
+      while (i < na && j < nb) {
+        val u = x.getLong(i); val v = y.getLong(j)
+        if (u < v) i += 1
+        else if (u > v) j += 1
+        else { s += 1; i += 1; j += 1 }
+      }
+      s
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
+        val i = ctx.freshName("i"); val j = ctx.freshName("j")
+        val s = ctx.freshName("s")
+        val u = ctx.freshName("u"); val v = ctx.freshName("v")
+        s"""
+          int $na = $a.numElements(); int $nb = $b.numElements();
+          int $i = 0; int $j = 0; long $s = 0L;
+          while ($i < $na && $j < $nb) {
+            long $u = $a.getLong($i); long $v = $b.getLong($j);
+            if ($u < $v) { $i++; }
+            else if ($u > $v) { $j++; }
+            else { $s++; $i++; $j++; }
+          }
+          ${ev.value} = $s;
+        """
+      })
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  // registered once per session (WeakHashMap so dropped sessions release);
+  // the per-call createOrReplaceTempFunction churn spammed "replaced a
+  // previously registered function" warnings and re-built FunctionBuilders
+  // on every Column-helper invocation.
+  private val registeredSessions = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
+
+  /** Idempotently (once per session) register the expressions in the active
+    * session's function registry (the public Column-from-Expression bridge
+    * in Spark 4 — Column constructors are no longer public API).
     */
   def ensureRegistered(): Unit = {
     val spark = SparkSession.active
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "vec_dot", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "vec_l2norm", exprs => L2Norm(exprs.head), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "bitset_inter", exprs => BitsetIntersectCount(exprs(0), exprs(1)), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "bitset_pack", exprs => BitsetPack(exprs.head), "built-in")
+    if (registeredSessions.putIfAbsent(spark, java.lang.Boolean.TRUE) == null) {
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "vec_dot", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "vec_l2norm", exprs => L2Norm(exprs.head), "built-in")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "bitset_inter", exprs => BitsetIntersectCount(exprs(0), exprs(1)), "built-in")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "bitset_pack", exprs => BitsetPack(exprs.head), "built-in")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "sorted_inter_count",
+        exprs => SortedInterCount(exprs(0), exprs(1)), "built-in")
+    }
   }
 
   def bitset_pack(indices: Column): Column = {
@@ -215,5 +277,10 @@ object VectorExprs {
   def vec_l2norm(a: Column): Column = {
     ensureRegistered()
     call_function("vec_l2norm", a)
+  }
+
+  def sorted_inter_count(a: Column, b: Column): Column = {
+    ensureRegistered()
+    call_function("sorted_inter_count", a, b)
   }
 }

@@ -142,6 +142,52 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** LSH-gated exact Jaccard — the 100 TB default path. MinHash banding
+    * proposes candidate pairs; each candidate is then verified EXACTLY
+    * against the docs' distinct shingle-hash sets with a sorted merge-scan
+    * intersection count ([[graft.functions.VectorExprs.SortedInterCount]]).
+    * Work is proportional to |candidates|, never O(n²) and never the
+    * full co-shingled pair space.
+    *
+    * Band geometry defaults to r=2 rows/band × 64 bands (numHashes=128):
+    * P(candidate | jaccard=t) = 1-(1-t²)^64, which at t=0.5 is 1-1e-8 —
+    * effectively total recall at the thresholds this gates (≥0.5), while
+    * pairs at background similarity (~0.01 for unrelated docs) band
+    * together with P≈0.006, so the verify set stays tiny. Results equal
+    * [[jaccardPairs]] (same hash space, exact verification).
+    *
+    * Plan shape: the shingle relation is repartitioned once by id so the
+    * signature/banding branch and both verify sides share ONE exchange
+    * (ReusedExchange) instead of re-shingling per branch.
+    */
+  def jaccardPairsLsh(
+      df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, shingleWords: Int = 3,
+      numHashes: Int = 128, bands: Int = 64): DataFrame = {
+    require(bands > 0 && numHashes % bands == 0,
+      s"bands ($bands) must divide numHashes ($numHashes)")
+    import graft.functions.{SketchExprs, VectorExprs}
+    val base = df.select(col(idCol).as("id"),
+        SketchExprs.shingle_hashes(
+          TextFunctions.tokensWs(col(textCol)), shingleWords).as("shingles"))
+      .repartition(col("id"))
+    val sig = base.select(col("id"),
+      SketchExprs.minhash_array(col("shingles"), numHashes).as("sig"))
+    val cand = lshCandidates(sig, "id", bands, numHashes / bands)
+    val a = base.select(col("id").as("id_a"), col("shingles").as("__sa"),
+      size(col("shingles")).as("n_a"))
+    val b = base.select(col("id").as("id_b"), col("shingles").as("__sb"),
+      size(col("shingles")).as("n_b"))
+    cand.join(a, "id_a").join(b, "id_b")
+      .select(col("id_a"), col("id_b"),
+        VectorExprs.sorted_inter_count(col("__sa"), col("__sb")).as("inter"),
+        (col("n_a") + col("n_b")).as("__ns"))
+      .select(col("id_a"), col("id_b"), col("inter"),
+        round(col("inter").cast("double") / (col("__ns") - col("inter")), 4)
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** Exact Jaccard for the DENSE regime — when the shingle vocabulary is
     * small relative to the corpus (every shingle appears in many docs), the
     * explode-self-join plan above degenerates to |vocab|·df² intermediate
@@ -160,12 +206,16 @@ object Dedup {
     *      joined row (materializing both bitmaps into every pair row was
     *      measured at 32 s vs ~2 s at sf0.1).
     * All-pairs compare is O(n²·vocab/64) bit-ops; gate behind LSH
-    * candidates when n² itself is the problem (see minhashNearDupPairs).
-    * Results are EXACTLY the sparse plan's (same hash space).
+    * candidates when n² itself is the problem (see [[jaccardPairsLsh]]).
+    * For threshold > 0 (required) results are EXACTLY the sparse plan's
+    * (same hash space); at threshold ≤ 0 the plans diverge — the sparse
+    * explode-join never emits inter=0 pairs, this kernel would.
     */
   def jaccardPairsDense(
       df: DataFrame, idCol: String, textCol: String,
       threshold: Double, shingleWords: Int = 3): DataFrame = {
+    require(threshold > 0,
+      "jaccardPairsDense emits only positive-jaccard pairs (sparse-plan parity)")
     val spark = df.sparkSession
     import graft.functions.VectorExprs
 
@@ -181,10 +231,15 @@ object Dedup {
         .cast("int"))
 
     // 2. bitmap pack: one broadcast hash join + one hash aggregation.
+    //    localCheckpoint materializes it ONCE — it feeds both the streamed
+    //    and the broadcast side of the BNL join below, and the broadcast
+    //    exchange cannot reuse the streamed side's shuffle, so without the
+    //    checkpoint the whole shingle pipeline executes twice per run.
     val packed = ex.join(broadcast(dict), "h")
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n"),
         VectorExprs.bitset_pack(collect_list(col("idx"))).as("bs"))
+      .localCheckpoint()
 
     // 3. O(n²) popcount loop as a BNL join with the kernel in the join
     //    condition. Explicit repartition (a fixed number, which AQE
@@ -198,8 +253,18 @@ object Dedup {
     val inter = VectorExprs.bitset_inter(col("bs_a"), col("bs_b"))
     // HALF_UP round to 4, matching the sparse plan and the DuckDB oracle
     val jac = round(inter.cast("double") / (col("n_a") + col("n_b") - inter), 4)
-    a.join(broadcast(b), col("id_a") < col("id_b") && jac >= threshold)
+    // The hot-loop condition references the popcount kernel ONCE: the
+    // threshold test j >= t' is algebraically I·(1+t') >= t'·(n_a+n_b),
+    // with t' backed off by the HALF_UP margin (round(j,4) >= t ⟹
+    // j >= t - 0.00005) so the exact rounded filter below sees every
+    // boundary pair. Survivors (tiny) re-evaluate the kernel in the
+    // projection + final filter — negligible vs 3 evals per PAIR.
+    val tPre = threshold - 0.00005
+    a.join(broadcast(b), col("id_a") < col("id_b") &&
+        inter.cast("double") * lit(1.0 + tPre) >=
+          lit(tPre) * (col("n_a") + col("n_b")))
       .select(col("id_a"), col("id_b"), inter.as("inter"), jac.as("jaccard"))
+      .filter(col("jaccard") >= threshold)
   }
 
   // ---------------------------------------------------------------- simhash

@@ -94,13 +94,19 @@ case class MinHashAgg(
 }
 
 object MinHashAgg {
+  // once per session — see VectorExprs.registeredSessions for rationale
+  private val registeredSessions = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
+
   def ensureRegistered(): Unit = {
     val spark = SparkSession.active
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "minhash_agg",
-      exprs => MinHashAgg(exprs(0),
-        exprs(1).eval().asInstanceOf[Int]).toAggregateExpression(),
-      "built-in")
+    if (registeredSessions.putIfAbsent(spark, java.lang.Boolean.TRUE) == null) {
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "minhash_agg",
+        exprs => MinHashAgg(exprs(0),
+          exprs(1).eval().asInstanceOf[Int]).toAggregateExpression(),
+        "built-in")
+    }
   }
 
   /** minhash_agg(shingleHash, numHashes) → array<long> signature. */

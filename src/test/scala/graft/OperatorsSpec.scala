@@ -133,6 +133,58 @@ class OperatorsSpec extends SparkSpec {
       s"minhash missed ${exact.diff(sketch)}")
   }
 
+  test("jaccardPairsLsh and jaccardPairsDense match the sparse exact plan") {
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b", "inter", "jaccard").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+    val sparse = pairs(Dedup.jaccardPairs(docs, "doc_id", "text", 0.5))
+    assert(sparse.nonEmpty, "testdata should contain planted near-dups")
+    val lsh = pairs(Dedup.jaccardPairsLsh(docs, "doc_id", "text", 0.5))
+    assert(lsh == sparse, s"LSH-gated diverged: ${lsh.diff(sparse)} extra, " +
+      s"${sparse.diff(lsh)} missing")
+    val dense = pairs(Dedup.jaccardPairsDense(docs, "doc_id", "text", 0.5))
+    assert(dense == sparse, s"dense kernel diverged: ${dense.diff(sparse)} " +
+      s"extra, ${sparse.diff(dense)} missing")
+  }
+
+  test("jaccardPairsDense rejects non-positive thresholds") {
+    val df = Seq((1L, "a b c d")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      Dedup.jaccardPairsDense(df, "doc_id", "text", 0.0)
+    }
+  }
+
+  test("bitset_pack round-trip: indices -> bitmap -> popcount") {
+    import graft.functions.VectorExprs
+    val df = Seq(
+      (1L, Seq(0, 3, 64, 127)),
+      (2L, Seq(3, 64, 200))).toDF("id", "idx")
+    val packed = df.select(col("id"), VectorExprs.bitset_pack(col("idx")).as("bs"))
+    val a = packed.filter(col("id") === 1).select(col("bs").as("bs_a"))
+    val b = packed.filter(col("id") === 2).select(col("bs").as("bs_b"))
+    val inter = a.crossJoin(b)
+      .select(VectorExprs.bitset_inter(col("bs_a"), col("bs_b")))
+      .collect()(0).getLong(0)
+    assert(inter == 2L) // {3, 64} shared; 200 beyond doc-1's prefix
+    val self = packed.filter(col("id") === 1)
+      .select(VectorExprs.bitset_inter(col("bs"), col("bs")))
+      .collect()(0).getLong(0)
+    assert(self == 4L)
+  }
+
+  test("sorted_inter_count merges sorted distinct long sets") {
+    import graft.functions.VectorExprs
+    val df = Seq((Seq(1L, 5L, 9L, 12L), Seq(2L, 5L, 12L, 40L))).toDF("a", "b")
+    val n = df.select(VectorExprs.sorted_inter_count(col("a"), col("b")))
+      .collect()(0).getLong(0)
+    assert(n == 2L)
+    val empty = df.select(VectorExprs.sorted_inter_count(
+      col("a"), typedlit(Seq.empty[Long]))).collect()(0).getLong(0)
+    assert(empty == 0L)
+  }
+
   test("exact dedup keeps min-id representative") {
     val df = Seq((1L, "same"), (5L, "same"), (3L, "other")).toDF("id", "t")
     val out = Dedup.exact(df, Seq("t"), "id").select("id")
