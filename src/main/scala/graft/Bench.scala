@@ -7,6 +7,12 @@ import org.apache.spark.sql.SparkSession
   * A warmup pass (flagship query at the same SF) absorbs JVM/codegen
   * startup so per-query numbers measure the plans, not JIT. Timing uses
   * count() of the final plan — the driver-side contract.
+  *
+  * A query that THROWS is reported as -1.0 in `queries` and named in the
+  * `failed` array — a sentinel, never a normal-looking timing.
+  * `parse_mbps` reports single-file CSV parse throughput through the
+  * product parser (CsvReader), comparable to the reference README's
+  * parse benchmarks recorded in BASELINE.md.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -21,8 +27,8 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // warmup: flagship agg + a join + an embedding query prime codegen,
-    // parquet footers and the whole-stage compiler
+    // warmup: flagship agg + a join prime codegen, parquet footers and the
+    // whole-stage compiler
     try {
       Queries.q01_agg_basic(spark, sfDir).count()
       Queries.q07_join_inner(spark, sfDir).count()
@@ -30,13 +36,49 @@ object Bench {
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { fn(spark, sfDir).count(); true }
+        catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            false
+        }
+      (name, (System.nanoTime() - t0) / 1e9, ok)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    // single-file CSV parse throughput: the FULL lineitem at this SF as
+    // one CSV file (~39 MB at sf0.1 — the round-1 methodology) through
+    // CsvReader; avg MB/s of 3 timed iterations after one warmup. A small
+    // file would measure fixed job overhead, not the parser.
+    val parseMbps =
+      try {
+        val dir = java.nio.file.Files.createTempDirectory("graft_bench_csv")
+        val outDir = dir.resolve("li").toString
+        Tables(spark, sfDir, "lineitem")
+          .coalesce(1)
+          .write.mode("overwrite").option("header", "true").csv(outDir)
+        val part = new java.io.File(outDir).listFiles()
+          .find(_.getName.endsWith(".csv")).get
+        val bytes = part.length()
+        val times = (0 to 3).map { _ =>
+          val t0 = System.nanoTime()
+          sources.CsvReader.read(spark, part.getPath).df.count()
+          (System.nanoTime() - t0) / 1e9
+        }.drop(1)
+        times.map(t => bytes / 1e6 / t).sum / times.size
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] parse_mbps FAILED: ${e.getMessage}")
+          -1.0
+      }
+
+    val qs = results.map { case (k, v, ok) =>
+      "\"" + k + "\":" + (if (ok) v else -1.0)
+    }.mkString("{", ",", "}")
+    val failed = results.filter(!_._3).map("\"" + _._1 + "\"")
+      .mkString("[", ",", "]")
+    val total = results.filter(_._3).map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"parse_mbps":$parseMbps,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

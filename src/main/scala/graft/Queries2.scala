@@ -112,8 +112,11 @@ object Queries2 {
     */
   def q46_ivf_topk(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
+    val idx = Similarity.IvfIndex.trainCached(
+      s"$dir:embeddings", emb, "embedding", nlist = 8)
     Similarity.ivfTopK(emb.filter(col("vec_id") % 50 === 0), emb,
-        "vec_id", "embedding", k = 5, nlist = 8, nprobe = 2)
+        "vec_id", "embedding", k = 5, nlist = 8, nprobe = 2,
+        index = Some(idx))
       .select(col("query_id"), col("match_id"), round(col("cos"), 6).as("cos"),
         col("rank"))
       .orderBy(col("query_id"), col("rank"))
@@ -164,9 +167,19 @@ object Queries2 {
       .orderBy(col("event_id"))
   }
 
+  /** LSH-gated global top-pairs (the 100 TB near-dup path; rows-only —
+    * approximate by design at this data's similarity floor, exact-regime
+    * equality asserted in IvfSpec; q34 remains the exact oracled twin).
+    */
+  def q49_top_pairs_lsh(s: SparkSession, dir: String): DataFrame =
+    Similarity.topPairsLsh(t(s, dir, "embeddings"), "vec_id", "embedding",
+        n = 20, dim = 64)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q47_sql_dialect" -> q47_sql_dialect _,
     "q48_asof_native" -> q48_asof_native _,
+    "q49_top_pairs_lsh" -> q49_top_pairs_lsh _,
     "q37_semi_anti" -> q37_semi_anti _,
     "q38_rollup" -> q38_rollup _,
     "q39_lag_lead" -> q39_lag_lead _,

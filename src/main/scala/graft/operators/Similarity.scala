@@ -53,11 +53,23 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
-  /** Global top-n most-similar pairs (id_a < id_b) — the embedding
-    * near-dup surface when no threshold is known a priori.
-    * O(n²) dot products, but each side's norm is precomputed per row, the
-    * pair loop is native codegen, and the sort is a TakeOrdered(n) — no
-    * full-result materialization. At 100 TB gate it behind `lshBuckets`.
+  /** Global top-n most-similar pairs (id_a < id_b), EXACT — the contract
+    * when no similarity floor is known a priori. O(n²) dot products (any
+    * exact dense-vector algorithm is), but each side's norm is precomputed
+    * per row, the pair loop is native codegen, and the sort is a
+    * TakeOrdered(n) — only n rows per partition survive; the planner
+    * tiles the loop (CartesianProduct) when neither side is
+    * broadcast-sized, so no full-corpus broadcast at scale.
+    *
+    * Why this is NOT LSH-gated by default: gating is only sound when the
+    * n-th pair sits far above background similarity. Measured on the
+    * testdata embeddings (sf0.01): the top-25 boundary is cos 0.437
+    * against background σ = 1/√64 = 0.125 — at that separation every
+    * hyperplane-band geometry that reaches ≥99.9% recall keeps ≥65% of
+    * ALL pairs as candidates (16/4 → 23% kept but 68% recall; 24/8 →
+    * 66% kept, 96% recall), i.e. the gate costs more than it prunes and
+    * still misses top pairs. Use [[topPairsLsh]] when the pairs of
+    * interest are in the genuinely-gateable high-similarity regime.
     */
   def topPairs(df: DataFrame, idCol: String, vecCol: String, n: Int): DataFrame = {
     val a = df.select(col(idCol).as("id_a"), col(vecCol).as("__va"),
@@ -65,6 +77,59 @@ object Similarity {
     val b = df.select(col(idCol).as("id_b"), col(vecCol).as("__vb"),
       vec_l2norm(col(vecCol)).as("__nb"))
     a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (vec_dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")))
+          .as("cos"))
+      .orderBy(col("cos").desc, col("id_a").asc, col("id_b").asc)
+      .limit(n)
+  }
+
+  /** LSH-gated global top-n pairs with EXACT rescoring — the 100 TB path
+    * for the high-similarity (near-dup) regime. The `planes`-bit
+    * hyperplane signature is split into `bands` sub-keys; pairs sharing
+    * any band self-join per (band, value) bucket — never all-pairs — and
+    * every candidate is rescored with the exact codegen cosine before the
+    * global TakeOrdered(n).
+    *
+    * Default geometry r=7 bits × 9 bands (63 planes, one long): a pair at
+    * cos 0.9 (p = 1−θ/π = 0.856 per bit) bands together with
+    * P = 1−(1−0.856⁷)^9 ≈ 0.975, at cos 0.99 P ≈ 1−1e-5, while background
+    * (cos≈0) pairs pass at ~7%. APPROXIMATE by design below cos ≈ 0.9 —
+    * see [[topPairs]] for the exact contract and the measured reason a
+    * global-top-n over near-orthogonal data cannot be gated.
+    *
+    * Plan shape: the band self-join carries ONLY (id, band, value) — the
+    * vector payloads would otherwise be materialized into every banded
+    * pair row (the cross-join-payload trap). Candidates are deduped as id
+    * pairs, then the two vectors are joined back for ONE exact rescore
+    * per candidate, and the result is a TakeOrdered(n).
+    */
+  def topPairsLsh(
+      df: DataFrame, idCol: String, vecCol: String, n: Int, dim: Int,
+      planes: Int = 63, bands: Int = 9): DataFrame = {
+    require(planes % bands == 0, s"bands ($bands) must divide planes ($planes)")
+    val r = planes / bands
+    // one exchange shared by the banding branch and both rescore sides
+    // (ReusedExchange) — without it the signature projection executes
+    // once per branch
+    val base = df.select(col(idCol).as("id"), col(vecCol).as("__v"),
+        vec_l2norm(col(vecCol)).as("__nm"),
+        lshSignature(col(vecCol), dim, planes).as("__sig"))
+      .repartition(col("id"))
+    val banded = base.select(col("id"),
+      posexplode(array((0 until bands).map(j =>
+        shiftright(col("__sig"), j * r).bitwiseAND(lit((1L << r) - 1))): _*))
+        .as(Seq("__band", "__bv")))
+    val l = banded.select(col("id").as("id_a"), col("__band"), col("__bv"))
+    val rt = banded.select(col("id").as("id_b"), col("__band"), col("__bv"))
+    val cand = l.join(rt, Seq("__band", "__bv"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    val va = base.select(col("id").as("id_a"), col("__v").as("__va"),
+      col("__nm").as("__na"))
+    val vb = base.select(col("id").as("id_b"), col("__v").as("__vb"),
+      col("__nm").as("__nb"))
+    cand.join(va, "id_a").join(vb, "id_b")
       .select(col("id_a"), col("id_b"),
         (vec_dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")))
           .as("cos"))
@@ -89,51 +154,146 @@ object Similarity {
     bits.reduce[Column](_ bitwiseOR _)
   }
 
+  /** Trained IVF coarse quantizer — the index LIFECYCLE object (FAISS IVF
+    * shape, public technique): train once, reuse across every query that
+    * probes the same corpus. Centroids are baked into the plan as literal
+    * arrays; assignment is an argmin over codegen [[vec_dot]] — no UDF,
+    * no driver broadcast variable, whole-stage-codegen friendly.
+    */
+  final case class IvfIndex(centroids: Array[Array[Double]]) {
+    def nlist: Int = centroids.length
+
+    /** ids of the `n` nearest centroids (squared L2) as array<int>.
+      * d²(v,c) = |v|² − 2·v·c + |c|²; |v|² is row-constant, so the argmin
+      * ranks by |c|² − 2·v·c — ONE vec_dot per centroid per row. Struct
+      * sort (d, then i) reproduces the stable dist-then-centroid-id order.
+      */
+    def assign(vec: Column, n: Int): Column = {
+      val scored = centroids.zipWithIndex.map { case (c, ci) =>
+        val cn2 = c.map(x => x * x).sum
+        struct(
+          (lit(cn2) - lit(2.0) * vec_dot(vec, typedlit(c.toSeq))).as("d"),
+          lit(ci).as("i"))
+      }
+      transform(slice(array_sort(array(scored: _*)), 1, n), _.getField("i"))
+    }
+  }
+
+  object IvfIndex {
+
+    /** Deterministic k-means training over a bounded corpus sample.
+      * The sample cap keeps training cost independent of corpus size — a
+      * coarse quantizer never needs the full 100 TB corpus, only enough
+      * vectors to place `nlist` centroids — and lets Lloyd's run ON THE
+      * DRIVER over ≤ sampleLimit vectors (one collect job; spark.ml's
+      * KMeans schedules a cluster job per iteration, which dominated the
+      * query's wall time at test scale for a quantizer this small).
+      * k-means++ seeding + Lloyd's, fixed seed — fully deterministic.
+      */
+    def train(corpus: DataFrame, vecCol: String, nlist: Int,
+        seed: Long = 42L, maxIter: Int = 8, sampleLimit: Int = 4096): IvfIndex = {
+      val sample: Array[Array[Double]] = corpus.select(col(vecCol))
+        .limit(sampleLimit).collect()
+        .map(_.getSeq[Number](0).map(_.doubleValue()).toArray)
+      require(sample.length >= nlist,
+        s"need at least nlist=$nlist sample vectors, got ${sample.length}")
+      val dim = sample.head.length
+      val rnd = new java.util.SplittableRandom(seed)
+
+      def d2(a: Array[Double], b: Array[Double]): Double = {
+        var s = 0.0; var i = 0
+        while (i < dim) { val d = a(i) - b(i); s += d * d; i += 1 }
+        s
+      }
+
+      // k-means++ seeding
+      val centers = new Array[Array[Double]](nlist)
+      centers(0) = sample(rnd.nextInt(sample.length)).clone()
+      val minD2 = sample.map(d2(_, centers(0)))
+      var c = 1
+      while (c < nlist) {
+        val total = minD2.sum
+        var pick = rnd.nextDouble() * total
+        var idx = 0
+        while (idx < sample.length - 1 && pick > minD2(idx)) {
+          pick -= minD2(idx); idx += 1
+        }
+        centers(c) = sample(idx).clone()
+        var i = 0
+        while (i < sample.length) {
+          val d = d2(sample(i), centers(c))
+          if (d < minD2(i)) minD2(i) = d
+          i += 1
+        }
+        c += 1
+      }
+
+      // Lloyd's iterations; an emptied cluster keeps its previous center
+      var iter = 0
+      while (iter < maxIter) {
+        val sums = Array.fill(nlist)(new Array[Double](dim))
+        val counts = new Array[Int](nlist)
+        var i = 0
+        while (i < sample.length) {
+          var best = 0; var bestD = Double.MaxValue; var ci = 0
+          while (ci < nlist) {
+            val d = d2(sample(i), centers(ci))
+            if (d < bestD) { bestD = d; best = ci }
+            ci += 1
+          }
+          val s = sums(best); val v = sample(i)
+          var k = 0
+          while (k < dim) { s(k) += v(k); k += 1 }
+          counts(best) += 1
+          i += 1
+        }
+        var ci = 0
+        while (ci < nlist) {
+          if (counts(ci) > 0) {
+            val s = sums(ci)
+            var k = 0
+            while (k < dim) { s(k) /= counts(ci); k += 1 }
+            centers(ci) = s
+          }
+          ci += 1
+        }
+        iter += 1
+      }
+      IvfIndex(centers)
+    }
+
+    // train-once cache: repeated queries against the same corpus reuse the
+    // fitted quantizer instead of re-running k-means inside every query.
+    private val cache = new java.util.concurrent.ConcurrentHashMap[
+      (String, Int, Long), IvfIndex]()
+
+    def trainCached(cacheKey: String, corpus: DataFrame, vecCol: String,
+        nlist: Int, seed: Long = 42L): IvfIndex =
+      cache.computeIfAbsent((cacheKey, nlist, seed),
+        _ => train(corpus, vecCol, nlist, seed))
+  }
+
   /** IVF (inverted-file) ANN: k-means coarse quantizer over the corpus;
     * each query probes its `nprobe` nearest centroids' inverted lists.
-    * The classic FAISS-style IVF shape (public technique): recall/cost
-    * traded via nlist × nprobe. Centroids train on a corpus sample with a
-    * fixed seed (deterministic); corpus assignment is one scan; the probe
-    * join touches only nprobe/nlist of the corpus per query.
+    * Recall/cost traded via nlist × nprobe; the probe join touches only
+    * ~nprobe/nlist of the corpus per query. Pass a pre-trained
+    * [[IvfIndex]] to reuse the quantizer (the default trains one on the
+    * spot — fine for one-shot calls, wasteful in a query catalog).
     */
   def ivfTopK(
       queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int,
-      nlist: Int = 16, nprobe: Int = 4): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    import org.apache.spark.ml.linalg.Vector
-
-    val corpusVec = corpus.select(col(idCol).as("match_id"),
-      col(vecCol).as("__cv"), array_to_vector(col(vecCol)).as("features"))
-    val km = new KMeans().setK(nlist).setSeed(42L).setMaxIter(10)
-    val model = km.fit(corpusVec.select("features"))
-    val centroids: Array[Array[Double]] = model.clusterCenters.map(_.toArray)
-
-    // centroid assignment as a broadcast-free closure (centroids are tiny)
-    val spark = corpus.sparkSession
-    val bcCent = spark.sparkContext.broadcast(centroids)
-    val assignN = udf { (v: Vector, n: Int) =>
-      val cs = bcCent.value
-      val arr = v.toArray
-      val dists = cs.indices.map { ci =>
-        val c = cs(ci)
-        var s = 0.0; var i = 0
-        while (i < arr.length) { val d = arr(i) - c(i); s += d * d; i += 1 }
-        (s, ci)
-      }
-      dists.sortBy(_._1).take(n).map(_._2)
-    }
-
-    val bucketedCorpus = corpusVec
-      .withColumn("__list", assignN(col("features"), lit(1))(0))
-      .select(col("match_id"), col("__cv"), col("__list"),
-        vec_l2norm(col("__cv")).as("__cn"))
-    val probes = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
-        array_to_vector(col(vecCol)).as("features"))
-      .withColumn("__list", explode(assignN(col("features"), lit(nprobe))))
-      .select(col("query_id"), col("__qv"), col("__list"),
-        vec_l2norm(col("__qv")).as("__qn"))
+      nlist: Int = 16, nprobe: Int = 4,
+      index: Option[IvfIndex] = None): DataFrame = {
+    val idx = index.getOrElse(IvfIndex.train(corpus, vecCol, nlist))
+    val bucketedCorpus = corpus.select(col(idCol).as("match_id"),
+      col(vecCol).as("__cv"),
+      idx.assign(col(vecCol), 1)(0).as("__list"),
+      vec_l2norm(col(vecCol)).as("__cn"))
+    val probes = queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("__qv"),
+      explode(idx.assign(col(vecCol), nprobe)).as("__list"),
+      vec_l2norm(col(vecCol)).as("__qn"))
 
     val scored = bucketedCorpus.join(broadcast(probes), Seq("__list"))
       .filter(col("match_id") =!= col("query_id"))

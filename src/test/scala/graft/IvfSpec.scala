@@ -29,6 +29,28 @@ class IvfSpec extends SparkSpec {
     assert(out.forall(r => math.abs(r.getDouble(r.fieldIndex("cos"))) <= 1.0 + 1e-9))
   }
 
+  test("topPairsLsh equals exact topPairs in the near-dup regime") {
+    import spark.implicits._
+    val rnd = new java.util.SplittableRandom(7L)
+    val dim = 64
+    val base = (0 until 40).map { i =>
+      (i.toLong, Array.fill(dim)((rnd.nextDouble() * 2 - 1).toFloat))
+    }
+    // plant 10 near-dups: cos vs source ≥ 0.99 (noise ~1% of magnitude)
+    val dups = (0 until 10).map { i =>
+      val src = base(i)._2
+      (100L + i, src.map(v => v + (rnd.nextDouble() * 0.02 - 0.01).toFloat))
+    }
+    val df = (base ++ dups).toDF("vec_id", "embedding")
+    def key(d: org.apache.spark.sql.DataFrame) = d
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = key(Similarity.topPairs(df, "vec_id", "embedding", 10))
+    val gated = key(Similarity.topPairsLsh(df, "vec_id", "embedding", 10, dim))
+    assert(exact == gated, s"gated missed ${exact.diff(gated)}, " +
+      s"extra ${gated.diff(exact)}")
+  }
+
   test("streaming dedup drops repeated keys within the watermark") {
     val dir = java.nio.file.Files.createTempDirectory("dds")
     java.nio.file.Files.writeString(dir.resolve("a.csv"),

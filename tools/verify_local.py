@@ -36,7 +36,9 @@ def main(sf_dir, out_dir):
         if not files:
             print(f"FAIL {name}: no spark output"); n_fail += 1; continue
         try:
-            mine = pq.read_table(files[0]).to_pandas()
+            import pandas as pd
+            mine = pd.concat([pq.read_table(f).to_pandas() for f in files],
+                             ignore_index=True)
         except Exception as e:
             print(f"FAIL {name}: read error {e}"); n_fail += 1; continue
         try:
