@@ -150,17 +150,27 @@ object Queries2 {
   }
 
   /** NATIVE as-of join through the custom-operator stack (marker →
-    * optimizer rewrite → AsOfJoinStrategy → AsOfJoinExec). Same oracle as
-    * the compositional q23 — the custom physical operator itself is
-    * DuckDB-verified.
+    * optimizer rewrite → AsOfJoinStrategy → physical exec). Same oracle
+    * as the compositional q23 — the custom physical operator itself is
+    * DuckDB-verified. This query FORCES the sort-merge exec (the no-
+    * build-side-limit 100 TB path); q50 forces the broadcast exec — both
+    * physical paths run against the same oracle every round.
     */
-  def q48_asof_native(s: SparkSession, dir: String): DataFrame = {
+  def q48_asof_native(s: SparkSession, dir: String): DataFrame =
+    asofNative(s, dir, "sortmerge")
+
+  /** Broadcast-exec twin of q48 (same oracle). */
+  def q50_asof_broadcast(s: SparkSession, dir: String): DataFrame =
+    asofNative(s, dir, "broadcast")
+
+  private def asofNative(s: SparkSession, dir: String, mode: String): DataFrame = {
     val e = t(s, dir, "events").select(col("event_id"), col("user_id"), col("ts"))
     val o = t(s, dir, "orders")
       .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
-      .orderBy(col("o_orderdate"), col("o_orderkey")) // max-key tiebreak
+    s.conf.set(graft.plans.AsOfJoin.StrategyConfKey, mode)
     graft.plans.AsOfJoin
-      .asofJoin(e, o, "user_id", "o_custkey", "ts", "o_orderdate")
+      .asofJoin(e, o, "user_id", "o_custkey", "ts", "o_orderdate",
+        rightTieBreak = Seq(o("o_orderkey"))) // max-key tiebreak
       .select(col("event_id"), col("user_id"),
         col("o_orderkey").as("last_order"),
         col("o_orderdate").as("last_order_date"))
@@ -180,6 +190,7 @@ object Queries2 {
     "q47_sql_dialect" -> q47_sql_dialect _,
     "q48_asof_native" -> q48_asof_native _,
     "q49_top_pairs_lsh" -> q49_top_pairs_lsh _,
+    "q50_asof_broadcast" -> q50_asof_broadcast _,
     "q37_semi_anti" -> q37_semi_anti _,
     "q38_rollup" -> q38_rollup _,
     "q39_lag_lead" -> q39_lag_lead _,
@@ -193,6 +204,15 @@ object Queries2 {
   )
 
   val oracles: Map[String, String] = Map(
+    "q50_asof_broadcast" ->
+      """SELECT event_id, user_id, o_orderkey AS last_order,
+        |  o_orderdate AS last_order_date
+        |FROM events e LEFT JOIN orders o
+        |  ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+        |QUALIFY row_number() OVER
+        |  (PARTITION BY event_id
+        |   ORDER BY o_orderdate DESC NULLS LAST, o_orderkey DESC NULLS LAST) = 1
+        |ORDER BY event_id""".stripMargin,
     "q48_asof_native" ->
       """SELECT event_id, user_id, o_orderkey AS last_order,
         |  o_orderdate AS last_order_date

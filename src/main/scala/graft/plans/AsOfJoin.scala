@@ -3,11 +3,14 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Attribute, BindReferences, Expression, GenericInternalRow, JoinedRow, Unevaluable, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, Expression, GenericInternalRow, JoinedRow, SortOrder, Unevaluable, UnsafeProjection}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, Join, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.catalyst.util.TypeUtils
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
 import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.internal.SQLConf
 import org.apache.spark.sql.types.{BooleanType, DataType}
 
 /** Native as-of join — the full custom-operator stack (SURVEY §7.5 tier c):
@@ -19,37 +22,52 @@ import org.apache.spark.sql.types.{BooleanType, DataType}
   *
   * Semantics: for each left row, the single right row with the greatest
   * `rightTime <= leftTime` among rows sharing the equality key — ties on
-  * time broken by the LAST row in (time, input-order) sort. Unmatched left
-  * rows keep null right columns (left-outer as-of).
+  * time broken by the greatest `tieBreak` values (or, with no tieBreak,
+  * the last row in (time, input-order) sort on the broadcast path).
+  * Unmatched left rows keep null right columns (left-outer as-of).
   *
-  * Physical strategy: the right side is collected, grouped per key, and
-  * time-sorted ONCE, then broadcast; each left partition does an O(log n)
-  * binary search per row. Compared to the compositional
-  * join+window-top-1 plan this never materializes the per-key fan-out
-  * (|events| × |orders-per-user| intermediate rows). Build-side-must-fit
-  * is the standard broadcast-join contract.
+  * TWO physical strategies, chosen by `spark.graft.asof.strategy`:
+  *  - `broadcast` ([[AsOfJoin.AsOfBroadcastExec]]): right side collected,
+  *    grouped per key, time-sorted once, broadcast; each left partition
+  *    binary-searches per row. Never materializes the per-key fan-out
+  *    (|events| × |orders-per-user| rows) of the compositional plan.
+  *    Build-side-must-fit is the standard broadcast-join contract.
+  *  - `sortmerge` ([[AsOfJoin.AsOfSortMergeExec]]): BOTH sides hash-
+  *    partitioned by key and sorted by (key, time[, tieBreak…]) —
+  *    EnsureRequirements inserts the exchanges/sorts — then one streaming
+  *    merge pass per co-partition. No build-side size limit: the 100 TB
+  *    path when the right side is large.
+  *  - `auto` (default): broadcast when the right side's plan statistics
+  *    fit `spark.sql.autoBroadcastJoinThreshold`, else sortmerge — the
+  *    same contract Spark's own join selection applies.
   */
 object AsOfJoin {
 
+  val StrategyConfKey = "spark.graft.asof.strategy"
+
   /** Boolean marker that carries the as-of spec through analysis inside an
     * ordinary join condition; rewritten before planning, never evaluated.
+    * children = leftKey, rightKey, leftTime, rightTime, tieBreak…
     */
-  case class AsOfMarker(leftKey: Expression, rightKey: Expression,
-      leftTime: Expression, rightTime: Expression)
+  case class AsOfMarker(children: Seq[Expression])
       extends Expression with Unevaluable {
-    override def children: Seq[Expression] =
-      Seq(leftKey, rightKey, leftTime, rightTime)
+    def leftKey: Expression = children(0)
+    def rightKey: Expression = children(1)
+    def leftTime: Expression = children(2)
+    def rightTime: Expression = children(3)
+    def tieBreak: Seq[Expression] = children.drop(4)
     override def dataType: DataType = BooleanType
     override def nullable: Boolean = false
     override def prettyName: String = "asof_marker"
     override protected def withNewChildrenInternal(
         newChildren: IndexedSeq[Expression]): Expression =
-      copy(newChildren(0), newChildren(1), newChildren(2), newChildren(3))
+      copy(children = newChildren)
   }
 
   case class AsOfJoinPlan(left: LogicalPlan, right: LogicalPlan,
       leftKey: Expression, rightKey: Expression,
-      leftTime: Expression, rightTime: Expression) extends BinaryNode {
+      leftTime: Expression, rightTime: Expression,
+      tieBreak: Seq[Expression]) extends BinaryNode {
     override def output: Seq[Attribute] =
       left.output ++ right.output.map(_.withNullability(true))
     override protected def withNewChildrenInternal(
@@ -61,21 +79,53 @@ object AsOfJoin {
   object RewriteAsOfJoin extends Rule[LogicalPlan] {
     override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
       case Join(l, r, _, Some(m: AsOfMarker), _) =>
-        AsOfJoinPlan(l, r, m.leftKey, m.rightKey, m.leftTime, m.rightTime)
+        AsOfJoinPlan(l, r, m.leftKey, m.rightKey, m.leftTime, m.rightTime,
+          m.tieBreak)
     }
   }
 
   object AsOfJoinStrategy extends org.apache.spark.sql.execution.SparkStrategy {
     override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-      case AsOfJoinPlan(l, r, lk, rk, lt, rt) =>
-        AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt) :: Nil
+      case AsOfJoinPlan(l, r, lk, rk, lt, rt, tb) =>
+        val conf = SQLConf.get
+        val mode = conf.getConfString(StrategyConfKey, "auto")
+        val fits = r.stats.sizeInBytes >= 0 &&
+          r.stats.sizeInBytes <= conf.autoBroadcastJoinThreshold
+        val exec =
+          if (mode == "broadcast" || (mode == "auto" && fits))
+            AsOfBroadcastExec(planLater(l), planLater(r), lk, rk, lt, rt, tb)
+          else
+            AsOfSortMergeExec(planLater(l), planLater(r), lk, rk, lt, rt, tb)
+        exec :: Nil
       case _ => Nil
     }
   }
 
-  case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
+  /** timestamps evaluate to java Long micros; accept numeric longs too. */
+  private[plans] def toMicros(v: Any): Long = v match {
+    case null    => Long.MinValue
+    case l: Long => l
+    case i: Int  => i.toLong
+    case _       => Long.MinValue
+  }
+
+  /** greatest index with times(i) <= t, or -1. */
+  private[plans] def lastLeq(times: Array[Long], t: Long): Int = {
+    var lo = 0
+    var hi = times.length - 1
+    var ans = -1
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      if (times(mid) <= t) { ans = mid; lo = mid + 1 }
+      else hi = mid - 1
+    }
+    ans
+  }
+
+  case class AsOfBroadcastExec(left: SparkPlan, right: SparkPlan,
       leftKey: Expression, rightKey: Expression,
-      leftTime: Expression, rightTime: Expression) extends BinaryExecNode {
+      leftTime: Expression, rightTime: Expression,
+      tieBreak: Seq[Expression]) extends BinaryExecNode {
 
     override def output: Seq[Attribute] =
       left.output ++ right.output.map(_.withNullability(true))
@@ -88,15 +138,29 @@ object AsOfJoin {
       val rightRows = right.executeCollect() // copied rows
       val boundRk = BindReferences.bindReference(rightKey, right.output)
       val boundRt = BindReferences.bindReference(rightTime, right.output)
-      // per key: rows sorted ascending by (time, collect order); stable
-      // sortBy keeps input order among equal times
+      val boundTb = tieBreak.map(BindReferences.bindReference(_, right.output))
+      val tbOrds = boundTb.map(e => TypeUtils.getInterpretedOrdering(e.dataType))
+      // per key: rows sorted ascending by (time, tieBreak…, collect order);
+      // stable sort keeps input order among full ties
       val buildMap: Map[Any, (Array[Long], Array[InternalRow])] =
         rightRows.toSeq
-          .map(r => (boundRk.eval(r), toMicros(boundRt.eval(r)), r))
+          .map(r => (boundRk.eval(r), toMicros(boundRt.eval(r)), r,
+            boundTb.map(_.eval(r))))
           .filter(t => t._1 != null && t._2 != Long.MinValue)
           .groupBy(_._1)
           .map { case (k, rows) =>
-            val sorted = rows.sortBy(_._2)
+            val sorted = rows.sortWith { (a, b) =>
+              if (a._2 != b._2) a._2 < b._2
+              else {
+                var i = 0
+                var cmp = 0
+                while (cmp == 0 && i < tbOrds.length) {
+                  cmp = tbOrds(i).compare(a._4(i), b._4(i))
+                  i += 1
+                }
+                cmp < 0
+              }
+            }
             (k, (sorted.map(_._2).toArray, sorted.map(_._3).toArray[InternalRow]))
           }
       val bc = sparkContext.broadcast(buildMap)
@@ -128,26 +192,106 @@ object AsOfJoin {
         }
       }
     }
+  }
 
-    /** timestamps evaluate to java Long micros; accept numeric longs too. */
-    private def toMicros(v: Any): Long = v match {
-      case null       => Long.MinValue
-      case l: Long    => l
-      case i: Int     => i.toLong
-      case _          => Long.MinValue
-    }
+  /** Shuffle/sort as-of: both sides clustered by key and sorted by
+    * (key, time[, tieBreak…]); one forward-only merge pass per
+    * co-partition. Because left rows arrive time-ascending within a key,
+    * the right cursor only ever advances — each right row is visited
+    * once; `lastMatch` holds the best (greatest (time, tieBreak) ≤ t)
+    * row seen for the current key. No build-side size limit.
+    */
+  case class AsOfSortMergeExec(left: SparkPlan, right: SparkPlan,
+      leftKey: Expression, rightKey: Expression,
+      leftTime: Expression, rightTime: Expression,
+      tieBreak: Seq[Expression]) extends BinaryExecNode {
 
-    /** greatest index with times(i) <= t, or -1. */
-    private def lastLeq(times: Array[Long], t: Long): Int = {
-      var lo = 0
-      var hi = times.length - 1
-      var ans = -1
-      while (lo <= hi) {
-        val mid = (lo + hi) >>> 1
-        if (times(mid) <= t) { ans = mid; lo = mid + 1 }
-        else hi = mid - 1
+    override def output: Seq[Attribute] =
+      left.output ++ right.output.map(_.withNullability(true))
+
+    override def requiredChildDistribution: Seq[Distribution] =
+      ClusteredDistribution(Seq(leftKey)) ::
+        ClusteredDistribution(Seq(rightKey)) :: Nil
+
+    override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+      Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending)),
+      Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, Ascending)) ++
+        tieBreak.map(SortOrder(_, Ascending)))
+
+    override def outputPartitioning: Partitioning = left.outputPartitioning
+
+    override def outputOrdering: Seq[SortOrder] = left.outputOrdering
+
+    override protected def withNewChildrenInternal(
+        newLeft: SparkPlan, newRight: SparkPlan): SparkPlan =
+      copy(left = newLeft, right = newRight)
+
+    override protected def doExecute(): RDD[InternalRow] = {
+      val leftOut = left.output
+      val rightOut = right.output
+      val lk = leftKey; val rk = rightKey
+      val lt = leftTime; val rt = rightTime
+      val allOut = output
+      val rightWidth = rightOut.size
+      val keyOrd = TypeUtils.getInterpretedOrdering(leftKey.dataType)
+
+      left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+        val boundLk = BindReferences.bindReference(lk, leftOut)
+        val boundLt = BindReferences.bindReference(lt, leftOut)
+        val boundRk = BindReferences.bindReference(rk, rightOut)
+        val boundRt = BindReferences.bindReference(rt, rightOut)
+        val nullRight = new GenericInternalRow(rightWidth)
+        val joined = new JoinedRow
+        val project = UnsafeProjection.create(allOut, allOut)
+
+        // right cursor (rows copied: shuffle iterators reuse row objects;
+        // null-keyed / null-timed right rows can never match — skipped)
+        var rRow: InternalRow = null
+        var rKey: Any = null
+        var rTime: Long = Long.MinValue
+        def advanceRight(): Unit = {
+          rRow = null
+          while (rRow == null && rIter.hasNext) {
+            val row = rIter.next()
+            val k = boundRk.eval(row)
+            val t = toMicros(boundRt.eval(row))
+            if (k != null && t != Long.MinValue) {
+              rRow = row.copy()
+              rKey = InternalRow.copyValue(k)
+              rTime = t
+            }
+          }
+          if (rRow == null) { rKey = null; rTime = Long.MinValue }
+        }
+        advanceRight()
+
+        var haveKey = false
+        var curKey: Any = null
+        var lastMatch: InternalRow = null
+
+        lIter.map { lrow =>
+          val k = boundLk.eval(lrow)
+          val t = toMicros(boundLt.eval(lrow))
+          val matched: InternalRow =
+            if (k == null || t == Long.MinValue) nullRight
+            else {
+              if (!haveKey || keyOrd.compare(curKey, k) != 0) {
+                curKey = InternalRow.copyValue(k)
+                haveKey = true
+                lastMatch = null
+                while (rRow != null && keyOrd.compare(rKey, curKey) < 0)
+                  advanceRight()
+              }
+              while (rRow != null && keyOrd.compare(rKey, curKey) == 0 &&
+                  rTime <= t) {
+                lastMatch = rRow
+                advanceRight()
+              }
+              if (lastMatch != null) lastMatch else nullRight
+            }
+          project(joined(lrow, matched))
+        }
       }
-      ans
     }
   }
 
@@ -157,9 +301,7 @@ object AsOfJoin {
     */
   def ensureRegistered(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "asof_marker",
-      exprs => AsOfMarker(exprs(0), exprs(1), exprs(2), exprs(3)),
-      "built-in")
+      "asof_marker", exprs => AsOfMarker(exprs), "built-in")
     if (!spark.experimental.extraOptimizations.contains(RewriteAsOfJoin))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ RewriteAsOfJoin
@@ -169,16 +311,19 @@ object AsOfJoin {
   }
 
   /** left-outer as-of join: latest `right` row per key at or before the
-    * left row's time.
+    * left row's time; `rightTieBreak` (compared ascending, greatest wins)
+    * makes equal-time picks deterministic.
     */
   def asofJoin(left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String,
-      leftTime: String, rightTime: String): DataFrame = {
+      leftTime: String, rightTime: String,
+      rightTieBreak: Seq[Column] = Nil): DataFrame = {
     val spark = left.sparkSession
     ensureRegistered(spark)
     left.join(right,
       call_function("asof_marker",
-        left(leftKey), right(rightKey), left(leftTime), right(rightTime)),
+        Seq(left(leftKey), right(rightKey), left(leftTime), right(rightTime))
+          ++ rightTieBreak: _*),
       "left")
   }
 }

@@ -55,13 +55,81 @@ class AsOfJoinSpec extends SparkSpec {
     assert(diffs.isEmpty, s"first diffs: ${diffs.take(5)}")
   }
 
-  test("physical plan contains AsOfJoinExec (strategy fired)") {
+  test("physical plan contains AsOfBroadcastExec (strategy fired)") {
     val e = Tables(spark, "/root/testdata/sf0.001", "events")
       .select(col("event_id"), col("user_id"), col("ts"))
     val o = Tables(spark, "/root/testdata/sf0.001", "orders")
     val plan = AsOfJoin.asofJoin(e, o, "user_id", "o_custkey", "ts", "o_orderdate")
       .queryExecution.sparkPlan.toString // pre-AQE physical plan
     // TreeNode.nodeName strips the Exec suffix
-    assert(plan.startsWith("AsOfJoin"), plan.take(500))
+    assert(plan.startsWith("AsOfBroadcast"), plan.take(500))
+  }
+
+  private def withStrategy[T](mode: String)(body: => T): T = {
+    spark.conf.set(AsOfJoin.StrategyConfKey, mode)
+    try body finally spark.conf.unset(AsOfJoin.StrategyConfKey)
+  }
+
+  test("sort-merge as-of: basic, ties, unmatched (forced via conf)") {
+    withStrategy("sortmerge") {
+      val trades = Seq(
+        (1L, ts("2024-01-01 10:00:05"), "t1"),
+        (1L, ts("2024-01-01 10:00:00"), "t2"),
+        (2L, ts("2024-01-01 09:00:00"), "t3"),
+        (3L, ts("2024-01-01 12:00:00"), "t4"))
+        .toDF("sym", "t_ts", "trade")
+      val quotes = Seq(
+        (1L, ts("2024-01-01 10:00:00"), 100.0),
+        (1L, ts("2024-01-01 10:00:03"), 101.0),
+        (2L, ts("2024-01-01 09:30:00"), 50.0))
+        .toDF("q_sym", "q_ts", "px")
+      val df = AsOfJoin.asofJoin(trades, quotes, "sym", "q_sym", "t_ts", "q_ts")
+      assert(df.queryExecution.sparkPlan.toString.contains("AsOfSortMerge"))
+      val out = df.select(col("trade"), col("px")).collect()
+        .map(r => (r.getString(0), if (r.isNullAt(1)) null else r.getDouble(1)))
+        .toMap
+      assert(out("t1") == 101.0)
+      assert(out("t2") == 100.0)
+      assert(out("t3") == null)
+      assert(out("t4") == null)
+    }
+  }
+
+  test("sort-merge as-of: equal-time ties resolve to greatest tieBreak") {
+    val trades = Seq((1L, ts("2024-01-01 10:00:05"), "t1"))
+      .toDF("sym", "t_ts", "trade")
+    val quotes = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 7L, 100.0),
+      (1L, ts("2024-01-01 10:00:00"), 9L, 101.0),
+      (1L, ts("2024-01-01 10:00:00"), 8L, 102.0))
+      .toDF("q_sym", "q_ts", "q_id", "px")
+    for (mode <- Seq("sortmerge", "broadcast")) withStrategy(mode) {
+      val out = AsOfJoin.asofJoin(trades, quotes, "sym", "q_sym", "t_ts", "q_ts",
+          rightTieBreak = Seq(quotes("q_id")))
+        .select(col("px")).collect()
+      assert(out.length == 1 && out(0).getDouble(0) == 101.0,
+        s"mode=$mode picked ${out.toSeq}")
+    }
+  }
+
+  test("sort-merge as-of equals broadcast as-of on testdata") {
+    val dir = "/root/testdata/sf0.001"
+    val e = Tables(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val o = Tables(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+    def run(mode: String) = withStrategy(mode) {
+      AsOfJoin.asofJoin(e, o, "user_id", "o_custkey", "ts", "o_orderdate",
+          rightTieBreak = Seq(o("o_orderkey")))
+        .select(col("event_id"), col("o_orderkey"))
+        .collect().map(r => (r.getLong(0),
+          if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    }
+    val smj = run("sortmerge")
+    val bcast = run("broadcast")
+    assert(smj.size == bcast.size && smj == bcast,
+      s"first diffs: ${bcast.collect {
+        case (k, v) if smj.getOrElse(k, -2L) != v => (k, v, smj.get(k))
+      }.take(5)}")
   }
 }
