@@ -98,6 +98,27 @@ object Ops {
         f: Seq[org.apache.spark.sql.Row] => Unit): Unit =
       df.toLocalIterator().asScala.grouped(chunkSize).foreach(g => f(g.toSeq))
 
+    /** Driver-side per-row `step` callback with the reference's
+      * `{abort, pause, resume}` parser handle (parser.ts:99-100,
+      * 1137-1201). Iteration is pull-based over toLocalIterator, so
+      * `abort()` stops fetching immediately (unstarted partitions are
+      * never computed), `pause()` returns control to the caller after the
+      * current row, and `resume()` — from the callback or later from the
+      * caller — continues where iteration stopped.
+      */
+    def stepRows(f: (org.apache.spark.sql.Row, Ops.StepHandle) => Unit): Ops.StepResult = {
+      val handle = stepper(f)
+      handle.resume()
+      Ops.StepResult(handle.rowsSeen, handle.isAborted)
+    }
+
+    /** Un-driven form of [[stepRows]]: returns the handle without starting
+      * — the caller owns the drive loop (`resume()`), so a `pause()` from
+      * the callback hands control back to the caller, who resumes later.
+      */
+    def stepper(f: (org.apache.spark.sql.Row, Ops.StepHandle) => Unit): Ops.StepHandle =
+      new Ops.StepHandle(df.toLocalIterator().asScala, f)
+
     /** Drop rows whose every column is null or blank (reference
       * skipRecordsWithEmptyValues / greedy skipEmptyLines,
       * parser.ts:125-129,1304-1316).
@@ -110,6 +131,47 @@ object Ops {
         }
         .reduce(_ || _)
       df.filter(nonEmpty)
+    }
+  }
+
+  /** Outcome of a [[GraftDataFrame.stepRows]] drive: rows delivered to the
+    * callback and whether the handle aborted (reference meta.aborted).
+    */
+  final case class StepResult(rowsSeen: Long, aborted: Boolean)
+
+  /** The reference's ParserHandle (parser.ts:47-56): abort stops the
+    * drive; pause stops it resumably; resume continues it — callable from
+    * inside the step callback or from the caller afterwards.
+    */
+  final class StepHandle private[operators] (
+      it: Iterator[org.apache.spark.sql.Row],
+      cb: (org.apache.spark.sql.Row, StepHandle) => Unit) {
+    private var aborted = false
+    private var paused = false
+    private var running = false
+    private var seen = 0L
+
+    def abort(): Unit = aborted = true
+    def pause(): Unit = paused = true
+    def isAborted: Boolean = aborted
+    def isPaused: Boolean = paused
+    def rowsSeen: Long = seen
+
+    /** Drive (or continue driving) the iterator. Re-entrant-safe: calling
+      * resume() from within the callback just clears the pause flag — the
+      * outer loop keeps going; no nested drive starts.
+      */
+    def resume(): Unit = {
+      paused = false
+      if (running) return
+      running = true
+      try {
+        while (!aborted && !paused && it.hasNext) {
+          val row = it.next()
+          seen += 1
+          cb(row, this)
+        }
+      } finally running = false
     }
   }
 }

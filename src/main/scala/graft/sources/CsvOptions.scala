@@ -5,8 +5,11 @@ package graft.sources
   * the Spark lowering is in [[CsvReader]].
   */
 final case class CsvOptions(
-    /** None → auto-detect over `,` `\t` `|` `;` (reference detect.zig). */
+    /** None → auto-detect over [[delimitersToGuess]] (reference detect.zig). */
     delimiter: Option[String] = Some(","),
+    /** candidate delimiters for auto-detection (reference
+      * `delimitersToGuess`, parser.ts:62-63). */
+    delimitersToGuess: Seq[Char] = Seq(',', '\t', '|', ';'),
     quote: String = "\"",
     /** escape char; None → same as quote (RFC-4180 doubled quotes) —
       * reference parser.ts:287-293. */
@@ -22,6 +25,15 @@ final case class CsvOptions(
     /** per-column opt-in form (reference record/predicate variants,
       * row.ts:423-436): None → all columns when dynamicTyping is set. */
     dynamicTypingCols: Option[Set[String]] = None,
+    /** predicate form of dynamicTyping (reference
+      * `typeof this.dynamicTyping === "function"`, row.ts:423-436):
+      * decides per header name; takes precedence over dynamicTypingCols. */
+    dynamicTypingPred: Option[String => Boolean] = None,
+    /** per-column cast hook applied AFTER dynamicTyping (reference
+      * CastConfig record form, row.ts:59-70) — Column-transform per
+      * header, codegen-friendly (no UDF). */
+    castFns: Map[String, org.apache.spark.sql.Column => org.apache.spark.sql.Column] =
+      Map.empty,
     comments: Option[String] = None,
     /** stop after N data rows, header excluded (parser.zig:345-353). */
     preview: Int = 0,
@@ -71,6 +83,7 @@ object CsvErrorCodes {
   val UndetectableDelimiter = "UndetectableDelimiter"
   val InvalidQuotes = "InvalidQuotes"
   val DuplicateHeader = "DuplicateHeader"
+  val InvalidOption = "InvalidOption"
 }
 
 /** Driver-side single-record RFC-4180 parsing + delimiter/encoding
@@ -135,8 +148,8 @@ object CsvLineParser {
     * row-consistency over up to 10 sample rows (reference
     * src/zig/detect.zig:32-144 scoring shape).
     */
-  def detectDelimiter(sample: Seq[String], quote: Char = '"'): Option[Char] = {
-    val candidates = Seq(',', '\t', '|', ';')
+  def detectDelimiter(sample: Seq[String], quote: Char = '"',
+      candidates: Seq[Char] = Seq(',', '\t', '|', ';')): Option[Char] = {
     val rows = sample.filter(_.nonEmpty).take(10)
     if (rows.isEmpty) return None
     val scored = candidates.map { c =>
@@ -150,6 +163,14 @@ object CsvLineParser {
     val (best, bestScore) = scored.maxBy(_._2)
     if (bestScore > 0.0) Some(best) else None
   }
+
+  /** Detect the linebreak of a text sample (reference meta.linebreak,
+    * parser.ts:222-230): first of CRLF / CR / LF found; LF default.
+    */
+  def detectLinebreak(sample: String): String =
+    if (sample.contains("\r\n")) "\r\n"
+    else if (sample.contains("\r")) "\r"
+    else "\n"
 
   /** Duplicate-header rename: name, name_1, name_2… (parser.ts:530-552). */
   def dedupeHeaders(names: Seq[String]): Seq[String] = {

@@ -32,10 +32,26 @@ import org.apache.spark.sql.types._
   */
 object CsvReader {
 
-  /** A scan result: the data frame, a lazily-computed error frame
-    * (errType, code, message, row), and the resolved header names.
+  /** Parse metadata (reference ParseMeta / CSVMeta, parser.ts:39-45,
+    * 222-230): the delimiter actually used (detected or given), the
+    * linebreak found in the data, whether a preview/toLine limit may have
+    * truncated output, and the resolved header fields. `aborted` is false
+    * for batch scans — the step API ([[graft.operators.Ops]] `stepRows`)
+    * reports aborted consumption in its own result.
     */
-  final case class CsvScan(df: DataFrame, errors: DataFrame, headers: Seq[String])
+  final case class CsvMeta(
+      delimiter: String = ",",
+      linebreak: String = "\n",
+      aborted: Boolean = false,
+      truncated: Boolean = false,
+      fields: Seq[String] = Nil)
+
+  /** A scan result: the data frame, a lazily-computed error frame
+    * (errType, code, message, row), the resolved header names, and the
+    * parse metadata.
+    */
+  final case class CsvScan(df: DataFrame, errors: DataFrame,
+      headers: Seq[String], meta: CsvMeta = CsvMeta())
 
   private val Corrupt = "_corrupt_record"
   private val LineNo = "__lineno"
@@ -50,12 +66,37 @@ object CsvReader {
     // the reference's windows-1252 heuristic needs the full Java set
     opts.encoding.foreach(_ =>
       spark.conf.set("spark.sql.legacy.javaCharsets", "true"))
-    val needsLinePath = opts.skipFirstNLines > 0 || opts.fromLine > 0 ||
-      opts.toLine > 0 || opts.maxRecordSize > 0 || opts.fastMode ||
-      opts.relaxColumnCountMore || opts.skipRecordsWithError
-    if (opts.multiLine || (!needsLinePath)) filePath(spark, path, opts)
-    else linePath(spark, readLines(spark, path, opts), opts)
+    val linePathOpts = Seq(
+      "skipFirstNLines" -> (opts.skipFirstNLines > 0),
+      "fromLine" -> (opts.fromLine > 0),
+      "toLine" -> (opts.toLine > 0),
+      "maxRecordSize" -> (opts.maxRecordSize > 0),
+      "fastMode" -> opts.fastMode,
+      "relaxColumnCountMore" -> opts.relaxColumnCountMore,
+      "skipRecordsWithError" -> opts.skipRecordsWithError)
+      .collect { case (name, true) => name }
+    if (opts.multiLine && linePathOpts.nonEmpty)
+      // these options count PHYSICAL lines; records with quoted newlines
+      // make line numbers ambiguous — error loudly instead of silently
+      // ignoring them (they used to fall through to the file path)
+      throw new IllegalArgumentException(
+        s"${CsvErrorCodes.InvalidOption}: multiLine=true cannot be combined " +
+          s"with line-oriented option(s) ${linePathOpts.mkString(", ")}")
+    if (opts.multiLine || linePathOpts.isEmpty) filePath(spark, path, opts)
+    else linePath(spark, readLines(spark, path, opts), opts,
+      detectFileLinebreak(stripScheme(path)))
   }
+
+  /** linebreak of a local file's first 8 KB; "\n" when unreadable
+    * (non-local scheme). Driver-side, detection-sample-sized.
+    */
+  private def detectFileLinebreak(path: String): String =
+    try {
+      val in = new java.io.FileInputStream(path)
+      val bytes = try in.readNBytes(8192) finally in.close()
+      CsvLineParser.detectLinebreak(
+        new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1))
+    } catch { case _: java.io.IOException => "\n" }
 
   private def stripScheme(path: String): String =
     if (path.startsWith("file:")) path.stripPrefix("file:") else path
@@ -101,19 +142,57 @@ object CsvReader {
       case init :+ "" => init // trailing newline
       case all        => all
     }
-    linePath(spark, lines.toDF("line"), opts)
+    linePath(spark, lines.toDF("line"), opts,
+      CsvLineParser.detectLinebreak(content.take(8192)))
   }
 
   // ------------------------------------------------------------- helpers
 
-  private def resolveDelimiter(sampleLines: Seq[String], opts: CsvOptions): String =
+  /** (delimiter, detectionFailed): detection failure falls back to comma
+    * AND reports an UndetectableDelimiter error row (PapaParse contract).
+    */
+  private def resolveDelimiter(
+      sampleLines: Seq[String], opts: CsvOptions): (String, Boolean) =
     opts.delimiter match {
-      case Some(d) => d
+      case Some(d) => (d, false)
       case None =>
-        CsvLineParser.detectDelimiter(sampleLines, opts.quote.head)
-          .map(_.toString)
-          .getOrElse(",") // reference falls back to comma
+        CsvLineParser
+          .detectDelimiter(sampleLines, opts.quote.head, opts.delimitersToGuess)
+          .map(c => (c.toString, false))
+          .getOrElse((",", true)) // reference falls back to comma
     }
+
+  /** Rows whose quoting is malformed: an ODD number of quote chars on the
+    * raw line means an unclosed/invalid quote (sound for single-line
+    * records — the only place this is emitted; escaped quotes are doubled
+    * so they keep the count even). errType Quotes / code InvalidQuotes
+    * per reference errors.ts:6-22.
+    */
+  private def invalidQuoteErrors(
+      lines: DataFrame, quote: String, lineNo: Option[String]): DataFrame = {
+    val cnt = length(col("line")) -
+      length(regexp_replace(col("line"),
+        java.util.regex.Pattern.quote(quote), ""))
+    lines.filter(cnt % 2 === 1)
+      .select(lit("Quotes").as("errType"),
+        lit(CsvErrorCodes.InvalidQuotes).as("code"),
+        lit("unclosed or invalid quotes").as("message"),
+        lineNo.map(col(_).as("row"))
+          .getOrElse(lit(null).cast(LongType).as("row")))
+  }
+
+  /** Single driver-side UndetectableDelimiter error row (or empty). */
+  private def delimiterErrors(
+      spark: SparkSession, undetectable: Boolean): DataFrame = {
+    import spark.implicits._
+    if (undetectable)
+      Seq(("Delimiter", CsvErrorCodes.UndetectableDelimiter,
+        "unable to auto-detect delimiting character; defaulted to ','",
+        Option.empty[Long]))
+        .toDF("errType", "code", "message", "row")
+    else spark.emptyDataset[(String, String, String, Long)]
+      .toDF("errType", "code", "message", "row")
+  }
 
   private def resolveHeaders(
       firstLine: Option[String], sep: String, opts: CsvOptions): Seq[String] = {
@@ -170,7 +249,7 @@ object CsvReader {
     import spark.implicits._
     // tiny driver-side sample for detection + header resolution
     val sample = spark.read.textFile(path).limit(11).collect().toSeq
-    val sep = resolveDelimiter(sample, opts)
+    val (sep, undetectable) = resolveDelimiter(sample, opts)
     val headers = resolveHeaders(sample.headOption, sep, opts)
     val schema = StructType(
       headers.map(h => StructField(h, StringType, nullable = true)) :+
@@ -188,29 +267,45 @@ object CsvReader {
     // corrupt column off a CSV read). Field-count mismatch needs no parse —
     // just the quote-aware count on each raw line. Lazy: costs a second
     // file scan only if the caller materializes `errors`.
-    var errLines = spark.read.textFile(path).toDF("line")
-    opts.comments.foreach(c => errLines = errLines.filter(!col("line").startsWith(c)))
-    errLines = errLines.filter(col("line") =!= "")
-    val errorsDf = errLines
-      .select(fieldCountExpr(col("line"), sep, opts.quote).as("__fc"))
-      .filter(col("__fc") =!= n)
-      .filter(if (opts.relaxColumnCountLess) col("__fc") > n else lit(true))
-      .filter(if (opts.relaxColumnCountMore) col("__fc") < n else lit(true))
-      .select(lit("FieldMismatch").as("errType"),
-        when(col("__fc") < n, CsvErrorCodes.TooFewFields)
-          .otherwise(CsvErrorCodes.TooManyFields).as("code"),
-        concat(lit("expected "), lit(n), lit(" fields, got "), col("__fc"))
-          .as("message"),
-        lit(null).cast(LongType).as("row"))
+    // SUPPRESSED under multiLine: a quoted-newline record spans several
+    // raw lines, so per-line field counts would emit spurious
+    // FieldMismatch errors (the old behavior this replaces).
+    val errorsDf =
+      if (opts.multiLine) delimiterErrors(spark, undetectable)
+      else {
+        var errLines = spark.read.textFile(path).toDF("line")
+        opts.comments.foreach(c =>
+          errLines = errLines.filter(!col("line").startsWith(c)))
+        errLines = errLines.filter(col("line") =!= "")
+        val mismatch = errLines
+          .select(fieldCountExpr(col("line"), sep, opts.quote).as("__fc"))
+          .filter(col("__fc") =!= n)
+          .filter(if (opts.relaxColumnCountLess) col("__fc") > n else lit(true))
+          .filter(if (opts.relaxColumnCountMore) col("__fc") < n else lit(true))
+          .select(lit("FieldMismatch").as("errType"),
+            when(col("__fc") < n, CsvErrorCodes.TooFewFields)
+              .otherwise(CsvErrorCodes.TooManyFields).as("code"),
+            concat(lit("expected "), lit(n), lit(" fields, got "), col("__fc"))
+              .as("message"),
+            lit(null).cast(LongType).as("row"))
+        delimiterErrors(spark, undetectable)
+          .union(invalidQuoteErrors(errLines, opts.quote, lineNo = None))
+          .union(mismatch)
+      }
     // (skipRecordsWithError routes to the line path — a corrupt-only filter
     // here would hit QUERY_ONLY_CORRUPT_RECORD_COLUMN after pruning.)
     val parsed = if (opts.preview > 0) parsed0.limit(opts.preview) else parsed0
-    finish(parsed, headers, sep, opts, lineNo = None).copy(errors = errorsDf)
+    val meta = CsvMeta(delimiter = sep,
+      linebreak = detectFileLinebreak(stripScheme(path)),
+      truncated = opts.preview > 0, fields = headers)
+    finish(parsed, headers, sep, opts, lineNo = None, meta)
+      .copy(errors = errorsDf)
   }
 
   // ----------------------------------------------------------- LINE path
 
-  private def linePath(spark: SparkSession, linesDf: DataFrame, opts: CsvOptions): CsvScan = {
+  private def linePath(spark: SparkSession, linesDf: DataFrame, opts: CsvOptions,
+      linebreak: String = "\n"): CsvScan = {
     import spark.implicits._
     // contiguous global line index (narrow; no shuffle)
     val schema0 = linesDf.schema.add(LineNo, LongType, nullable = false)
@@ -222,7 +317,7 @@ object CsvReader {
 
     val sampleRows = afterSkip.orderBy(col(LineNo)).limit(11)
       .collect().map(_.getString(0)).toSeq
-    val sep = resolveDelimiter(sampleRows, opts)
+    val (sep, undetectable) = resolveDelimiter(sampleRows, opts)
     val headers = resolveHeaders(sampleRows.headOption, sep, opts)
     val headerLineNo = opts.skipFirstNLines.toLong
 
@@ -329,15 +424,22 @@ object CsvReader {
       (if (opts.relaxColumnCountMore) Seq(col("__parsed_extra")) else Nil) ++
       Seq(col(LineNo))
     val result = withExtra.filter(keepPred).select(outCols: _*)
-    val errors = sizeErrors.union(mismatchErrors)
-    finish(result, headers, sep, opts, lineNo = Some(LineNo))
+    val errors = delimiterErrors(spark, undetectable)
+      .union(invalidQuoteErrors(data.select(col("line"), col(LineNo)),
+        opts.quote, lineNo = Some(LineNo)))
+      .union(sizeErrors)
+      .union(mismatchErrors)
+    val meta = CsvMeta(delimiter = sep, linebreak = linebreak,
+      truncated = opts.preview > 0 || opts.toLine > 0, fields = headers)
+    finish(result, headers, sep, opts, lineNo = Some(LineNo), meta)
       .copy(errors = errors)
   }
 
   // -------------------------------------------------------- post-process
 
   private def finish(parsed: DataFrame, headers: Seq[String], sep: String,
-      opts: CsvOptions, lineNo: Option[String]): CsvScan = {
+      opts: CsvOptions, lineNo: Option[String],
+      meta: CsvMeta = CsvMeta()): CsvScan = {
     val spark = parsed.sparkSession
     import spark.implicits._
     var df = parsed
@@ -350,13 +452,21 @@ object CsvReader {
       else col(s"`$c`")
     }: _*)
     if (opts.dynamicTyping) {
-      val targets = opts.dynamicTypingCols
-        .map(sel => headers.filter(sel.contains)).getOrElse(headers)
+      // predicate form wins over the Set form (reference row.ts:423-436)
+      val targets = opts.dynamicTypingPred
+        .map(p => headers.filter(p))
+        .orElse(opts.dynamicTypingCols.map(sel => headers.filter(sel.contains)))
+        .getOrElse(headers)
       if (targets.nonEmpty) df = inferTypes(df, targets)
+    }
+    // per-column cast hooks run AFTER dynamicTyping (the reference applies
+    // castFn to the already-dynamically-typed value, row.ts:59-70)
+    opts.castFns.foreach { case (h, f) =>
+      if (df.columns.contains(h)) df = df.withColumn(h, f(col(s"`$h`")))
     }
     val errors = spark.emptyDataset[(String, String, String, Long)]
       .toDF("errType", "code", "message", "row")
-    CsvScan(df, errors, headers)
+    CsvScan(df, errors, headers, meta)
   }
 
   /** dynamicTyping: per-column inference with the reference's value rules

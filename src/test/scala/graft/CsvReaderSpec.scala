@@ -185,4 +185,133 @@ class CsvReaderSpec extends SparkSpec {
     val f = CsvLineParser.parseLine("\"say \"\"hello, world\"\"\",x", ',', '"')
     assert(f.toSeq == Seq("say \"hello, world\"", "x"))
   }
+
+  // ------------------------------------------- multiLine option conflicts
+
+  test("multiLine + line-oriented option errors loudly") {
+    val p = writeTmp("ml.csv", "a,b\n1,\"x\ny\"\n")
+    val e = intercept[IllegalArgumentException] {
+      CsvReader.read(spark, p, CsvOptions(multiLine = true, skipFirstNLines = 1))
+    }
+    assert(e.getMessage.contains("multiLine") &&
+      e.getMessage.contains("skipFirstNLines"))
+  }
+
+  test("multiLine quoted-newline record parses with NO spurious errors") {
+    val p = writeTmp("ml2.csv", "a,b\n1,\"two\nlines\"\n2,plain\n")
+    val scan = CsvReader.read(spark, p, CsvOptions(multiLine = true))
+    assert(rows(scan).toSet == Set(Seq("1", "two\nlines"), Seq("2", "plain")))
+    // the raw-line field-count scan used to emit FieldMismatch for the
+    // continuation lines of the quoted record
+    assert(scan.errors.count() == 0)
+  }
+
+  // --------------------------------------------------------- meta surface
+
+  test("meta reports detected delimiter, linebreak, truncated, fields") {
+    val p = writeTmp("meta.csv", "a;b\r\n1;2\r\n3;4\r\n5;6\r\n")
+    val scan = CsvReader.read(spark, p,
+      CsvOptions(delimiter = None, preview = 2))
+    assert(scan.meta.delimiter == ";")
+    assert(scan.meta.linebreak == "\r\n")
+    assert(scan.meta.truncated)
+    assert(!scan.meta.aborted)
+    assert(scan.meta.fields == Seq("a", "b"))
+    assert(scan.df.count() == 2)
+    val full = CsvReader.read(spark, p, CsvOptions(delimiter = None))
+    assert(!full.meta.truncated)
+  }
+
+  test("delimitersToGuess extends the detection candidates") {
+    val p = writeTmp("colon.csv", "a:b\n1:2\n3:4\n")
+    val scan = CsvReader.read(spark, p, CsvOptions(delimiter = None,
+      delimitersToGuess = Seq(',', ':')))
+    assert(scan.meta.delimiter == ":")
+    assert(scan.headers == Seq("a", "b"))
+    assert(rows(scan).toSet == Set(Seq("1", "2"), Seq("3", "4")))
+  }
+
+  // ------------------------------------------------------- error emission
+
+  test("undetectable delimiter falls back to comma and reports the error") {
+    val p = writeTmp("onecol.csv", "word\nalpha\nbeta\n")
+    val scan = CsvReader.read(spark, p, CsvOptions(delimiter = None))
+    assert(scan.meta.delimiter == ",")
+    val errs = scan.errors.collect().map(r => (r.getString(0), r.getString(1)))
+    assert(errs.contains(("Delimiter", "UndetectableDelimiter")))
+    assert(scan.df.count() == 2) // still parses as single column
+  }
+
+  test("odd quote count emits InvalidQuotes (file and line paths)") {
+    val content = "a,b\n1,\"ok\"\n2,\"bad\n"
+    val p = writeTmp("badq.csv", content)
+    val fileScan = CsvReader.read(spark, p)
+    val fileErrs = fileScan.errors.collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(fileErrs.contains(("Quotes", "InvalidQuotes")), fileErrs.toSeq)
+    val lineScan = CsvReader.read(spark, p, CsvOptions(maxRecordSize = 1000))
+    val lineErrs = lineScan.errors.collect()
+      .filter(_.getString(1) == "InvalidQuotes")
+    assert(lineErrs.length == 1 && lineErrs(0).getLong(3) == 2L) // line index
+  }
+
+  // ------------------------------------- castFns + dynamicTyping ordering
+
+  test("castFns run per-column AFTER dynamicTyping") {
+    import org.apache.spark.sql.functions._
+    val p = writeTmp("cast.csv", "x,y\n10,foo\n20,bar\n")
+    val scan = CsvReader.read(spark, p, CsvOptions(
+      dynamicTyping = true,
+      castFns = Map(
+        // doubles x: only typed math if dynamicTyping already ran
+        "x" -> (c => c * 2),
+        "y" -> (c => upper(c)))))
+    assert(scan.df.schema("x").dataType.typeName == "double")
+    val got = scan.df.collect().map(r => (r.getDouble(0), r.getString(1))).toSet
+    assert(got == Set((20.0, "FOO"), (40.0, "BAR")))
+  }
+
+  test("dynamicTypingPred selects columns by predicate (wins over Set form)") {
+    val p = writeTmp("dtp.csv", "x,y\n1,2\n3,4\n")
+    val scan = CsvReader.read(spark, p, CsvOptions(
+      dynamicTyping = true,
+      dynamicTypingCols = Some(Set("x", "y")),
+      dynamicTypingPred = Some(_ == "x")))
+    assert(scan.df.schema("x").dataType.typeName == "double")
+    assert(scan.df.schema("y").dataType.typeName == "string")
+  }
+
+  // ----------------------------------------------------- step/abort hooks
+
+  test("stepRows abort stops the drive; pause/resume continues it") {
+    import graft.operators.Ops._
+    import spark.implicits._
+    val df = (1 to 100).toDF("v").coalesce(1)
+    var seen = 0
+    val res = df.stepRows { (_, h) =>
+      seen += 1
+      if (seen == 3) h.abort()
+    }
+    assert(res.aborted && res.rowsSeen == 3 && seen == 3)
+
+    // pause inside the callback, resume from the callback (re-entrant)
+    var n2 = 0
+    val res2 = df.stepRows { (_, h) =>
+      n2 += 1
+      if (n2 == 5) { h.pause(); h.resume() } // sync resume keeps going
+    }
+    assert(!res2.aborted && res2.rowsSeen == 100 && n2 == 100)
+  }
+
+  test("stepRows pause returns control; caller-side resume finishes") {
+    import graft.operators.Ops._
+    import spark.implicits._
+    val df = (1 to 10).toDF("v").coalesce(1)
+    var n = 0
+    val handle = df.stepper((_, h) => { n += 1; if (n == 4) h.pause() })
+    handle.resume()
+    assert(handle.isPaused && n == 4 && !handle.isAborted)
+    handle.resume()
+    assert(n == 10 && handle.rowsSeen == 10)
+  }
 }
