@@ -45,13 +45,17 @@ object FilterLang {
       }
     case CmpRe(c, op, rawV) =>
       val v = unquote(rawV)
-      val numeric = isNumeric(v)
-      // Reference filter.ts:63-88: ordering compares parseFloat(col) to the
-      // numeric literal; equality compares string forms.
-      // When the schema says the column is ALREADY numeric, compare
-      // directly — the predicate stays pushdown-eligible (parquet min/max
-      // pruning); the parseFloat guard is only for string-typed data, where
-      // a bare ANSI cast would throw on malformed values.
+      // Reference filter.ts:30-43: `==`/`=`/`!=` ALWAYS compare string forms
+      // (`row[col] === val`) — even when the literal looks numeric — and
+      // `!=` keeps rows whose cell is missing (JS `undefined !== val` is
+      // true). Ordering ops (filter.ts:46-88) parse both sides as floats and
+      // drop NaN rows.
+      // When the schema says the column is ALREADY numeric (a typed frame —
+      // a regime the string-cell reference never sees), compare natively so
+      // the predicate stays pushdown-eligible (parquet min/max pruning) and
+      // `!=` keeps standard SQL null semantics; the parseFloat guard is only
+      // for string-typed data, where a bare ANSI cast would throw on
+      // malformed values.
       val colIsNumeric = schema.exists(_.fields.exists(f =>
         f.name == c && f.dataType.isInstanceOf[NumericType]))
       def lhs: Column =
@@ -60,9 +64,11 @@ object FilterLang {
       def rhsNum: Column = lit(v.toDouble)
       op match {
         case "==" | "=" =>
-          if (numeric) lhs === rhsNum else col(c).cast("string") === lit(v)
+          if (colIsNumeric && isNumeric(v)) col(c).cast("double") === rhsNum
+          else col(c).cast("string") === lit(v)
         case "!=" =>
-          if (numeric) lhs =!= rhsNum else col(c).cast("string") =!= lit(v)
+          if (colIsNumeric && isNumeric(v)) col(c).cast("double") =!= rhsNum
+          else col(c).isNull || col(c).cast("string") =!= lit(v)
         case ">"  => lhs > rhsNum
         case ">=" => lhs >= rhsNum
         case "<"  => lhs < rhsNum

@@ -40,7 +40,11 @@ final case class WritableFrame(
   def discardChanges: WritableFrame =
     copy(cellEdits = Vector.empty, inserts = Vector.empty, deletes = Set.empty)
 
-  /** Edit-aware cell read (reference getCell). */
+  /** Edit-aware cell read (reference getCell, parser.ts:876-890). Edits are
+    * consulted BEFORE the delete set — deliberately: the reference returns a
+    * pending edit even on a deleted row (deleteRow never clears the edit
+    * log, writer.ts:236-245), and only then reports deleted rows as null.
+    */
   def getCell(row: Long, column: String): Option[String] = {
     cellEdits.reverse.collectFirst {
       case (r, c, v) if r == row && c == column => Some(v)

@@ -64,7 +64,20 @@ final case class CsvOptions(
     encoding: Option[String] = None,
     detectEncoding: Boolean = false,
     /** no quote machinery, naive split (parser.ts:1332-1475). */
-    fastMode: Boolean = false) {
+    fastMode: Boolean = false,
+    /** raw-content pre-pass before parsing (reference beforeFirstChunk,
+      * parser.ts:209,350-415): receives the WHOLE input as one string and
+      * may return replacement content (None → unchanged). Driver-side by
+      * contract — the reference likewise buffers the full input to run this
+      * hook; at scale prefer a distributed transform after the scan. */
+    beforeFirstChunk: Option[String => Option[String]] = None,
+    /** per-record transform/drop hook (reference onRecord, parser.ts:216):
+      * (fields, index, columns) → Some(replacement fields) | None to skip
+      * the record. Runs DISTRIBUTED over the string frame before
+      * dynamicTyping (the reference applies it to raw string records);
+      * the function must be serializable. */
+    onRecord: Option[(Seq[String], Long, Seq[String]) => Option[Seq[String]]] =
+      None) {
   def relaxBoth: CsvOptions =
     copy(relaxColumnCountLess = true, relaxColumnCountMore = true)
 }

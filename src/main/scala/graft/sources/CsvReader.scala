@@ -57,6 +57,10 @@ object CsvReader {
   private val LineNo = "__lineno"
 
   def read(spark: SparkSession, path: String, opts0: CsvOptions = CsvOptions()): CsvScan = {
+    // beforeFirstChunk re-inits from the (possibly modified) buffer, exactly
+    // like the reference (parser.ts:350-360): whole content in, re-parse.
+    if (opts0.beforeFirstChunk.isDefined)
+      return readWithPrePass(spark, path, opts0)
     val opts =
       if (opts0.detectEncoding && opts0.encoding.isEmpty)
         opts0.copy(encoding =
@@ -85,6 +89,33 @@ object CsvReader {
     if (opts.multiLine || linePathOpts.isEmpty) filePath(spark, path, opts)
     else linePath(spark, readLines(spark, path, opts), opts,
       detectFileLinebreak(stripScheme(path)))
+  }
+
+  /** beforeFirstChunk file lowering (reference parser.ts:350-360): read the
+    * whole content (honoring encoding detection), run the hook, re-init
+    * from the resulting buffer. Driver-side by the reference's own
+    * contract — it buffers the full input to run this hook.
+    */
+  private def readWithPrePass(
+      spark: SparkSession, path: String, opts0: CsvOptions): CsvScan = {
+    val f = opts0.beforeFirstChunk.get
+    val p = stripScheme(path)
+    val enc = opts0.encoding.getOrElse(
+      if (opts0.detectEncoding) CsvLineParser.detectFileEncoding(p) else "UTF-8")
+    val raw = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)),
+      java.nio.charset.Charset.forName(enc)).stripPrefix("\uFEFF")
+    val content = f(raw).getOrElse(raw)
+    val rest = opts0.copy(beforeFirstChunk = None,
+      encoding = None, detectEncoding = false)
+    if (opts0.multiLine) {
+      // quoted newlines need the file-scan parser — round-trip via a temp
+      // file so the modified buffer goes through the multiLine path
+      val tmp = java.nio.file.Files.createTempFile("graft-bfc", ".csv")
+      java.nio.file.Files.write(tmp,
+        content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      read(spark, tmp.toString, rest)
+    } else readString(spark, content, rest)
   }
 
   /** linebreak of a local file's first 8 KB; "\n" when unreadable
@@ -136,8 +167,12 @@ object CsvReader {
   }
 
   /** buffer scan — parse CSV held in a string (reference buffer init). */
-  def readString(spark: SparkSession, content: String, opts: CsvOptions = CsvOptions()): CsvScan = {
+  def readString(spark: SparkSession, content0: String, opts0: CsvOptions = CsvOptions()): CsvScan = {
     import spark.implicits._
+    // buffer-input beforeFirstChunk (reference parser.ts:405-411)
+    val content = opts0.beforeFirstChunk
+      .map(f => f(content0).getOrElse(content0)).getOrElse(content0)
+    val opts = opts0.copy(beforeFirstChunk = None)
     val lines = content.split("\r\n|\r|\n", -1).toSeq match {
       case init :+ "" => init // trailing newline
       case all        => all
@@ -247,8 +282,12 @@ object CsvReader {
 
   private def filePath(spark: SparkSession, path: String, opts: CsvOptions): CsvScan = {
     import spark.implicits._
-    // tiny driver-side sample for detection + header resolution
-    val sample = spark.read.textFile(path).limit(11).collect().toSeq
+    // tiny driver-side sample for detection + header resolution — comment
+    // and empty lines are invisible to the parser (parser.zig:324-338), so
+    // they can't become the header
+    val sample = spark.read.textFile(path).limit(100).collect().toSeq
+      .filterNot(l => l.isEmpty || opts.comments.exists(l.startsWith))
+      .take(11)
     val (sep, undetectable) = resolveDelimiter(sample, opts)
     val headers = resolveHeaders(sample.headOption, sep, opts)
     val schema = StructType(
@@ -315,19 +354,27 @@ object CsvReader {
       schema0)
     val afterSkip = indexed.filter(col(LineNo) >= opts.skipFirstNLines)
 
-    val sampleRows = afterSkip.orderBy(col(LineNo)).limit(11)
-      .collect().map(_.getString(0)).toSeq
+    // comment + empty rows vanish BEFORE the header is resolved: the zig
+    // parser skips both during record emission (parser.zig:324-338), so
+    // the header is the first SURVIVING record — a leading `# comment`
+    // line is not a header.
+    var visible = afterSkip
+    opts.comments.foreach(c => visible = visible.filter(!col("line").startsWith(c)))
+    visible = opts.skipEmptyLines match {
+      case "greedy" => visible.filter(trim(col("line")) =!= "")
+      case "false"  => visible
+      case _        => visible.filter(col("line") =!= "")
+    }
+
+    val sampleHead = visible.orderBy(col(LineNo)).limit(11).collect()
+    val sampleRows = sampleHead.map(_.getString(0)).toSeq
     val (sep, undetectable) = resolveDelimiter(sampleRows, opts)
     val headers = resolveHeaders(sampleRows.headOption, sep, opts)
-    val headerLineNo = opts.skipFirstNLines.toLong
+    val headerLineNo = sampleHead.headOption.map(_.getLong(1))
+      .getOrElse(opts.skipFirstNLines.toLong)
 
-    var data = if (opts.header) afterSkip.filter(col(LineNo) > headerLineNo) else afterSkip
-    opts.comments.foreach(c => data = data.filter(!col("line").startsWith(c)))
-    data = opts.skipEmptyLines match {
-      case "greedy" => data.filter(trim(col("line")) =!= "")
-      case "false"  => data
-      case _        => data.filter(col("line") =!= "")
-    }
+    var data =
+      if (opts.header) visible.filter(col(LineNo) > headerLineNo) else visible
 
     // maxRecordSize errors before parsing (RecordSize, parser.ts:1519-1537)
     val sizeErrors =
@@ -451,6 +498,28 @@ object CsvReader {
         when(col(s"`$c`") === "\u0000", lit("")).otherwise(col(s"`$c`")).as(c)
       else col(s"`$c`")
     }: _*)
+    // onRecord hook: per-record transform/drop on the RAW string record
+    // (reference parser.ts:216 + row assembly — runs before dynamic
+    // typing). Distributed flatMap; zipWithIndex supplies the reference's
+    // 0-based context.index without a shuffle.
+    opts.onRecord.foreach { fn =>
+      val hdrs = headers
+      val n = hdrs.length
+      val allCols = df.columns.toSeq
+      val hdrIdx = allCols.map(c => hdrs.indexOf(c)) // -1 for passthroughs
+      val hdrPos = hdrs.map(allCols.indexOf)         // header → row ordinal
+      val schema = df.schema
+      val rdd = df.rdd.zipWithIndex.flatMap { case (r, i) =>
+        val rec = hdrPos.map(p => r.getString(p))
+        fn(rec, i, hdrs).map { out =>
+          val padded = out.padTo(n, null: String).take(n)
+          org.apache.spark.sql.Row.fromSeq(allCols.indices.map { k =>
+            if (hdrIdx(k) >= 0) padded(hdrIdx(k)) else r.get(k)
+          })
+        }
+      }
+      df = spark.createDataFrame(rdd, schema)
+    }
     if (opts.dynamicTyping) {
       // predicate form wins over the Set form (reference row.ts:423-436)
       val targets = opts.dynamicTypingPred

@@ -314,4 +314,66 @@ class CsvReaderSpec extends SparkSpec {
     handle.resume()
     assert(n == 10 && handle.rowsSeen == 10)
   }
+
+  test("beforeFirstChunk can modify content; None keeps it unchanged") {
+    // reference phase4-features.test.ts:177-213
+    val p = writeTmp("bfc.csv",
+      "# metadata line\nname,age\nAlice,30\nBob,25\n")
+    val stripped = CsvReader.read(spark, p, CsvOptions(beforeFirstChunk =
+      Some(c => Some(c.linesIterator.filterNot(_.startsWith("#")).mkString("\n")))))
+    assert(stripped.headers == Seq("name", "age"))
+    assert(rows(stripped).map(_.head).toSet == Set("Alice", "Bob"))
+    var seen = ""
+    val unchanged = CsvReader.read(spark, p, CsvOptions(
+      comments = Some("#"),
+      beforeFirstChunk = Some { c => seen = c; None })) // void → unchanged
+    assert(seen.contains("name,age") && seen.contains("Alice,30"))
+    assert(rows(unchanged).size == 2)
+    // file path: a leading comment line is not a header either
+    val direct = CsvReader.read(spark, p, CsvOptions(comments = Some("#")))
+    assert(direct.headers == Seq("name", "age"))
+    assert(rows(direct).map(_.head).toSet == Set("Alice", "Bob"))
+  }
+
+  test("beforeFirstChunk can inject rows; works on buffer input") {
+    // reference phase4-features.test.ts:232-249 (inject) + parser.ts:405-411
+    val p = writeTmp("bfc2.csv", "name,age\nAlice,30\n")
+    val injected = CsvReader.read(spark, p, CsvOptions(beforeFirstChunk =
+      Some(c => Some(c.stripLineEnd + "\nEve,40\n"))))
+    assert(rows(injected).map(_.head).toSet == Set("Alice", "Eve"))
+    val buf = CsvReader.readString(spark, "a,b\n1,2\n", CsvOptions(
+      beforeFirstChunk = Some(c => Some(c + "3,4\n"))))
+    assert(rows(buf).toSet == Set(Seq("1", "2"), Seq("3", "4")))
+  }
+
+  test("onRecord receives (fields, index, columns); can modify or drop") {
+    // reference phase4-features.test.ts:256-341
+    val p = writeTmp("onrec.csv",
+      "name,age,city\nAlice,30,NYC\nBob,25,LA\nCharlie,35,SF\nDiana,28,Boston\n")
+    // modify: uppercase names
+    val upper = CsvReader.read(spark, p, CsvOptions(onRecord =
+      Some((rec, _, _) => Some(rec.head.toUpperCase +: rec.tail))))
+    assert(rows(upper).map(_.head) == Seq("ALICE", "BOB", "CHARLIE", "DIANA"))
+    // drop: returning None skips the record
+    val dropped = CsvReader.read(spark, p, CsvOptions(onRecord =
+      Some((rec, _, _) => if (rec.head == "Bob") None else Some(rec))))
+    assert(rows(dropped).map(_.head) == Seq("Alice", "Charlie", "Diana"))
+    // context: 0-based index and resolved columns
+    val tagged = CsvReader.read(spark, p, CsvOptions(onRecord =
+      Some((rec, i, cols) =>
+        Some(Seq(s"${cols.head}:$i:${rec.head}", rec(1), rec(2))))))
+    assert(rows(tagged).map(_.head) ==
+      Seq("name:0:Alice", "name:1:Bob", "name:2:Charlie", "name:3:Diana"))
+  }
+
+  test("onRecord runs before dynamicTyping and composes with it") {
+    val p = writeTmp("onrec2.csv", "name,value\na,100\nb,7\n")
+    val scan = CsvReader.read(spark, p, CsvOptions(
+      dynamicTyping = true,
+      onRecord = Some((rec, _, _) => // double the raw string value
+        Some(Seq(rec.head, (rec(1).toInt * 2).toString)))))
+    assert(scan.df.schema("value").dataType ==
+      org.apache.spark.sql.types.DoubleType)
+    assert(rows(scan).map(_(1)) == Seq(200.0, 14.0))
+  }
 }

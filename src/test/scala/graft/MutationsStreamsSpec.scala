@@ -28,6 +28,17 @@ class MutationsStreamsSpec extends SparkSpec {
       Seq("1", "2"))
   }
 
+  test("COW: getCell checks edits BEFORE deletes, like the reference") {
+    // parser.ts:876-890: getCellEdit is consulted first; an edited cell on a
+    // deleted row still returns the edit (deleteRow never clears the edit
+    // log, writer.ts:236-245). result() still drops the row.
+    val df = Seq(("a", "1"), ("b", "2")).toDF("name", "v")
+    val w = Mutations.writable(df).setCell(1, "v", "42").deleteRow(1)
+    assert(w.getCell(1, "v").contains("42")) // edit wins over delete
+    assert(w.getCell(1, "name").isEmpty)     // un-edited cell of deleted row
+    assert(w.result().count() == 1)          // replay still skips the row
+  }
+
   test("COW: save writes the edited CSV") {
     val dir = java.nio.file.Files.createTempDirectory("cow").toString + "/out"
     val df = Seq(("a", "1"), ("b", "2")).toDF("name", "v")

@@ -91,6 +91,20 @@ class OperatorsSpec extends SparkSpec {
     assert(df.filterExpr("name == apple || name == cherry").count() == 2)
   }
 
+  test("filter language ==/!= compare strings on string data (filter.ts:30-43)") {
+    // Reference: row[col] === val — "25.0" == 25 is FALSE (string compare),
+    // and != keeps missing cells (JS undefined !== val is true).
+    val df = Seq(Some("25.0"), Some("25"), None).toDF("qty")
+    assert(df.filterExpr("qty == 25").count() == 1)   // only the exact "25"
+    assert(df.filterExpr("qty != 25").count() == 2)   // "25.0" AND the null
+    // Ordering ops still parse floats: both non-null rows are >= 25.
+    assert(df.filterExpr("qty >= 25").count() == 2)
+    // Typed numeric columns (our extension) compare natively with SQL nulls.
+    val typed = Seq(Some(25.0), Some(26.0), None).toDF("qty")
+    assert(typed.filterExpr("qty == 25").count() == 1)
+    assert(typed.filterExpr("qty != 25").count() == 1) // SQL: null drops
+  }
+
   test("filter language falls back to Spark SQL expr") {
     val df = Seq((1, 2), (3, 1)).toDF("a", "b")
     assert(df.filterExpr("a + b > 3").count() == 1)
