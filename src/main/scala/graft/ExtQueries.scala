@@ -41,19 +41,19 @@ object ExtQueries {
       .orderBy(col("doc_id"))
 
   /** language-ID heuristic vs the labeled lang column (confusion counts).
-    * Tokens and per-language scores are materialized in separate
-    * projections so each is computed once per row (see langIdFromScores).
+    * Marker scores come from the single-pass [[TextExprs.LangMarkerScores]]
+    * byte scan — one expression call per document, no token-array
+    * materialization (the 4× interpreted-HOF formulation it replaces cost
+    * ~150 µs/doc).
     */
   def q28_langid(s: SparkSession, dir: String): DataFrame = {
-    val toks = t(s, dir, "documents")
+    t(s, dir, "documents")
       .select(col("lang"),
-        TextFunctions.tokensWs(lower(col("text"))).as("__toks"))
-    val sc = TextFunctions.langScoresFromTokens(col("__toks"))
-    toks
-      .select(col("lang"), sc("en").as("__en"), sc("de").as("__de"),
-        sc("fr").as("__fr"), sc("es").as("__es"))
+        graft.functions.TextExprs.lang_marker_scores(lower(col("text")))
+          .as("__sc"))
       .select(col("lang"), TextFunctions.langIdFromScores(
-        col("__en"), col("__de"), col("__fr"), col("__es")).as("pred"))
+        element_at(col("__sc"), 1), element_at(col("__sc"), 2),
+        element_at(col("__sc"), 3), element_at(col("__sc"), 4)).as("pred"))
       .groupBy(col("lang"), col("pred"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("lang"), col("pred"))

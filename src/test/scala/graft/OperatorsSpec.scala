@@ -91,6 +91,27 @@ class OperatorsSpec extends SparkSpec {
     assert(df.filterExpr("name == apple || name == cherry").count() == 2)
   }
 
+  test("lang_marker_scores byte scan == the HOF langScores pipeline") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val hof = graft.functions.TextFunctions.langScores(col("text"))
+    val fast = graft.functions.TextExprs.lang_marker_scores(lower(col("text")))
+    val diff = docs.select(
+      hof("en").as("e1"), hof("de").as("d1"), hof("fr").as("f1"), hof("es").as("s1"),
+      element_at(fast, 1).as("e2"), element_at(fast, 2).as("d2"),
+      element_at(fast, 3).as("f2"), element_at(fast, 4).as("s2"))
+      .filter(col("e1") =!= col("e2") || col("d1") =!= col("d2") ||
+        col("f1") =!= col("f2") || col("s1") =!= col("s2"))
+    assert(diff.count() == 0)
+    // whitespace variety + empty + no-match
+    val edge = Seq("the  quick\tthe\nof", "", "   ", "xyz qqq", "The THE tHe")
+      .toDF("text")
+    val got = edge.select(element_at(
+      graft.functions.TextExprs.lang_marker_scores(lower(col("text"))), 1))
+      .collect().map(_.getInt(0)).toSeq
+    assert(got == Seq(3, 0, 0, 0, 3))
+  }
+
   test("filter language ==/!= compare strings on string data (filter.ts:30-43)") {
     // Reference: row[col] === val — "25.0" == 25 is FALSE (string compare),
     // and != keeps missing cells (JS undefined !== val is true).
