@@ -98,6 +98,7 @@ object Coercions {
     * prefixing `'` when the cell starts with = + - @ tab or CR
     * (reference src/ts/writer.ts:150-171, src/ts/unparse.ts:146-165).
     */
-  def escapeFormula(c: Column): Column =
-    when(c.rlike("^[=+\\-@\\t\\r]"), concat(lit("'"), c)).otherwise(c)
+  def escapeFormula(c: Column, pattern: Option[String] = None): Column =
+    when(c.rlike(pattern.getOrElse("^[=+\\-@\\t\\r]")), concat(lit("'"), c))
+      .otherwise(c)
 }

@@ -82,4 +82,57 @@ class CsvWriterSpec extends SparkSpec {
     val lines = spark.read.textFile(dir).collect().toSeq
     assert(lines == Seq("""{"k":"a","v":1}"""))
   }
+
+  test("unparse quotes leading/trailing-space fields (unparse.ts:192-196)") {
+    val df = Seq((" padded", "trailing ", "plain")).toDF("a", "b", "c")
+    val s = CsvWriter.unparseString(df, WriteOptions(
+      lineEnding = "\n", header = false, quoteSpacePadded = true))
+    assert(s == "\" padded\",\"trailing \",plain")
+    // the streaming writer's rule set does NOT quote them (writer.ts:194-201)
+    val s2 = CsvWriter.unparseString(df, WriteOptions(
+      lineEnding = "\n", header = false))
+    assert(s2 == " padded,trailing ,plain")
+  }
+
+  test("unparse escapeChar escapes quotes instead of doubling") {
+    val df = Seq(("say \"hi\"", "x")).toDF("a", "b")
+    val s = CsvWriter.unparseString(df, WriteOptions(
+      lineEnding = "\n", header = false, escapeChar = Some("\\")))
+    assert(s == "\"say \\\"hi\\\"\",x")
+  }
+
+  test("unparse skipEmptyRows drops all-empty rows (unparse.ts:124-128)") {
+    val df = Seq(("a", "1"), ("", ""), ("b", "2")).toDF("x", "y")
+    val s = CsvWriter.unparseString(df, WriteOptions(
+      lineEnding = "\n", header = false, skipEmptyRows = true))
+    assert(s == "a,1\nb,2")
+  }
+
+  test("unparse columns option selects, orders, and fills missing with empty") {
+    val df = Seq(("Alice", "30")).toDF("name", "age")
+    val s = CsvWriter.unparseString(df, WriteOptions(
+      lineEnding = "\n", columns = Some(Seq("age", "city", "name"))))
+    assert(s == "age,city,name\n30,,Alice")
+  }
+
+  test("unparse renders timestamps as JS toISOString; formula pattern overridable") {
+    val ts = java.sql.Timestamp.valueOf("2024-03-05 06:07:08.009")
+    val df = Seq(Tuple1(ts)).toDF("t")
+    val s = CsvWriter.unparseString(df, WriteOptions(
+      lineEnding = "\n", header = false, isoTimestamps = true))
+    assert(s == "2024-03-05T06:07:08.009Z") // session tz is UTC
+    val df2 = Seq(("#cmd", "=x")).toDF("a", "b")
+    val s2 = CsvWriter.unparseString(df2, WriteOptions(
+      lineEnding = "\n", header = false, escapeFormulae = true,
+      formulaPattern = Some("^#")))
+    assert(s2 == "'#cmd,=x") // custom pattern replaces the default set
+  }
+
+  test("formula escaping applies to stringified numerics (writer.ts:160-171)") {
+    val dir = java.nio.file.Files.createTempDirectory("fe").toString + "/out"
+    val df = Seq((-5, "ok")).toDF("n", "s")
+    CsvWriter.write(df, dir, WriteOptions(escapeFormulae = true))
+    val back = spark.read.option("header", "true").csv(dir).collect()(0)
+    assert(back.getString(0) == "'-5")
+  }
 }
