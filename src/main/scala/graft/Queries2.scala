@@ -186,6 +186,24 @@ object Queries2 {
         n = 20, dim = 64)
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
 
+  /** Dedup clustering: LSH-gated exact-Jaccard pairs → connected
+    * components → canonical selection (`keep` = cluster minimum). The
+    * full "keep one per near-dup cluster" pipeline of a training-data
+    * dedup pass, oracled against a DuckDB recursive-CTE transitive
+    * closure.
+    */
+  def q51_dedup_clusters(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val pairs = graft.operators.Dedup.jaccardPairsLsh(
+      docs, "doc_id", "text", threshold = 0.5, shingleWords = 3)
+    graft.operators.Dedup
+      .connectedComponents(docs.select(col("doc_id")), "doc_id",
+        pairs, "id_a", "id_b")
+      .select(col("id").as("doc_id"), col("comp").as("cluster"),
+        when(col("id") === col("comp"), 1L).otherwise(0L).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q47_sql_dialect" -> q47_sql_dialect _,
     "q48_asof_native" -> q48_asof_native _,
@@ -200,10 +218,44 @@ object Queries2 {
     "q43_dedup_first" -> q43_dedup_first _,
     "q44_ann_topk" -> q44_ann_topk _,
     "q45_stats_numeric" -> q45_stats_numeric _,
-    "q46_ivf_topk" -> q46_ivf_topk _
+    "q46_ivf_topk" -> q46_ivf_topk _,
+    "q51_dedup_clusters" -> q51_dedup_clusters _
   )
 
   val oracles: Map[String, String] = Map(
+    "q51_dedup_clusters" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1),
+        |    i -> array_to_string(t[i:i+2], ' '))) AS shingles
+        |  FROM toks
+        |), ex AS (
+        |  SELECT doc_id, unnest(shingles) AS s FROM sh
+        |), inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+        |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |), pairs AS (
+        |  SELECT id_a, id_b FROM inter
+        |  JOIN (SELECT doc_id, len(shingles) n FROM sh) sa ON sa.doc_id = id_a
+        |  JOIN (SELECT doc_id, len(shingles) n FROM sh) sb ON sb.doc_id = id_b
+        |  WHERE round(i / CAST(sa.n + sb.n - i AS DOUBLE), 4) >= 0.5
+        |), e AS (
+        |  SELECT id_a AS a, id_b AS b FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs
+        |), reach AS (
+        |  SELECT a, b FROM e
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a WHERE e.b <> r.a
+        |)
+        |SELECT d.doc_id,
+        |  least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS cluster,
+        |  CASE WHEN least(d.doc_id, coalesce(min(r.b), d.doc_id)) = d.doc_id
+        |       THEN 1 ELSE 0 END::BIGINT AS keep
+        |FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
     "q50_asof_broadcast" ->
       """SELECT event_id, user_id, o_orderkey AS last_order,
         |  o_orderdate AS last_order_date

@@ -307,4 +307,53 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** Connected components over a near-dup pair graph: every vertex gets
+    * `comp` = the MINIMUM id reachable from it (singletons keep their own
+    * id). The canonical representative of each dedup cluster is then
+    * `id == comp` — the standard "keep one per cluster" selection of a
+    * training-data pipeline.
+    *
+    * Iterative min-label propagation: each round every vertex takes the
+    * min of its own label and its neighbors' labels (one hash join + one
+    * groupBy per round), converging in O(graph diameter) rounds. Near-dup
+    * graphs have tiny components in practice, so a handful of rounds
+    * suffice; each round's result is localCheckpoint'ed to cut lineage and
+    * the edge list is checkpointed ONCE so an expensive upstream pair plan
+    * (LSH + verification) never re-executes per round. At 100 TB the same
+    * loop runs with cluster checkpoints; for adversarially long chains,
+    * alternate large-star/small-star (Kiveris et al.) to converge in
+    * O(log n) rounds — the per-round plan here is the building block.
+    */
+  def connectedComponents(
+      vertices: DataFrame, idCol: String,
+      pairs: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 50): DataFrame = {
+    val e = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+      .localCheckpoint()
+    var labels = vertices
+      .select(col(idCol).as("id"), col(idCol).as("comp"))
+      .localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val msgs = e.join(labels, e("dst") === labels("id"))
+        .groupBy(col("src")).agg(min(col("comp")).as("__ncomp"))
+      val next = labels.as("l")
+        .join(msgs, col("l.id") === msgs("src"), "left")
+        .select(col("l.id").as("id"),
+          least(col("l.comp"), coalesce(col("__ncomp"), col("l.comp")))
+            .as("comp"))
+        .localCheckpoint()
+      val changed = next.as("n").join(labels.as("o"), col("n.id") === col("o.id"))
+        .filter(col("n.comp") =!= col("o.comp")).count()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    require(converged, s"connectedComponents did not converge in $maxIter rounds")
+    labels
+  }
 }

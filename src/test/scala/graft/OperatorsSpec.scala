@@ -91,6 +91,17 @@ class OperatorsSpec extends SparkSpec {
     assert(df.filterExpr("name == apple || name == cherry").count() == 2)
   }
 
+  test("connectedComponents: chains, cycles, singletons get min-id labels") {
+    // components: {1,2,3,4} (chain), {10,11,12} (triangle), {20} singleton
+    val vertices = Seq(1L, 2L, 3L, 4L, 10L, 11L, 12L, 20L).toDF("id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
+      (10L, 12L)).toDF("a", "b")
+    val got = Dedup.connectedComponents(vertices, "id", pairs, "a", "b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L))
+  }
+
   test("lang_marker_scores byte scan == the HOF langScores pipeline") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select(col("doc_id"), col("text"))
