@@ -204,6 +204,34 @@ object Queries2 {
       .orderBy(col("doc_id"))
   }
 
+  /** Sequence packing: documents concatenated in id order, bin boundary
+    * every 2048 tokens (the pretraining batch-packing op). Total-order
+    * variant for oracle parity; the sharded twin is spec-verified.
+    */
+  def q52_seq_pack(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Curation.packSequences(
+        t(s, dir, "documents"), "doc_id",
+        graft.functions.TextFunctions.tokenCountWs(col("text")).cast("long"), 2048)
+      .orderBy(col("doc_id"))
+
+  /** Curation funnel: labeled-language filter → quality threshold →
+    * fingerprint dedup, all stage counts from ONE corpus pass.
+    */
+  def q53_curation_funnel(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = t(s, dir, "documents").select(col("doc_id"), col("lang"),
+        graft.functions.TextFunctions.qualityScore(col("text")).as("__q"),
+        graft.functions.TextFunctions.fingerprint(col("text")).as("__fp"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("__fp")).orderBy(col("doc_id"))))
+    graft.operators.Curation.funnel(base, Seq(
+        "total" -> lit(true),
+        "lang_en" -> (col("lang") === "en"),
+        "quality" -> (col("__q") >= 0.7),
+        "dedup" -> (col("__rn") === 1)))
+      .orderBy(col("stage"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q47_sql_dialect" -> q47_sql_dialect _,
     "q48_asof_native" -> q48_asof_native _,
@@ -219,10 +247,57 @@ object Queries2 {
     "q44_ann_topk" -> q44_ann_topk _,
     "q45_stats_numeric" -> q45_stats_numeric _,
     "q46_ivf_topk" -> q46_ivf_topk _,
-    "q51_dedup_clusters" -> q51_dedup_clusters _
+    "q51_dedup_clusters" -> q51_dedup_clusters _,
+    "q52_seq_pack" -> q52_seq_pack _,
+    "q53_curation_funnel" -> q53_curation_funnel _
   )
 
   val oracles: Map[String, String] = Map(
+    "q52_seq_pack" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+        |      AS n_tok
+        |  FROM documents
+        |), off AS (
+        |  SELECT doc_id, n_tok,
+        |    CAST(sum(n_tok) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+        |      - n_tok AS BIGINT) AS start_off
+        |  FROM tok
+        |)
+        |SELECT doc_id, n_tok, start_off,
+        |  CAST(floor(start_off / 2048.0) AS BIGINT) AS bin
+        |FROM off ORDER BY doc_id""".stripMargin,
+    "q53_curation_funnel" ->
+      """WITH base AS (
+        |  SELECT doc_id, lang, text, length(text) AS nc,
+        |    regexp_split_to_array(lower(trim(text)), '\s+') AS toks,
+        |    md5(trim(regexp_replace(regexp_replace(lower(text),
+        |      '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'))) AS fp
+        |  FROM documents
+        |), r AS (
+        |  SELECT doc_id, lang, fp,
+        |    round(
+        |      (CASE WHEN nc BETWEEN 200 AND 20000 THEN 1.0
+        |            WHEN nc >= 50 THEN 0.5 ELSE 0.0 END) * 0.4 +
+        |      (CASE WHEN (nc - length(regexp_replace(text,
+        |        '[!-/:-@\[-`{-~]', '', 'g'))) / CAST(nc AS DOUBLE) <= 0.2
+        |        THEN 1.0 ELSE 0.0 END) * 0.3 +
+        |      (CASE WHEN len(list_filter(toks, t -> t IN
+        |        ('the','a','an','and','of','to','in','is')))
+        |        / CAST(len(toks) AS DOUBLE) >= 0.05
+        |        THEN 1.0 ELSE 0.0 END) * 0.3, 4) AS q,
+        |    row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        |  FROM base
+        |)
+        |SELECT CAST(1 AS BIGINT) AS stage, 'total' AS name, count(*) AS n
+        |FROM r
+        |UNION ALL SELECT 2, 'lang_en', count(*) FROM r WHERE lang = 'en'
+        |UNION ALL SELECT 3, 'quality', count(*) FROM r
+        |  WHERE lang = 'en' AND q >= 0.7
+        |UNION ALL SELECT 4, 'dedup', count(*) FROM r
+        |  WHERE lang = 'en' AND q >= 0.7 AND rn = 1
+        |ORDER BY stage""".stripMargin,
     "q51_dedup_clusters" ->
       """WITH RECURSIVE toks AS (
         |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t

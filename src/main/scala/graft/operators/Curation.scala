@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Dataset-curation operators for training-data pipelines: sequence
+  * packing (concatenate documents in order, cut every `budget` tokens —
+  * the standard pretraining batch-packing shape) and the staged curation
+  * funnel (language → quality → dedup), computed in ONE corpus pass.
+  */
+object Curation {
+
+  /** Assign each document its token offset and bin in the concatenated
+    * corpus stream: `start_off` = tokens before it, `bin` =
+    * `floor(start_off / budget)` — i.e. documents are packed greedily in
+    * id order and a bin boundary falls every `budget` tokens.
+    *
+    * TOTAL-ORDER variant: the running sum is a global single-partition
+    * window — inherently sequential, use for oracle parity and
+    * driver-scale data. At 100 TB use [[packSequencesSharded]]: identical
+    * semantics per shard, embarrassingly parallel, bins keyed
+    * (shard, bin) — which is how training shards are actually packed.
+    */
+  def packSequences(df: DataFrame, idCol: String, tokens: Column,
+      budget: Int): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val w = Window.orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(col(idCol), tokens.as("n_tok"))
+      .withColumn("start_off", sum(col("n_tok")).over(w) - col("n_tok"))
+      .withColumn("bin",
+        floor(col("start_off") / budget.toDouble).cast("long"))
+  }
+
+  /** Distributed packing twin: documents are hashed into `shards`, each
+    * shard packs independently in id order (per-shard window — parallel
+    * across shards, no global exchange bottleneck). Output bins are keyed
+    * (shard, bin); every document lands in exactly one bin.
+    */
+  def packSequencesSharded(df: DataFrame, idCol: String, tokens: Column,
+      budget: Int, shards: Int): DataFrame = {
+    require(budget > 0 && shards > 0, "budget and shards must be positive")
+    val w = Window.partitionBy(col("shard")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(col(idCol), tokens.as("n_tok"),
+        pmod(hash(col(idCol)), lit(shards)).as("shard"))
+      .withColumn("start_off", sum(col("n_tok")).over(w) - col("n_tok"))
+      .withColumn("bin",
+        floor(col("start_off") / budget.toDouble).cast("long"))
+  }
+
+  /** Survivor counts for a sequence of CUMULATIVE filter stages, computed
+    * in a single aggregation pass (a UNION-of-counts formulation scans the
+    * corpus once per stage; this scans once total — the difference between
+    * one and k passes over 100 TB). Stage predicates are AND-ed
+    * cumulatively in order.
+    */
+  def funnel(df: DataFrame, stages: Seq[(String, Column)]): DataFrame = {
+    val cum = stages.scanLeft(lit(true)) { case (acc, (_, p)) => acc && p }
+      .drop(1)
+    val aggs = cum.zipWithIndex.map { case (p, i) =>
+      count(when(p, 1)).as(s"__s$i")
+    }
+    val counted = df.agg(aggs.head, aggs.tail: _*)
+    // unpivot to (stage, name, n) rows
+    val stackArgs = stages.zipWithIndex.flatMap { case ((name, _), i) =>
+      Seq(lit(i + 1).cast("long"), lit(name), col(s"__s$i"))
+    }
+    counted.select(stack((lit(stages.length) +: stackArgs): _*)
+      .as(Seq("stage", "name", "n")))
+  }
+}

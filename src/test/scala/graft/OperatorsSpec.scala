@@ -91,6 +91,36 @@ class OperatorsSpec extends SparkSpec {
     assert(df.filterExpr("name == apple || name == cherry").count() == 2)
   }
 
+  test("packSequencesSharded == per-shard packSequences; every doc exactly once") {
+    import graft.operators.Curation
+    val docs = (1L to 200L).map(i => (i, (i % 37) + 1)).toDF("id", "nt")
+    val sharded = Curation.packSequencesSharded(docs, "id", col("nt"), 64, 4)
+    assert(sharded.count() == 200)
+    assert(sharded.select("id").distinct().count() == 200)
+    val withShard = docs.withColumn("shard", pmod(hash(col("id")), lit(4)))
+    for (s <- 0 until 4) {
+      val sub = withShard.filter(col("shard") === s).select("id", "nt")
+      val expect = Curation.packSequences(sub, "id", col("nt"), 64)
+        .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSet
+      val got = sharded.filter(col("shard") === s)
+        .select("id", "start_off", "bin")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == expect, s"shard $s")
+    }
+  }
+
+  test("funnel counts cumulative stages in one pass") {
+    import graft.operators.Curation
+    val df = Seq((1, "en", 0.9), (2, "en", 0.3), (3, "de", 0.9), (4, "en", 0.8))
+      .toDF("id", "lang", "q")
+    val got = Curation.funnel(df, Seq(
+      "total" -> lit(true),
+      "en" -> (col("lang") === "en"),
+      "hi_q" -> (col("q") >= 0.5)))
+      .orderBy("stage").collect().map(r => (r.getString(1), r.getLong(2)))
+    assert(got.toSeq == Seq(("total", 4L), ("en", 3L), ("hi_q", 2L)))
+  }
+
   test("connectedComponents: chains, cycles, singletons get min-id labels") {
     // components: {1,2,3,4} (chain), {10,11,12} (triangle), {20} singleton
     val vertices = Seq(1L, 2L, 3L, 4L, 10L, 11L, 12L, 20L).toDF("id")
