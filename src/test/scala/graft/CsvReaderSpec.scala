@@ -366,6 +366,18 @@ class CsvReaderSpec extends SparkSpec {
       Seq("name:0:Alice", "name:1:Bob", "name:2:Charlie", "name:3:Diana"))
   }
 
+  test("dynamicTyping: quoted empties coerce to null, don't block numerics") {
+    // reference row.ts:444: value === "" → null under dynamicTyping, so a
+    // numeric column with quoted empties still types as number
+    val p = writeTmp("dynempty.csv", "a,b\n1,x\n\"\",y\n2.5,z\n")
+    val scan = CsvReader.read(spark, p, CsvOptions(dynamicTyping = true))
+    assert(scan.df.schema("a").dataType ==
+      org.apache.spark.sql.types.DoubleType)
+    val vals = scan.df.orderBy("b").collect().map(r =>
+      if (r.isNullAt(0)) null else r.getDouble(0))
+    assert(vals.toSeq == Seq(1.0, null, 2.5))
+  }
+
   test("onRecord runs before dynamicTyping and composes with it") {
     val p = writeTmp("onrec2.csv", "name,value\na,100\nb,7\n")
     val scan = CsvReader.read(spark, p, CsvOptions(
