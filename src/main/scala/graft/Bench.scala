@@ -60,11 +60,18 @@ object Bench {
         val part = new java.io.File(outDir).listFiles()
           .find(_.getName.endsWith(".csv")).get
         val bytes = part.length()
-        val times = (0 to 3).map { _ =>
-          val t0 = System.nanoTime()
-          sources.CsvReader.read(spark, part.getPath).df.count()
-          (System.nanoTime() - t0) / 1e9
-        }.drop(1)
+        // split the single file across cores like the reference's parallel
+        // chunk scan (parallel.zig) — the default 128 MB split would parse
+        // a ~39 MB file on ONE core
+        val prevMpb = spark.conf.get("spark.sql.files.maxPartitionBytes")
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "2097152")
+        val times =
+          try (0 to 3).map { _ =>
+            val t0 = System.nanoTime()
+            sources.CsvReader.read(spark, part.getPath).df.count()
+            (System.nanoTime() - t0) / 1e9
+          }.drop(1)
+          finally spark.conf.set("spark.sql.files.maxPartitionBytes", prevMpb)
         times.map(t => bytes / 1e6 / t).sum / times.size
       } catch {
         case e: Throwable =>

@@ -132,6 +132,33 @@ object CsvReader {
   private def stripScheme(path: String): String =
     if (path.startsWith("file:")) path.stripPrefix("file:") else path
 
+  /** First ≤n raw lines for detection/header resolution. LOCAL files are
+    * read directly (≤256 KB, no Spark job — a scan's fixed latency was
+    * dominated by this sample job); non-local schemes and directories
+    * fall back to a distributed text scan. A truncated trailing line is
+    * dropped unless the whole file fit in the sample window.
+    */
+  private def sampleLines(spark: SparkSession, path: String, n: Int,
+      encoding: Option[String]): Seq[String] = {
+    val p = stripScheme(path)
+    try {
+      val f = new java.io.File(p)
+      val in = new java.io.FileInputStream(p)
+      val bytes = try in.readNBytes(262144) finally in.close()
+      val full = f.length() <= bytes.length
+      val text = new String(bytes,
+        java.nio.charset.Charset.forName(encoding.getOrElse("UTF-8")))
+      val lines = text.split("\r\n|\r|\n", -1)
+      val usable =
+        if (full) { if (lines.nonEmpty && lines.last.isEmpty) lines.init else lines }
+        else lines.init // last line may be cut mid-record
+      usable.take(n).toSeq
+    } catch {
+      case _: java.io.IOException =>
+        spark.read.textFile(path).limit(n).collect().toSeq
+    }
+  }
+
   /** text lines honoring a non-UTF-8 charset (spark.read.text is UTF-8
     * only; other charsets go through the csv reader in text mode).
     */
@@ -285,7 +312,7 @@ object CsvReader {
     // tiny driver-side sample for detection + header resolution — comment
     // and empty lines are invisible to the parser (parser.zig:324-338), so
     // they can't become the header
-    val sample = spark.read.textFile(path).limit(100).collect().toSeq
+    val sample = sampleLines(spark, path, 100, opts.encoding)
       .filterNot(l => l.isEmpty || opts.comments.exists(l.startsWith))
       .take(11)
     val (sep, undetectable) = resolveDelimiter(sample, opts)
