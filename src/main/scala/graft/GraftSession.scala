@@ -18,8 +18,9 @@ object GraftSession {
       .config("spark.ui.enabled", "false")
 
   /** Register graft's native functions (vec_dot, vec_l2norm, bitset_inter,
-    * minhash_array, simhash_array, shingle_hashes, minhash_agg) in the
-    * session's function registry for SQL use. Idempotent.
+    * minhash_array, simhash_array, shingle_hashes, minhash_agg,
+    * lang_marker_scores) in the session's function registry for SQL use.
+    * Idempotent.
     */
   def init(spark: SparkSession): SparkSession = {
     val prev = SparkSession.getActiveSession
@@ -27,6 +28,7 @@ object GraftSession {
     try {
       functions.VectorExprs.ensureRegistered()
       functions.SketchExprs.ensureRegistered()
+      functions.TextExprs.ensureRegistered()
       plans.MinHashAgg.ensureRegistered()
     } finally prev.foreach(SparkSession.setActiveSession)
     spark
