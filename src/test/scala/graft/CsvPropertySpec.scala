@@ -62,6 +62,26 @@ class CsvPropertySpec extends SparkSpec {
     assert(r.getString(2) == "x")
   }
 
+  test("unparseString → readString round-trips arbitrary cells exactly") {
+    // the unparse rule set (space-padded quoting on) makes the round trip
+    // EXACT for leading/trailing-space cells too — no normalization needed
+    // beyond the shared null/"" canonicalization of minimal quoting
+    samples(Gen.listOfN(6, rowGen), 20).foreach { rows =>
+      val noNl = rows.map(t => (t._1, t._2, t._3)) // readString is line-based
+        .filterNot(t => Seq(t._1, t._2, t._3).exists(c =>
+          c.contains("\n") || c.contains("\r")))
+      if (noNl.nonEmpty) {
+        val df = noNl.toDF("a", "b", "c")
+        val s = CsvWriter.unparseString(df)
+        val back = CsvReader.readString(spark, s)
+        val got = back.df.collect()
+          .map(r => (n(r.getString(0)), n(r.getString(1)), n(r.getString(2))))
+          .toSeq.sorted
+        assert(got == noNl.map(t => (n(t._1), n(t._2), n(t._3))).sorted)
+      }
+    }
+  }
+
   test("coercion round-trip: formatted numbers parse back to their value") {
     samples(Gen.chooseNum(-999999L, 999999L), 30).foreach { v =>
       import org.apache.spark.sql.functions._
