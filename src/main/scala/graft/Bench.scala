@@ -71,7 +71,14 @@ object Bench {
             sources.CsvReader.read(spark, part.getPath).df.count()
             (System.nanoTime() - t0) / 1e9
           }.drop(1)
-          finally spark.conf.set("spark.sql.files.maxPartitionBytes", prevMpb)
+          finally {
+            spark.conf.set("spark.sql.files.maxPartitionBytes", prevMpb)
+            // ~39 MB per run otherwise accumulates in /tmp
+            def rm(f: java.io.File): Unit = {
+              Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+            }
+            rm(dir.toFile)
+          }
         times.map(t => bytes / 1e6 / t).sum / times.size
       } catch {
         case e: Throwable =>

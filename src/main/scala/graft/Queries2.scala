@@ -167,10 +167,10 @@ object Queries2 {
     val e = t(s, dir, "events").select(col("event_id"), col("user_id"), col("ts"))
     val o = t(s, dir, "orders")
       .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
-    s.conf.set(graft.plans.AsOfJoin.StrategyConfKey, mode)
     graft.plans.AsOfJoin
       .asofJoin(e, o, "user_id", "o_custkey", "ts", "o_orderdate",
-        rightTieBreak = Seq(o("o_orderkey"))) // max-key tiebreak
+        rightTieBreak = Seq(o("o_orderkey")), // max-key tiebreak
+        strategy = mode) // pinned in the plan, not session conf
       .select(col("event_id"), col("user_id"),
         col("o_orderkey").as("last_order"),
         col("o_orderdate").as("last_order_date"))
@@ -266,7 +266,7 @@ object Queries2 {
         |  FROM tok
         |)
         |SELECT doc_id, n_tok, start_off,
-        |  CAST(floor(start_off / 2048.0) AS BIGINT) AS bin
+        |  CAST(start_off // 2048 AS BIGINT) AS bin
         |FROM off ORDER BY doc_id""".stripMargin,
     "q53_curation_funnel" ->
       """WITH base AS (

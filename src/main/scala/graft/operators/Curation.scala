@@ -29,8 +29,9 @@ object Curation {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.select(col(idCol), tokens.as("n_tok"))
       .withColumn("start_off", sum(col("n_tok")).over(w) - col("n_tok"))
-      .withColumn("bin",
-        floor(col("start_off") / budget.toDouble).cast("long"))
+      // integer `div`, not floor(double /): exact at any offset (a double
+      // round-trip can mis-bin at ~2^43+ token offsets)
+      .withColumn("bin", expr(s"start_off div $budget").cast("long"))
   }
 
   /** Distributed packing twin: documents are hashed into `shards`, each
@@ -46,8 +47,7 @@ object Curation {
     df.select(col(idCol), tokens.as("n_tok"),
         pmod(hash(col(idCol)), lit(shards)).as("shard"))
       .withColumn("start_off", sum(col("n_tok")).over(w) - col("n_tok"))
-      .withColumn("bin",
-        floor(col("start_off") / budget.toDouble).cast("long"))
+      .withColumn("bin", expr(s"start_off div $budget").cast("long"))
   }
 
   /** Survivor counts for a sequence of CUMULATIVE filter stages, computed

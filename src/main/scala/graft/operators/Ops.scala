@@ -109,7 +109,8 @@ object Ops {
     def stepRows(f: (org.apache.spark.sql.Row, Ops.StepHandle) => Unit): Ops.StepResult = {
       val handle = stepper(f)
       handle.resume()
-      Ops.StepResult(handle.rowsSeen, handle.isAborted)
+      Ops.StepResult(handle.rowsSeen, handle.isAborted, handle.isPaused,
+        Some(handle))
     }
 
     /** Un-driven form of [[stepRows]]: returns the handle without starting
@@ -135,9 +136,12 @@ object Ops {
   }
 
   /** Outcome of a [[GraftDataFrame.stepRows]] drive: rows delivered to the
-    * callback and whether the handle aborted (reference meta.aborted).
+    * callback, whether the handle aborted (reference meta.aborted), and
+    * whether the drive stopped on a pause — in which case `handle` resumes
+    * it (a paused partial drive is NOT a completed one).
     */
-  final case class StepResult(rowsSeen: Long, aborted: Boolean)
+  final case class StepResult(rowsSeen: Long, aborted: Boolean,
+      paused: Boolean = false, handle: Option[StepHandle] = None)
 
   /** The reference's ParserHandle (parser.ts:47-56): abort stops the
     * drive; pause stops it resumably; resume continues it — callable from

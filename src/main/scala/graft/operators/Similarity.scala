@@ -265,11 +265,13 @@ object Similarity {
     // train-once cache: repeated queries against the same corpus reuse the
     // fitted quantizer instead of re-running k-means inside every query.
     private val cache = new java.util.concurrent.ConcurrentHashMap[
-      (String, Int, Long), IvfIndex]()
+      (String, String, Int, Long), IvfIndex]()
 
     def trainCached(cacheKey: String, corpus: DataFrame, vecCol: String,
         nlist: Int, seed: Long = 42L): IvfIndex =
-      cache.computeIfAbsent((cacheKey, nlist, seed),
+      // vecCol is part of the key — two vector columns of the same table
+      // must not share a quantizer
+      cache.computeIfAbsent((cacheKey, vecCol, nlist, seed),
         _ => train(corpus, vecCol, nlist, seed))
   }
 

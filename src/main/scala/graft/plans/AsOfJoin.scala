@@ -47,7 +47,10 @@ object AsOfJoin {
 
   /** Boolean marker that carries the as-of spec through analysis inside an
     * ordinary join condition; rewritten before planning, never evaluated.
-    * children = leftKey, rightKey, leftTime, rightTime, tieBreak…
+    * children = leftKey, rightKey, leftTime, rightTime, modeLiteral,
+    * tieBreak… — the strategy mode rides IN the plan (not session conf) so
+    * a built DataFrame keeps its requested exec regardless of when the
+    * action runs or what other joins set afterwards.
     */
   case class AsOfMarker(children: Seq[Expression])
       extends Expression with Unevaluable {
@@ -55,7 +58,12 @@ object AsOfJoin {
     def rightKey: Expression = children(1)
     def leftTime: Expression = children(2)
     def rightTime: Expression = children(3)
-    def tieBreak: Seq[Expression] = children.drop(4)
+    def mode: String = children(4) match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v, _) if v != null =>
+        v.toString
+      case _ => "auto"
+    }
+    def tieBreak: Seq[Expression] = children.drop(5)
     override def dataType: DataType = BooleanType
     override def nullable: Boolean = false
     override def prettyName: String = "asof_marker"
@@ -67,7 +75,7 @@ object AsOfJoin {
   case class AsOfJoinPlan(left: LogicalPlan, right: LogicalPlan,
       leftKey: Expression, rightKey: Expression,
       leftTime: Expression, rightTime: Expression,
-      tieBreak: Seq[Expression]) extends BinaryNode {
+      tieBreak: Seq[Expression], mode: String = "auto") extends BinaryNode {
     override def output: Seq[Attribute] =
       left.output ++ right.output.map(_.withNullability(true))
     override protected def withNewChildrenInternal(
@@ -80,15 +88,19 @@ object AsOfJoin {
     override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
       case Join(l, r, _, Some(m: AsOfMarker), _) =>
         AsOfJoinPlan(l, r, m.leftKey, m.rightKey, m.leftTime, m.rightTime,
-          m.tieBreak)
+          m.tieBreak, m.mode)
     }
   }
 
   object AsOfJoinStrategy extends org.apache.spark.sql.execution.SparkStrategy {
     override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-      case AsOfJoinPlan(l, r, lk, rk, lt, rt, tb) =>
+      case p @ AsOfJoinPlan(l, r, lk, rk, lt, rt, tb, planMode) =>
         val conf = SQLConf.get
-        val mode = conf.getConfString(StrategyConfKey, "auto")
+        // per-join mode wins; "auto" falls through to the session conf,
+        // then to the broadcast-threshold statistics decision
+        val mode =
+          if (planMode != "auto") planMode
+          else conf.getConfString(StrategyConfKey, "auto")
         val fits = r.stats.sizeInBytes >= 0 &&
           r.stats.sizeInBytes <= conf.autoBroadcastJoinThreshold
         val exec =
@@ -155,7 +167,15 @@ object AsOfJoin {
                 var i = 0
                 var cmp = 0
                 while (cmp == 0 && i < tbOrds.length) {
-                  cmp = tbOrds(i).compare(a._4(i), b._4(i))
+                  val av = a._4(i); val bv = b._4(i)
+                  // nulls first, matching the sortmerge path's
+                  // SortOrder(Ascending) default — so "last wins" means a
+                  // null tieBreak loses to any non-null
+                  cmp =
+                    if (av == null && bv == null) 0
+                    else if (av == null) -1
+                    else if (bv == null) 1
+                    else tbOrds(i).compare(av, bv)
                   i += 1
                 }
                 cmp < 0
@@ -311,18 +331,24 @@ object AsOfJoin {
   }
 
   /** left-outer as-of join: latest `right` row per key at or before the
-    * left row's time; `rightTieBreak` (compared ascending, greatest wins)
-    * makes equal-time picks deterministic.
+    * left row's time; `rightTieBreak` (compared ascending, greatest wins,
+    * nulls lose) makes equal-time picks deterministic. `strategy`
+    * ("auto" | "broadcast" | "sortmerge") pins the physical exec for THIS
+    * join — it travels in the plan, so it holds no matter when the action
+    * runs; "auto" defers to the `spark.graft.asof.strategy` conf and then
+    * to broadcast-threshold statistics.
     */
   def asofJoin(left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String,
       leftTime: String, rightTime: String,
-      rightTieBreak: Seq[Column] = Nil): DataFrame = {
+      rightTieBreak: Seq[Column] = Nil,
+      strategy: String = "auto"): DataFrame = {
     val spark = left.sparkSession
     ensureRegistered(spark)
     left.join(right,
       call_function("asof_marker",
-        Seq(left(leftKey), right(rightKey), left(leftTime), right(rightTime))
+        Seq(left(leftKey), right(rightKey), left(leftTime), right(rightTime),
+          org.apache.spark.sql.functions.lit(strategy))
           ++ rightTieBreak: _*),
       "left")
   }

@@ -9,7 +9,7 @@ final case class CsvOptions(
     delimiter: Option[String] = Some(","),
     /** candidate delimiters for auto-detection (reference
       * `delimitersToGuess`, parser.ts:62-63). */
-    delimitersToGuess: Seq[Char] = Seq(',', '\t', '|', ';'),
+    delimitersToGuess: Seq[Char] = CsvLineParser.DefaultDelimiterCandidates,
     quote: String = "\"",
     /** escape char; None → same as quote (RFC-4180 doubled quotes) —
       * reference parser.ts:287-293. */
@@ -105,6 +105,10 @@ object CsvErrorCodes {
   */
 object CsvLineParser {
 
+  /** the reference's delimitersToGuess default (parser.ts:62-63) — the
+    * single source for both CsvOptions and detectDelimiter. */
+  val DefaultDelimiterCandidates: Seq[Char] = Seq(',', '\t', '|', ';')
+
   /** Encoding detection on a byte sample (reference src/zig/iconv.zig:
     * 42-74,150-221): BOM sniff for UTF-8/16/32, else UTF-8 validity check
     * with windows-1252 fallback.
@@ -162,7 +166,7 @@ object CsvLineParser {
     * src/zig/detect.zig:32-144 scoring shape).
     */
   def detectDelimiter(sample: Seq[String], quote: Char = '"',
-      candidates: Seq[Char] = Seq(',', '\t', '|', ';')): Option[Char] = {
+      candidates: Seq[Char] = DefaultDelimiterCandidates): Option[Char] = {
     val rows = sample.filter(_.nonEmpty).take(10)
     if (rows.isEmpty) return None
     val scored = candidates.map { c =>

@@ -112,6 +112,9 @@ object CsvReader {
       // quoted newlines need the file-scan parser — round-trip via a temp
       // file so the modified buffer goes through the multiLine path
       val tmp = java.nio.file.Files.createTempFile("graft-bfc", ".csv")
+      // the scan reads this lazily at action time — JVM-exit cleanup, not
+      // eager delete
+      tmp.toFile.deleteOnExit()
       java.nio.file.Files.write(tmp,
         content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       read(spark, tmp.toString, rest)
@@ -224,18 +227,31 @@ object CsvReader {
           .getOrElse((",", true)) // reference falls back to comma
     }
 
-  /** Rows whose quoting is malformed: an ODD number of quote chars on the
-    * raw line means an unclosed/invalid quote (sound for single-line
-    * records — the only place this is emitted; escaped quotes are doubled
-    * so they keep the count even). errType Quotes / code InvalidQuotes
-    * per reference errors.ts:6-22.
+  /** Rows whose quoting is malformed: an ODD number of quote chars on a
+    * line where some FIELD starts with a quote (line start or right after
+    * a delimiter) means an unclosed/invalid quote. Sound for single-line
+    * records with doubled-quote escaping — quotes inside unquoted fields
+    * (`it's 5"`) are literal per the reference's parser and never flagged,
+    * and the check is suppressed entirely when a custom escape char is in
+    * play (escaped quotes then break the parity premise). errType Quotes /
+    * code InvalidQuotes per reference errors.ts:6-22.
     */
-  private def invalidQuoteErrors(
-      lines: DataFrame, quote: String, lineNo: Option[String]): DataFrame = {
+  private def invalidQuoteErrors(lines: DataFrame, sep: String,
+      opts: CsvOptions, lineNo: Option[String]): DataFrame = {
+    val quote = opts.quote
+    val spark = lines.sparkSession
+    if (opts.escape.exists(_ != quote)) {
+      import spark.implicits._
+      return spark.emptyDataset[(String, String, String, Long)]
+        .toDF("errType", "code", "message", "row")
+        .select(col("errType"), col("code"), col("message"),
+          lineNo.map(_ => col("row")).getOrElse(col("row")))
+    }
+    val q = java.util.regex.Pattern.quote(quote)
+    val s = java.util.regex.Pattern.quote(sep)
     val cnt = length(col("line")) -
-      length(regexp_replace(col("line"),
-        java.util.regex.Pattern.quote(quote), ""))
-    lines.filter(cnt % 2 === 1)
+      length(regexp_replace(col("line"), q, ""))
+    lines.filter(cnt % 2 === 1 && col("line").rlike(s"(^|$s)$q"))
       .select(lit("Quotes").as("errType"),
         lit(CsvErrorCodes.InvalidQuotes).as("code"),
         lit("unclosed or invalid quotes").as("message"),
@@ -312,9 +328,16 @@ object CsvReader {
     // tiny driver-side sample for detection + header resolution — comment
     // and empty lines are invisible to the parser (parser.zig:324-338), so
     // they can't become the header
-    val sample = sampleLines(spark, path, 100, opts.encoding)
+    def visible(lines: Seq[String]) = lines
       .filterNot(l => l.isEmpty || opts.comments.exists(l.startsWith))
       .take(11)
+    val fast = visible(sampleLines(spark, path, 100, opts.encoding))
+    val sample =
+      if (fast.nonEmpty) fast
+      // local sample exhausted (a >256 KB first line, or >100 leading
+      // comment/blank lines) — fall back to a bounded distributed scan,
+      // which has no line-length limit
+      else visible(spark.read.textFile(path).limit(10000).collect().toSeq)
     val (sep, undetectable) = resolveDelimiter(sample, opts)
     val headers = resolveHeaders(sample.headOption, sep, opts)
     val schema = StructType(
@@ -355,7 +378,7 @@ object CsvReader {
               .as("message"),
             lit(null).cast(LongType).as("row"))
         delimiterErrors(spark, undetectable)
-          .union(invalidQuoteErrors(errLines, opts.quote, lineNo = None))
+          .union(invalidQuoteErrors(errLines, sep, opts, lineNo = None))
           .union(mismatch)
       }
     // (skipRecordsWithError routes to the line path — a corrupt-only filter
@@ -500,7 +523,7 @@ object CsvReader {
     val result = withExtra.filter(keepPred).select(outCols: _*)
     val errors = delimiterErrors(spark, undetectable)
       .union(invalidQuoteErrors(data.select(col("line"), col(LineNo)),
-        opts.quote, lineNo = Some(LineNo)))
+        sep, opts, lineNo = Some(LineNo)))
       .union(sizeErrors)
       .union(mismatchErrors)
     val meta = CsvMeta(delimiter = sep, linebreak = linebreak,

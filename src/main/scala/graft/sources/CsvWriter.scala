@@ -95,12 +95,20 @@ object CsvWriter {
 
   /** The reference escapes the STRINGIFIED value whatever its type
     * (writer.ts:160-171, unparse.ts:148-167) — a numeric -5 becomes '-5.
+    * Temporal/other types pass through untouched so the CSV writer keeps
+    * rendering them with its own timestampFormat (their renderings can't
+    * start with a formula character anyway).
     */
   private def escapeFormulaeDf(df: DataFrame, opts: WriteOptions): DataFrame =
-    df.select(df.columns.map { c =>
-      Coercions.escapeFormula(col(s"`$c`").cast("string"), opts.formulaPattern)
-        .as(c)
-    }: _*)
+    df.select(df.schema.fields.map { f =>
+      f.dataType match {
+        case org.apache.spark.sql.types.StringType |
+            _: org.apache.spark.sql.types.NumericType =>
+          Coercions.escapeFormula(col(s"`${f.name}`").cast("string"),
+            opts.formulaPattern).as(f.name)
+        case _ => col(s"`${f.name}`")
+      }
+    }.toSeq: _*)
 
   /** One CSV-formatted field as a Column expression. */
   private def fieldExpr(c0: Column, isNumeric: Boolean, force: Boolean,

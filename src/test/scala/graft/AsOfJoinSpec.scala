@@ -132,4 +132,33 @@ class AsOfJoinSpec extends SparkSpec {
         case (k, v) if smj.getOrElse(k, -2L) != v => (k, v, smj.get(k))
       }.take(5)}")
   }
+
+  test("per-join strategy is pinned in the plan, not session conf") {
+    val trades = Seq((1L, ts("2024-01-01 10:00:05"), "t1"))
+      .toDF("sym", "t_ts", "trade")
+    val quotes = Seq((1L, ts("2024-01-01 10:00:00"), 100.0))
+      .toDF("q_sym", "q_ts", "px")
+    val smj = AsOfJoin.asofJoin(trades, quotes, "sym", "q_sym", "t_ts", "q_ts",
+      strategy = "sortmerge")
+    val bc = AsOfJoin.asofJoin(trades, quotes, "sym", "q_sym", "t_ts", "q_ts",
+      strategy = "broadcast")
+    // building/planning bc must not flip smj's exec (the old conf-only
+    // routing did exactly that when actions ran after both builds)
+    assert(bc.queryExecution.executedPlan.toString.contains("AsOfBroadcast"))
+    assert(smj.queryExecution.executedPlan.toString.contains("AsOfSortMerge"))
+    assert(smj.select(col("px")).collect()(0).getDouble(0) == 100.0)
+  }
+
+  test("broadcast path: null tieBreak values don't NPE and lose ties") {
+    val trades = Seq((1L, ts("2024-01-01 10:00:05"), "t1"))
+      .toDF("sym", "t_ts", "trade")
+    val quotes = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 100.0, Option.empty[Long]),
+      (1L, ts("2024-01-01 10:00:00"), 101.0, Some(7L)))
+      .toDF("q_sym", "q_ts", "px", "q_id")
+    val out = AsOfJoin.asofJoin(trades, quotes, "sym", "q_sym", "t_ts", "q_ts",
+        rightTieBreak = Seq(quotes("q_id")), strategy = "broadcast")
+      .select(col("px")).collect()
+    assert(out.length == 1 && out(0).getDouble(0) == 101.0) // non-null wins
+  }
 }

@@ -366,6 +366,23 @@ class CsvReaderSpec extends SparkSpec {
       Seq("name:0:Alice", "name:1:Bob", "name:2:Charlie", "name:3:Diana"))
   }
 
+  test("InvalidQuotes: literal quote mid-field not flagged; custom escape suppresses") {
+    // a quote inside an unquoted field is literal per the reference parser
+    val p = writeTmp("lonequote.csv", "a,b\nit's 5\" long,x\n")
+    val scan = CsvReader.read(spark, p)
+    assert(scan.errors.filter(org.apache.spark.sql.functions
+      .col("code") === "InvalidQuotes").count() == 0)
+    // an actually-unclosed quoted field IS flagged
+    val p2 = writeTmp("unclosed.csv", "a,b\n\"oops,x\n")
+    val scan2 = CsvReader.read(spark, p2)
+    assert(scan2.errors.filter(org.apache.spark.sql.functions
+      .col("code") === "InvalidQuotes").count() == 1)
+    // custom escape char breaks the odd-count premise — check suppressed
+    val scan3 = CsvReader.read(spark, p2, CsvOptions(escape = Some("\\")))
+    assert(scan3.errors.filter(org.apache.spark.sql.functions
+      .col("code") === "InvalidQuotes").count() == 0)
+  }
+
   test("dynamicTyping: quoted empties coerce to null, don't block numerics") {
     // reference row.ts:444: value === "" → null under dynamicTyping, so a
     // numeric column with quoted empties still types as number
