@@ -321,9 +321,8 @@ object Dedup {
     * suffice; each round's result is localCheckpoint'ed to cut lineage and
     * the edge list is checkpointed ONCE so an expensive upstream pair plan
     * (LSH + verification) never re-executes per round. At 100 TB the same
-    * loop runs with cluster checkpoints; for adversarially long chains,
-    * alternate large-star/small-star (Kiveris et al.) to converge in
-    * O(log n) rounds — the per-round plan here is the building block.
+    * loop runs with cluster checkpoints; for adversarially long chains use
+    * [[connectedComponentsStar]], which converges in O(log n) rounds.
     */
   def connectedComponents(
       vertices: DataFrame, idCol: String,
@@ -355,5 +354,87 @@ object Dedup {
     }
     require(converged, s"connectedComponents did not converge in $maxIter rounds")
     labels
+  }
+
+  /** Connected components by ALTERNATING large-star / small-star rounds
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    * converges in O(log n) rounds regardless of graph diameter, where
+    * plain min-label propagation ([[connectedComponents]]) needs
+    * O(diameter). Use this when components can be deep chains; the
+    * propagation variant wins on the shallow clusters near-dup graphs
+    * produce.
+    *
+    * Each round is two groupBy+join passes over the edge list:
+    *  - large-star: every neighbor v > u of node u re-attaches to
+    *    m = min(N(u) ∪ u);
+    *  - small-star: every smaller neighbor (and u itself) re-attaches to
+    *    the minimum of u's smaller neighborhood.
+    * The edge list contracts toward star graphs rooted at component
+    * minima; the fixpoint is detected by an order-insensitive hash+count
+    * signature of the edge set.
+    */
+  def connectedComponentsStar(
+      vertices: DataFrame, idCol: String,
+      pairs: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 30): DataFrame = {
+    // canonical undirected edges, self-loops dropped
+    var e = pairs
+      .select(least(col(aCol), col(bCol)).as("u"),
+        greatest(col(aCol), col(bCol)).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint()
+
+    def signature(edges: DataFrame): (Long, Long) = {
+      // bit_xor: order-insensitive and overflow-free (ANSI sum of hashes
+      // throws on long overflow)
+      val r = edges.agg(
+        count(lit(1)).as("n"),
+        coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L)).as("h")).head()
+      (r.getLong(0), r.getLong(1))
+    }
+
+    var sig = signature(e)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      // ---- large-star: (v, m) for v ∈ N(u), v > u; m = min(N(u) ∪ u)
+      val both = e.select(col("u"), col("v"))
+        .union(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = both.groupBy(col("u"))
+        .agg(least(min(col("v")), first(col("u"))).as("m"))
+      val large = both.join(mins, "u")
+        .filter(col("v") > col("u"))
+        .select(least(col("v"), col("m")).as("u"),
+          greatest(col("v"), col("m")).as("v"))
+      // ---- small-star on the large-star output: group by the LARGER
+      // endpoint U; every smaller neighbor and U attach to min(N(U))
+      val canon = large.filter(col("u") =!= col("v")).distinct()
+        .select(col("v").as("bu"), col("u").as("bv")) // bu > bv
+      val smallMins = canon.groupBy(col("bu")).agg(min(col("bv")).as("m"))
+      val small = canon.join(smallMins, "bu")
+        .select(col("bv").as("x"), col("m"))
+        .union(canon.join(smallMins, "bu")
+          .select(col("bu").as("x"), col("m")))
+        .filter(col("x") =!= col("m"))
+        .select(least(col("x"), col("m")).as("u"),
+          greatest(col("x"), col("m")).as("v"))
+        .distinct()
+        .localCheckpoint()
+      val nextSig = signature(small)
+      converged = nextSig == sig
+      sig = nextSig
+      e = small
+      i += 1
+    }
+    require(converged, s"connectedComponentsStar did not converge in $maxIter rounds")
+    // final edges are stars (v, componentMin): comp = min over attached
+    // roots; untouched vertices are their own component
+    val comp = e.select(col("v").as("id"), col("u").as("c"))
+      .union(e.select(col("u").as("id"), col("u").as("c")))
+      .groupBy(col("id")).agg(min(col("c")).as("__c"))
+    vertices.select(col(idCol).as("id"))
+      .join(comp, Seq("id"), "left")
+      .select(col("id"), coalesce(col("__c"), col("id")).as("comp"))
   }
 }

@@ -132,6 +132,27 @@ class OperatorsSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L))
   }
 
+  test("connectedComponentsStar: deep chain converges in O(log n) rounds") {
+    // a 64-node path is the adversarial case for min-label propagation
+    // (64 rounds); the alternating-star algorithm must land the same
+    // labels within the 30-round cap (actual: ~log n)
+    val n = 64
+    val vertices = (1L to n.toLong).toDF("id")
+    val chain = (1L until n.toLong).map(i => (i, i + 1)).toDF("a", "b")
+    val got = Dedup.connectedComponentsStar(vertices, "id", chain, "a", "b")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length == n && got.forall(_._2 == 1L))
+    // mixed graph: star results equal propagation results
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (11L, 12L), (10L, 12L))
+      .toDF("a", "b")
+    val vs = Seq(1L, 2L, 3L, 10L, 11L, 12L, 20L).toDF("id")
+    val star = Dedup.connectedComponentsStar(vs, "id", pairs, "a", "b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val prop = Dedup.connectedComponents(vs, "id", pairs, "a", "b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(star == prop)
+  }
+
   test("lang_marker_scores byte scan == the HOF langScores pipeline") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select(col("doc_id"), col("text"))
