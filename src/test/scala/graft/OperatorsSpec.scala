@@ -151,6 +151,20 @@ class OperatorsSpec extends SparkSpec {
     val prop = Dedup.connectedComponents(vs, "id", pairs, "a", "b")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(star == prop)
+    // seeded random graphs: both algorithms must agree exactly
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 3) {
+      val nV = 60
+      val vsR = (1L to nV.toLong).toDF("id")
+      val edges = Seq.fill(45)((rnd.nextInt(nV) + 1L, rnd.nextInt(nV) + 1L))
+        .filter(t => t._1 != t._2).toDF("a", "b")
+      val s = Dedup.connectedComponentsStar(vsR, "id", edges, "a", "b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      val p = Dedup.connectedComponents(vsR, "id", edges, "a", "b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(s == p, s"star vs propagation diverged: ${
+        s.collect { case (k, v) if p(k) != v => (k, v, p(k)) }.take(5)}")
+    }
   }
 
   test("lang_marker_scores byte scan == the HOF langScores pipeline") {
