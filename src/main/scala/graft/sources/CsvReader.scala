@@ -46,12 +46,24 @@ object CsvReader {
       truncated: Boolean = false,
       fields: Seq[String] = Nil)
 
+  /** Scan statistics (reference CSVStats, types.ts:34-42). Rows and
+    * errors are computed from the scan's frames on demand; the
+    * bytes/throughput members of the native parser's readout are engine
+    * internals here (Spark task metrics own them) and are not replicated.
+    */
+  final case class CsvStats(rowsEmitted: Long, errorCount: Long)
+
   /** A scan result: the data frame, a lazily-computed error frame
     * (errType, code, message, row), the resolved header names, and the
     * parse metadata.
     */
   final case class CsvScan(df: DataFrame, errors: DataFrame,
-      headers: Seq[String], meta: CsvMeta = CsvMeta())
+      headers: Seq[String], meta: CsvMeta = CsvMeta()) {
+    /** Count rows + errors (two actions — call after the scan is set up,
+      * like the reference reads `parser.stats` after iterating).
+      */
+    def stats(): CsvStats = CsvStats(df.count(), errors.count())
+  }
 
   private val Corrupt = "_corrupt_record"
   private val LineNo = "__lineno"

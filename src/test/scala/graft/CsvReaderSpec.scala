@@ -366,6 +366,13 @@ class CsvReaderSpec extends SparkSpec {
       Seq("name:0:Alice", "name:1:Bob", "name:2:Charlie", "name:3:Diana"))
   }
 
+  test("stats reports rows emitted and error count (CSVStats)") {
+    val p = writeTmp("stats.csv", "a,b\n1,2\n3,4,5\n6,7\n")
+    val st = CsvReader.read(spark, p).stats()
+    assert(st.rowsEmitted == 3)  // PERMISSIVE keeps the long row
+    assert(st.errorCount == 1)   // TooManyFields on row 2
+  }
+
   test("InvalidQuotes: literal quote mid-field not flagged; custom escape suppresses") {
     // a quote inside an unquoted field is literal per the reference parser
     val p = writeTmp("lonequote.csv", "a,b\nit's 5\" long,x\n")
