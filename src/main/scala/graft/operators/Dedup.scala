@@ -377,11 +377,18 @@ object Dedup {
       vertices: DataFrame, idCol: String,
       pairs: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 30): DataFrame = {
+    // restrict edges to the vertex set FIRST: like the propagation
+    // variant, ids appearing only in `pairs` neither relay connectivity
+    // nor become labels (otherwise a non-vertex id could label a cluster
+    // and no row would satisfy the id == comp keep-selection)
+    val vset = vertices.select(col(idCol).as("__vid")).distinct()
     // canonical undirected edges, self-loops dropped
     var e = pairs
       .select(least(col(aCol), col(bCol)).as("u"),
         greatest(col(aCol), col(bCol)).as("v"))
       .filter(col("u") =!= col("v"))
+      .join(vset, col("u") === col("__vid")).drop("__vid")
+      .join(vset, col("v") === col("__vid")).drop("__vid")
       .distinct()
       .localCheckpoint()
 
@@ -408,14 +415,18 @@ object Dedup {
         .select(least(col("v"), col("m")).as("u"),
           greatest(col("v"), col("m")).as("v"))
       // ---- small-star on the large-star output: group by the LARGER
-      // endpoint U; every smaller neighbor and U attach to min(N(U))
-      val canon = large.filter(col("u") =!= col("v")).distinct()
+      // endpoint U; every smaller neighbor and U attach to min(N(U)).
+      // large-star output has u < v strictly (m = min(N(u) ∪ u) ≤ u < v),
+      // so no self-loop filter is needed. Checkpoint before branching —
+      // `canon` feeds the groupBy AND the join (the plan-branch
+      // re-execution trap).
+      val canon = large.distinct()
         .select(col("v").as("bu"), col("u").as("bv")) // bu > bv
+        .localCheckpoint()
       val smallMins = canon.groupBy(col("bu")).agg(min(col("bv")).as("m"))
       val small = canon.join(smallMins, "bu")
-        .select(col("bv").as("x"), col("m"))
-        .union(canon.join(smallMins, "bu")
-          .select(col("bu").as("x"), col("m")))
+        // one pass: each joined row re-attaches BOTH endpoints to m
+        .select(explode(array(col("bv"), col("bu"))).as("x"), col("m"))
         .filter(col("x") =!= col("m"))
         .select(least(col("x"), col("m")).as("u"),
           greatest(col("x"), col("m")).as("v"))

@@ -60,7 +60,10 @@ object CsvReader {
   final case class CsvScan(df: DataFrame, errors: DataFrame,
       headers: Seq[String], meta: CsvMeta = CsvMeta()) {
     /** Count rows + errors (two actions — call after the scan is set up,
-      * like the reference reads `parser.stats` after iterating).
+      * like the reference reads `parser.stats` after iterating). NOTE:
+      * `errorCount` covers the WHOLE input — under preview/toLine
+      * truncation it is a superset of the reference's readout, which
+      * stops counting where parsing stopped.
       */
     def stats(): CsvStats = CsvStats(df.count(), errors.count())
   }

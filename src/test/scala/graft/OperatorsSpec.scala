@@ -151,6 +151,13 @@ class OperatorsSpec extends SparkSpec {
     val prop = Dedup.connectedComponents(vs, "id", pairs, "a", "b")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(star == prop)
+    // pair endpoints outside the vertex set relay nothing and never
+    // become labels — same contract as the propagation variant
+    val ghostPairs = Seq((5L, 1L), (1L, 10L)).toDF("a", "b")
+    val ghostVs = Seq(5L, 10L).toDF("id")
+    val ghost = Dedup.connectedComponentsStar(ghostVs, "id", ghostPairs, "a", "b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(ghost == Map(5L -> 5L, 10L -> 10L))
     // seeded random graphs: both algorithms must agree exactly
     val rnd = new scala.util.Random(7)
     for (_ <- 1 to 3) {
