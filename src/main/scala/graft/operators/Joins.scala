@@ -92,7 +92,7 @@ object Joins {
   def saltedJoin(left: DataFrame, right: DataFrame,
       lk: String, rk: String, buckets: Int): DataFrame = {
     val saltedL = left.withColumn("__salt",
-      pmod(xxhash64(left.columns.map(c => col(s"`$c`")): _*), lit(buckets)))
+      pmod(xxhash64(left.columns.toSeq.map(c => col(s"`$c`")): _*), lit(buckets)))
     val replicatedR = right
       .withColumn("__salt", explode(sequence(lit(0), lit(buckets - 1))))
       .withColumn("__salt", col("__salt").cast("long"))

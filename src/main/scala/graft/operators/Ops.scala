@@ -63,7 +63,7 @@ object Ops {
     def withRowIndex(name: String = "row_index"): DataFrame = {
       val spark = df.sparkSession
       val schema = df.schema
-      val indexed = df.rdd.zipWithIndex.map { case (row, idx) =>
+      val indexed = df.rdd.zipWithIndex().map { case (row, idx) =>
         org.apache.spark.sql.Row.fromSeq(row.toSeq :+ idx)
       }
       spark.createDataFrame(indexed,

@@ -175,7 +175,7 @@ object Similarity {
           (lit(cn2) - lit(2.0) * vec_dot(vec, typedlit(c.toSeq))).as("d"),
           lit(ci).as("i"))
       }
-      transform(slice(array_sort(array(scored: _*)), 1, n), _.getField("i"))
+      transform(slice(array_sort(array(scored.toSeq: _*)), 1, n), _.getField("i"))
     }
   }
 

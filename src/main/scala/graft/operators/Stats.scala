@@ -26,7 +26,7 @@ object Stats {
           .otherwise(0)).cast("long").as(s"${c}__nulls"),
         distinctAgg.cast("long").as(s"${c}__distinct"))
     }
-    val onerow = df.agg(aggs.head, aggs.tail: _*)
+    val onerow = df.agg(aggs.head, aggs.tail.toSeq: _*)
     val stackArgs = cols
       .map(c => s"'$c', `${c}__total`, `${c}__nulls`, `${c}__distinct`")
       .mkString(", ")
@@ -44,7 +44,7 @@ object Stats {
         max(col(c)).cast("double").as(s"${c}__max"),
         avg(col(c)).as(s"${c}__mean"))
     }
-    val onerow = df.agg(aggs.head, aggs.tail: _*)
+    val onerow = df.agg(aggs.head, aggs.tail.toSeq: _*)
     val stackArgs = numericCols
       .map(c =>
         s"'$c', round(`${c}__min`, 4), round(`${c}__max`, 4), round(`${c}__mean`, 4)")

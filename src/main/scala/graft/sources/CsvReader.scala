@@ -414,7 +414,7 @@ object CsvReader {
     // contiguous global line index (narrow; no shuffle)
     val schema0 = linesDf.schema.add(LineNo, LongType, nullable = false)
     val indexed = spark.createDataFrame(
-      linesDf.rdd.zipWithIndex.map { case (r, i) =>
+      linesDf.rdd.zipWithIndex().map { case (r, i) =>
         org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i) },
       schema0)
     val afterSkip = indexed.filter(col(LineNo) >= opts.skipFirstNLines)
@@ -458,7 +458,7 @@ object CsvReader {
     // 1-based data-row number for fromLine/toLine (second narrow index)
     if (opts.fromLine > 0 || opts.toLine > 0) {
       val reIdx = spark.createDataFrame(
-        data.select("line", LineNo).rdd.zipWithIndex.map { case (r, i) =>
+        data.select("line", LineNo).rdd.zipWithIndex().map { case (r, i) =>
           org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 1)) },
         data.select("line", LineNo).schema.add("__dataRow", LongType, false))
       val from = if (opts.fromLine > 0) opts.fromLine else 1
@@ -558,7 +558,7 @@ object CsvReader {
     if (df.columns.contains(Corrupt)) df = df.drop(Corrupt)
     lineNo.foreach(c => df = df.drop(c))
     // rewrite the quoted-empty sentinel back to "" (see csvParseOptions)
-    df = df.select(df.columns.map { c =>
+    df = df.select(df.columns.toSeq.map { c =>
       if (headers.contains(c))
         when(col(s"`$c`") === "\u0000", lit("")).otherwise(col(s"`$c`")).as(c)
       else col(s"`$c`")
@@ -574,7 +574,7 @@ object CsvReader {
       val hdrIdx = allCols.map(c => hdrs.indexOf(c)) // -1 for passthroughs
       val hdrPos = hdrs.map(allCols.indexOf)         // header → row ordinal
       val schema = df.schema
-      val rdd = df.rdd.zipWithIndex.flatMap { case (r, i) =>
+      val rdd = df.rdd.zipWithIndex().flatMap { case (r, i) =>
         val rec = hdrPos.map(p => r.getString(p))
         fn(rec, i, hdrs).map { out =>
           val padded = out.padTo(n, null: String).take(n)

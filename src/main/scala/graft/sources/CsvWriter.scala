@@ -169,7 +169,7 @@ object CsvWriter {
       }
       fieldExpr(c, numeric, opts.forceQuoteColumns.contains(f.name), opts)
     }
-    src.select(concat_ws(opts.delimiter, fields: _*).as("line"))
+    src.select(concat_ws(opts.delimiter, fields.toSeq: _*).as("line"))
   }
 
   /** unparse → CSV string on the driver (reference unparse(); small data
@@ -213,7 +213,7 @@ object CsvWriter {
     * (convert.ts:104-107).
     */
   def writeTsv(df: DataFrame, path: String, mode: String = "overwrite"): Unit = {
-    val escaped = df.select(df.columns.map { c =>
+    val escaped = df.select(df.columns.toSeq.map { c =>
       regexp_replace(
         regexp_replace(col(s"`$c`").cast("string"), "\t", "\\\\t"),
         "\n", "\\\\n").as(c)
