@@ -320,20 +320,90 @@ object Dedup {
     * graphs have tiny components in practice, so a handful of rounds
     * suffice; each round's result is localCheckpoint'ed to cut lineage and
     * the edge list is checkpointed ONCE so an expensive upstream pair plan
-    * (LSH + verification) never re-executes per round. At 100 TB the same
-    * loop runs with cluster checkpoints; for adversarially long chains use
-    * [[connectedComponentsStar]], which converges in O(log n) rounds.
+    * (LSH + verification) never re-executes per round. Edge sets at or
+    * below `localEdgeLimit` (after restriction to V×V) skip the loop and
+    * finish with one driver union-find — the standard local endgame of
+    * distributed CC once the graph fits (near-dup graphs: a few edges per
+    * million docs). At 100 TB the same loop runs with cluster checkpoints;
+    * for adversarially long chains use [[connectedComponentsStar]], which
+    * converges in O(log n) rounds.
     */
   def connectedComponents(
       vertices: DataFrame, idCol: String,
       pairs: DataFrame, aCol: String, bCol: String,
-      maxIter: Int = 50): DataFrame = {
+      maxIter: Int = 50, localEdgeLimit: Long = 1000000L): DataFrame = {
+    // Vertex-set contract (same as the star variant): ids appearing only in
+    // `pairs` neither relay connectivity nor become labels. Restricting
+    // edges to V×V up front preserves that AND shrinks the loop: the
+    // iteration runs over edge-INCIDENT vertices only (near-dup graphs:
+    // a few dozen per million docs), never the full corpus — singletons
+    // rejoin as their own component at the end. Before this restriction
+    // every round joined and checkpointed all |V| labels.
+    val vset = vertices.select(col(idCol).as("__vid")).distinct()
     val e = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .join(vset, col("src") === col("__vid")).drop("__vid")
+      .join(vset, col("dst") === col("__vid")).drop("__vid")
       .distinct()
       .localCheckpoint()
-    var labels = vertices
-      .select(col(idCol).as("id"), col(idCol).as("comp"))
+
+    // Small-graph endgame (the standard finish of distributed CC — Kiveris
+    // et al. §6 contract locally once the edge set fits): a near-dup edge
+    // list under the threshold is solved with one driver union-find instead
+    // of O(diameter) rounds × 3 jobs each. The distributed loop below
+    // remains the path for larger graphs.
+    val edgeCount = e.count()
+    val idType = e.schema("src").dataType
+    val comparableId = idType match {
+      case _: org.apache.spark.sql.types.NumericType => true
+      case org.apache.spark.sql.types.StringType => true
+      case org.apache.spark.sql.types.DateType => true
+      case org.apache.spark.sql.types.TimestampType => true
+      case _ => false
+    }
+    if (edgeCount <= localEdgeLimit && comparableId) {
+      val parent = new java.util.HashMap[Any, Any]()
+      def find(x: Any): Any = {
+        var r = x
+        while (parent.getOrDefault(r, r) != r) r = parent.get(r)
+        var c = x // path compression
+        while (parent.getOrDefault(c, c) != c) {
+          val nxt = parent.get(c); parent.put(c, r); c = nxt
+        }
+        r
+      }
+      // every externally-visible AtomicType value (Long/Int/String/
+      // Timestamp/...) is java.lang.Comparable
+      def lt(x: Any, y: Any): Boolean =
+        x.asInstanceOf[java.lang.Comparable[Any]].compareTo(y) < 0
+      e.toLocalIterator().forEachRemaining { row =>
+        val (ra, rb) = (find(row.get(0)), find(row.get(1)))
+        if (ra != rb) { // union under min — roots stay component minima
+          if (lt(ra, rb)) parent.put(rb, ra) else parent.put(ra, rb)
+        }
+      }
+      val ids = new java.util.ArrayList[org.apache.spark.sql.Row]()
+      parent.keySet().forEach { id =>
+        ids.add(org.apache.spark.sql.Row(id, find(id)))
+      }
+      // roots map to themselves — only non-root entries live in `parent`,
+      // so add each root once
+      val roots = new java.util.HashSet[Any]()
+      parent.keySet().forEach { id => roots.add(find(id)); () }
+      roots.forEach { r => ids.add(org.apache.spark.sql.Row(r, r)); () }
+      val t = e.schema("src").dataType
+      val labels = vertices.sparkSession.createDataFrame(ids,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id", t),
+          org.apache.spark.sql.types.StructField("__c", t))))
+      return vertices.select(col(idCol).as("id"))
+        .join(broadcast(labels), Seq("id"), "left")
+        .select(col("id"), coalesce(col("__c"), col("id")).as("comp"))
+    }
+
+    var labels = e
+      .select(col("src").as("id"), col("src").as("comp"))
+      .distinct()
       .localCheckpoint()
     var converged = false
     var i = 0
@@ -353,7 +423,9 @@ object Dedup {
       i += 1
     }
     require(converged, s"connectedComponents did not converge in $maxIter rounds")
-    labels
+    vertices.select(col(idCol).as("id"))
+      .join(labels.withColumnRenamed("comp", "__c"), Seq("id"), "left")
+      .select(col("id"), coalesce(col("__c"), col("id")).as("comp"))
   }
 
   /** Connected components by ALTERNATING large-star / small-star rounds

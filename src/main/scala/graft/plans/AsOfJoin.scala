@@ -315,13 +315,20 @@ object AsOfJoin {
     }
   }
 
+  // once per session (WeakHashMap releases dropped sessions) — per-call
+  // createOrReplaceTempFunction churn warns "replaced a previously
+  // registered function" on every asofJoin after the first
+  private val registeredSessions = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
+
   /** Idempotent registration on an EXISTING session via the public
     * experimental hooks (the builder-time equivalent is
     * [[GraftAsOfExtensions]]).
     */
   def ensureRegistered(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "asof_marker", exprs => AsOfMarker(exprs), "built-in")
+    if (registeredSessions.putIfAbsent(spark, java.lang.Boolean.TRUE) == null)
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "asof_marker", exprs => AsOfMarker(exprs), "built-in")
     if (!spark.experimental.extraOptimizations.contains(RewriteAsOfJoin))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ RewriteAsOfJoin

@@ -126,10 +126,17 @@ class OperatorsSpec extends SparkSpec {
     val vertices = Seq(1L, 2L, 3L, 4L, 10L, 11L, 12L, 20L).toDF("id")
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
       (10L, 12L)).toDF("a", "b")
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L)
     val got = Dedup.connectedComponents(vertices, "id", pairs, "a", "b")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
-    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
-      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L))
+    assert(got == expected)
+    // localEdgeLimit = 0 forces the distributed propagation loop — both
+    // paths must produce identical labels
+    val dist = Dedup.connectedComponents(vertices, "id", pairs, "a", "b",
+        localEdgeLimit = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(dist == expected)
   }
 
   test("connectedComponentsStar: deep chain converges in O(log n) rounds") {
@@ -171,6 +178,10 @@ class OperatorsSpec extends SparkSpec {
         .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
       assert(s == p, s"star vs propagation diverged: ${
         s.collect { case (k, v) if p(k) != v => (k, v, p(k)) }.take(5)}")
+      val pd = Dedup.connectedComponents(vsR, "id", edges, "a", "b",
+          localEdgeLimit = 0L)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(pd == p, "union-find endgame vs distributed loop diverged")
     }
   }
 
