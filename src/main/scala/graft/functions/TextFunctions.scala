@@ -110,6 +110,24 @@ object TextFunctions {
     */
   def fingerprint(c: Column): Column = md5(normalizeText(c))
 
+  /** PII patterns, kept RE2-compatible (no backreferences/lookaround) so
+    * the DuckDB oracle evaluates them identically to Java regex.
+    */
+  val EmailRegex: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRegex: String =
+    "(\\+\\d{1,2}[ .-])?(\\(\\d{3}\\)[ .-]?|\\d{3}[ .-])\\d{3}[ .-]\\d{4}"
+
+  /** redact emails then phone numbers with typed placeholders — the
+    * standard pre-training PII scrub. Pure per-row regex projection: no
+    * shuffle, codegen-friendly, O(doc length).
+    */
+  def redactPii(c: Column): Column =
+    regexp_replace(regexp_replace(c, EmailRegex, "<EMAIL>"),
+      PhoneRegex, "<PHONE>")
+
+  def emailCount(c: Column): Column = regexp_count(c, lit(EmailRegex))
+  def phoneCount(c: Column): Column = regexp_count(c, lit(PhoneRegex))
+
   /** distinct word k-shingles ("w1 w2 w3" strings) of the raw text. */
   def wordShingles(c: Column, k: Int): Column = {
     val toks = tokensWs(c)

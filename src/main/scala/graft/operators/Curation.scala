@@ -50,6 +50,43 @@ object Curation {
       .withColumn("bin", expr(s"start_off div $budget").cast("long"))
   }
 
+  /** Benchmark-contamination check: for every corpus document, how many of
+    * its distinct word-`k`-shingles appear in ANY document of `benchmark`
+    * (an eval/test set). Returns one row per corpus doc:
+    * (id, n_shared, n_shingles, overlap_frac, contaminated).
+    *
+    * Scale shape: benchmark shingle sets are small by definition (eval
+    * suites, not corpora) — their distinct hash set is broadcast, so the
+    * corpus side is ONE map-side semi-join pass + one groupBy(id) count;
+    * the corpus is never shuffled by shingle. Shingles are compared by
+    * xxhash64 ([[graft.functions.SketchExprs.shingle_hashes]]) — 8-byte
+    * keys, no shingle strings materialized (collision odds ~2^-40).
+    */
+  def contamination(corpus: DataFrame, idCol: String, textCol: String,
+      benchmark: DataFrame, benchTextCol: String,
+      shingleWords: Int = 3, threshold: Double = 0.5): DataFrame = {
+    import graft.functions.{SketchExprs, TextFunctions}
+    val bsh = benchmark.select(explode(SketchExprs.shingle_hashes(
+        TextFunctions.tokensWs(col(benchTextCol)), shingleWords)).as("__h"))
+      .distinct()
+    val csh = corpus.select(col(idCol).as("id"),
+      SketchExprs.shingle_hashes(
+        TextFunctions.tokensWs(col(textCol)), shingleWords).as("__shs"))
+    val shared = csh.select(col("id"), explode(col("__shs")).as("__h"))
+      .join(broadcast(bsh), "__h")
+      .groupBy(col("id")).agg(count(lit(1)).as("__ns"))
+    val frac = when(size(col("__shs")) === 0, 0.0d)
+      .otherwise(round(col("n_shared").cast("double") / size(col("__shs")), 4))
+    csh.join(shared, Seq("id"), "left")
+      .select(col("id"), coalesce(col("__ns"), lit(0L)).as("n_shared"),
+        col("__shs"))
+      .select(col("id"), col("n_shared"),
+        size(col("__shs")).cast("long").as("n_shingles"),
+        frac.as("overlap_frac"))
+      .withColumn("contaminated",
+        (col("overlap_frac") >= threshold).cast("long"))
+  }
+
   /** Survivor counts for a sequence of CUMULATIVE filter stages, computed
     * in a single aggregation pass (a UNION-of-counts formulation scans the
     * corpus once per stage; this scans once total — the difference between

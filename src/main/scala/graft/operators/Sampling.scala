@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling/selection operators for training-data pipelines:
+  * content-hash dataset splits, per-group caps, and token-budget selection.
+  *
+  * Everything is reproducible from row content alone (md5-based, no RNG, no
+  * partition-index dependence), so splits survive re-partitioning, engine
+  * changes, and incremental re-runs — the property that matters when the
+  * same 100 TB corpus is re-split across pipeline versions.
+  */
+object Sampling {
+
+  /** Assign each row a named split (train/val/test/...) by the md5 of
+    * `hashCol`: the first 8 hex digits are compared against cumulative
+    * weight thresholds in base-16 — a pure per-row projection, no shuffle,
+    * stable under any re-ordering or re-partitioning of the input.
+    *
+    * Hash the CONTENT (not a surrogate id) when near-duplicate leakage
+    * across splits matters: identical texts always land in the same split.
+    * Weights are normalized to sum 1.
+    */
+  def hashSplit(df: DataFrame, hashCol: Column,
+      splits: Seq[(String, Double)], outCol: String = "split"): DataFrame = {
+    require(splits.nonEmpty, "at least one split required")
+    require(splits.forall(_._2 > 0), "split weights must be positive")
+    val total = splits.map(_._2).sum
+    // thresholds: cumulative fraction in 8 hex digits (16^8 buckets); the
+    // last split takes the remainder so weights need not divide 2^32
+    val cums = splits.map(_._2).scanLeft(0.0)(_ + _).drop(1).dropRight(1)
+    val thresholds = cums.map(c => f"${(c / total * 4294967296.0).toLong}%08x")
+    val h = substring(md5(hashCol.cast("string")), 1, 8)
+    val assigned = thresholds.zip(splits.map(_._1))
+      .foldRight(lit(splits.last._1): Column) { case ((thr, name), rest) =>
+        when(h < lit(thr), name).otherwise(rest)
+      }
+    df.withColumn(outCol, assigned)
+  }
+
+  /** Keep at most `cap` rows per group, deterministically (first by
+    * `order`). One hash shuffle on the group key; the `row_number <= cap`
+    * filter is recognized by Spark's WindowGroupLimit rule, which prunes
+    * beyond-cap rows map-side BEFORE the shuffle — per-group heaps of size
+    * `cap`, never a full sort spill of a hot group.
+    */
+  def capPerGroup(df: DataFrame, groupCols: Seq[String], cap: Int,
+      order: Seq[Column]): DataFrame = {
+    require(cap > 0, "cap must be positive")
+    require(order.nonEmpty, "deterministic capping needs an order")
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(order: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= cap).drop("__rn")
+  }
+
+  /** Select rows in `order` (highest-value first, by convention) while the
+    * running token total stays within `budget` — the "best docs until the
+    * token budget is spent" curation step.
+    *
+    * TOTAL-ORDER variant (global single-partition window) for oracle
+    * parity and driver-scale candidate sets; at 100 TB pre-filter with a
+    * cheap quality threshold first, or budget per shard the way
+    * [[Curation.packSequencesSharded]] shards packing.
+    */
+  def selectTokenBudget(df: DataFrame, tokens: Column, budget: Long,
+      order: Seq[Column]): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    require(order.nonEmpty, "deterministic selection needs an order")
+    val w = Window.orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("n_tok", tokens)
+      .withColumn("cum_tok", sum(col("n_tok")).over(w))
+      .filter(col("cum_tok") <= budget)
+  }
+}

@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+import graft.operators.{Curation, Sampling}
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hashSplit: total assignment, determinism under reordering, rough fractions") {
+    val rows = (1 to 1000).map(i => s"document body number $i")
+    val df = rows.toDF("text")
+    val split = Sampling.hashSplit(df, col("text"),
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val counts = split.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum == 1000)
+    assert(counts("train") > 700 && counts("train") < 900)
+    assert(counts.keySet == Set("train", "val", "test"))
+    // content-hash: shuffled input produces the identical per-row mapping
+    val shuffled = scala.util.Random.shuffle(rows).toDF("text")
+      .repartition(7)
+    val a = split.select("text", "split").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    val b = Sampling.hashSplit(shuffled, col("text"),
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .select("text", "split").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(a == b)
+    // weights normalize: (8,1,1) == (0.8,0.1,0.1)
+    val c = Sampling.hashSplit(df, col("text"),
+        Seq("train" -> 8.0, "val" -> 1.0, "test" -> 1.0))
+      .select("text", "split").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(a == c)
+  }
+
+  test("capPerGroup keeps the first `cap` rows per group by the given order") {
+    val df = Seq((1, "a"), (2, "a"), (3, "a"), (4, "b"), (5, "b"), (6, "c"))
+      .toDF("id", "g")
+    val got = Sampling.capPerGroup(df, Seq("g"), 2, Seq(col("id")))
+      .select("id").as[Int].collect().sorted
+    assert(got.toSeq == Seq(1, 2, 4, 5, 6))
+  }
+
+  test("selectTokenBudget stops before the row that would exceed the budget") {
+    val df = Seq((1, 40L, 0.9), (2, 50L, 0.8), (3, 30L, 0.7), (4, 10L, 0.6))
+      .toDF("id", "tok", "q")
+    // order: q desc → ids 1,2,3,4; cum 40,90,120,130; budget 100 → ids 1,2
+    val got = Sampling.selectTokenBudget(df, col("tok"), 100L,
+        Seq(col("q").desc, col("id")))
+      .select("id").as[Int].collect().sorted
+    assert(got.toSeq == Seq(1, 2))
+    // a later smaller row does NOT backfill (greedy prefix, not knapsack)
+    val got2 = Sampling.selectTokenBudget(df, col("tok"), 95L,
+        Seq(col("q").desc, col("id")))
+      .select("id").as[Int].collect().sorted
+    assert(got2.toSeq == Seq(1, 2))
+  }
+
+  test("redactPii masks emails and phone variants; counts match") {
+    val df = Seq(
+      ("mail a.b+c@ex-ample.org and bob@x.io now", 2L, 0L),
+      ("call +1 555-123-4567 or (555) 123-4567 or 555.123.4567", 0L, 3L),
+      ("no pii here", 0L, 0L))
+      .toDF("t", "ne", "np")
+    val got = df.select(
+      TextFunctions.redactPii(col("t")).as("red"),
+      TextFunctions.emailCount(col("t")).cast("long").as("ge"),
+      TextFunctions.phoneCount(col("t")).cast("long").as("gp"),
+      col("ne"), col("np")).collect()
+    got.foreach { r =>
+      assert(r.getAs[Long]("ge") == r.getAs[Long]("ne"), r.toString)
+      assert(r.getAs[Long]("gp") == r.getAs[Long]("np"), r.toString)
+      assert(!r.getAs[String]("red").contains("@"))
+      val red = r.getAs[String]("red")
+      assert(!"""\d{3}[ .-]\d{4}""".r.findFirstIn(red).isDefined, red)
+    }
+    assert(got.head.getAs[String]("red") == "mail <EMAIL> and <EMAIL> now")
+  }
+
+  test("contamination flags docs overlapping the benchmark set") {
+    val bench = Seq((100L, "alpha beta gamma delta epsilon zeta")).toDF("id", "text")
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"), // identical → frac 1.0
+      (2L, "alpha beta gamma unrelated words here entirely"), // partial
+      (3L, "totally different content with no overlap at all"), // none
+      (4L, "ab")) // < 3 tokens → zero shingles
+      .toDF("id", "text")
+    val got = Curation.contamination(corpus, "id", "text", bench, "text")
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4)))
+    assert(got(0) == ((1L, 4L, 4L, 1.0, 1L)))
+    assert(got(1)._2 == 1L && got(1)._5 == 0L) // "alpha beta gamma" shared
+    assert(got(2) == ((3L, 0L, 6L, 0.0, 0L)))
+    assert(got(3) == ((4L, 0L, 0L, 0.0, 0L)))
+  }
+}
