@@ -79,7 +79,21 @@ object Queries3 {
       .orderBy(col("doc_id"))
   }
 
+  /** dataset-mixture reweighting: per-language keep rates (en halved,
+    * zh dropped, de kept whole, ...) applied as a deterministic
+    * content-hash Bernoulli; summarized per language.
+    */
+  def q59_mixture_sample(s: SparkSession, dir: String): DataFrame =
+    Sampling.mixtureSample(t(s, dir, "documents"), col("lang"),
+        Map("en" -> 0.5, "de" -> 1.0, "fr" -> 0.25, "es" -> 0.1),
+        col("text"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"),
+        sum(TextFunctions.tokenCountWs(col("text")).cast("long")).as("tok_sum"))
+      .orderBy(col("lang"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q59_mixture_sample" -> q59_mixture_sample _,
     "q54_hash_split" -> q54_hash_split _,
     "q55_cap_per_group" -> q55_cap_per_group _,
     "q56_token_budget" -> q56_token_budget _,
@@ -88,6 +102,18 @@ object Queries3 {
   )
 
   val oracles: Map[String, String] = Map(
+    "q59_mixture_sample" ->
+      """SELECT lang, count(*) AS n,
+        |  CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT)
+        |    AS tok_sum
+        |FROM documents
+        |WHERE CASE lang
+        |  WHEN 'en' THEN substr(md5(text), 1, 8) < '80000000'
+        |  WHEN 'de' THEN true
+        |  WHEN 'fr' THEN substr(md5(text), 1, 8) < '40000000'
+        |  WHEN 'es' THEN substr(md5(text), 1, 8) < '19999999'
+        |  ELSE false END
+        |GROUP BY lang ORDER BY lang""".stripMargin,
     "q54_hash_split" ->
       """WITH s AS (
         |  SELECT CASE WHEN substr(md5(text), 1, 8) < 'cccccccc' THEN 'train'

@@ -40,6 +40,32 @@ object Sampling {
     df.withColumn(outCol, assigned)
   }
 
+  /** Deterministic domain-weighted subsample — the dataset-mixture step of
+    * a pretraining pipeline: keep each row of domain `d` with probability
+    * `rates(d)`, decided by the md5 of `hashCol` (reproducible,
+    * partition-independent Bernoulli; domains absent from `rates` are
+    * dropped). Pure per-row filter, no shuffle; the same row always makes
+    * the same keep/drop decision across runs and engines.
+    */
+  def mixtureSample(df: DataFrame, domainCol: Column,
+      rates: Map[String, Double], hashCol: Column): DataFrame = {
+    require(rates.nonEmpty, "at least one domain rate required")
+    require(rates.values.forall(r => r >= 0 && r <= 1),
+      "rates must be within [0, 1]")
+    val h = substring(md5(hashCol.cast("string")), 1, 8)
+    // rate 1.0 would format as a 9-digit threshold and break the 8-char
+    // string comparison — special-case the degenerate rates
+    val keep = rates.toSeq.sortBy(_._1)
+      .foldRight(lit(false): Column) { case ((dom, r), rest) =>
+        val cond =
+          if (r >= 1.0) lit(true)
+          else if (r <= 0.0) lit(false)
+          else h < lit(f"${(r * 4294967296.0).toLong}%08x")
+        when(domainCol === dom, cond).otherwise(rest)
+      }
+    df.filter(keep)
+  }
+
   /** Keep at most `cap` rows per group, deterministically (first by
     * `order`). One hash shuffle on the group key; the `row_number <= cap`
     * filter is recognized by Spark's WindowGroupLimit rule, which prunes

@@ -36,6 +36,26 @@ class SamplingSpec extends SparkSpec {
     assert(a == c)
   }
 
+  test("mixtureSample: degenerate rates exact, others approximate, absent domains dropped") {
+    val df = (1 to 400).map(i => (s"doc body $i", if (i % 4 == 0) "a"
+      else if (i % 4 == 1) "b" else if (i % 4 == 2) "c" else "z"))
+      .toDF("text", "dom")
+    val got = Sampling.mixtureSample(df, col("dom"),
+        Map("a" -> 1.0, "b" -> 0.5, "c" -> 0.0), col("text"))
+      .groupBy("dom").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got("a") == 100)           // rate 1.0 keeps everything
+    assert(!got.contains("c"))        // rate 0.0 drops everything
+    assert(!got.contains("z"))        // unlisted domain dropped
+    assert(got("b") > 30 && got("b") < 70) // ~0.5 of 100
+    // decision is per-content: repartitioned input keeps the same rows
+    val keep1 = Sampling.mixtureSample(df, col("dom"),
+      Map("b" -> 0.5), col("text")).select("text").as[String].collect().toSet
+    val keep2 = Sampling.mixtureSample(df.repartition(13), col("dom"),
+      Map("b" -> 0.5), col("text")).select("text").as[String].collect().toSet
+    assert(keep1 == keep2)
+  }
+
   test("capPerGroup keeps the first `cap` rows per group by the given order") {
     val df = Seq((1, "a"), (2, "a"), (3, "a"), (4, "b"), (5, "b"), (6, "c"))
       .toDF("id", "g")
