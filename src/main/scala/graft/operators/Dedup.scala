@@ -376,7 +376,9 @@ object Dedup {
       // Timestamp/...) is java.lang.Comparable
       def lt(x: Any, y: Any): Boolean =
         x.asInstanceOf[java.lang.Comparable[Any]].compareTo(y) < 0
-      e.toLocalIterator().forEachRemaining { row =>
+      // one collect job (≤ localEdgeLimit rows by the gate above) —
+      // toLocalIterator would schedule a mini-job per partition
+      e.collect().foreach { row =>
         val (ra, rb) = (find(row.get(0)), find(row.get(1)))
         if (ra != rb) { // union under min — roots stay component minima
           if (lt(ra, rb)) parent.put(rb, ra) else parent.put(ra, rb)
