@@ -69,24 +69,28 @@ object Curation {
     val bsh = benchmark.select(explode(SketchExprs.shingle_hashes(
         TextFunctions.tokensWs(col(benchTextCol)), shingleWords)).as("__h"))
       .distinct()
-    // one exchange shared by the overlap-count branch and the final join
-    // (ReusedExchange) — without it the corpus shingle computation
-    // executes once per branch
-    val csh = corpus.select(col(idCol).as("id"),
+    // ONE corpus pass: the doc's shingle count rides along the explode
+    // (explode_outer keeps zero-shingle docs as a null-hash row), the
+    // broadcast left join marks benchmark hits map-side, and the partial
+    // aggregation collapses each doc to a single (id, n, hits) row BEFORE
+    // the only shuffle. A two-branch formulation (count matches, join
+    // counts back onto the shingle relation) executes the corpus scan
+    // twice — AQE does not reuse the exchange across those branches
+    // (verified on the executed plan).
+    val ex = corpus.select(col(idCol).as("id"),
         SketchExprs.shingle_hashes(
           TextFunctions.tokensWs(col(textCol)), shingleWords).as("__shs"))
-      .repartition(col("id"))
-    val shared = csh.select(col("id"), explode(col("__shs")).as("__h"))
-      .join(broadcast(bsh), "__h")
-      .groupBy(col("id")).agg(count(lit(1)).as("__ns"))
-    val frac = when(size(col("__shs")) === 0, 0.0d)
-      .otherwise(round(col("n_shared").cast("double") / size(col("__shs")), 4))
-    csh.join(shared, Seq("id"), "left")
-      .select(col("id"), coalesce(col("__ns"), lit(0L)).as("n_shared"),
-        col("__shs"))
-      .select(col("id"), col("n_shared"),
-        size(col("__shs")).cast("long").as("n_shingles"),
-        frac.as("overlap_frac"))
+      .select(col("id"), size(col("__shs")).as("__n"),
+        explode_outer(col("__shs")).as("__h"))
+    val hits = ex.join(broadcast(bsh.withColumn("__hit", lit(1))),
+      Seq("__h"), "left")
+    hits.groupBy(col("id"))
+      .agg(first(col("__n")).cast("long").as("n_shingles"),
+        count(col("__hit")).as("n_shared"))
+      .select(col("id"), col("n_shared"), col("n_shingles"),
+        when(col("n_shingles") === 0, 0.0d)
+          .otherwise(round(col("n_shared").cast("double") / col("n_shingles"), 4))
+          .as("overlap_frac"))
       .withColumn("contaminated",
         (col("overlap_frac") >= threshold).cast("long"))
   }
