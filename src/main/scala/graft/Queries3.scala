@@ -92,7 +92,22 @@ object Queries3 {
         sum(TextFunctions.tokenCountWs(col("text")).cast("long")).as("tok_sum"))
       .orderBy(col("lang"))
 
+  /** epoch-plan upsampling: fractional per-language repeat weights
+    * (de×2.5, es×3, en×0.5, fr×1; zh dropped) as deterministic
+    * content-hash copies; per-language row/doc/copy summary.
+    */
+  def q60_repeat_weighted(s: SparkSession, dir: String): DataFrame =
+    Sampling.repeatWeighted(t(s, dir, "documents"), col("lang"),
+        Map("en" -> 0.5, "de" -> 2.5, "fr" -> 1.0, "es" -> 3.0),
+        col("text"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        max(col("copy")).as("max_copy"))
+      .orderBy(col("lang"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q60_repeat_weighted" -> q60_repeat_weighted _,
     "q59_mixture_sample" -> q59_mixture_sample _,
     "q54_hash_split" -> q54_hash_split _,
     "q55_cap_per_group" -> q55_cap_per_group _,
@@ -102,6 +117,25 @@ object Queries3 {
   )
 
   val oracles: Map[String, String] = Map(
+    "q60_repeat_weighted" ->
+      """WITH c AS (
+        |  SELECT doc_id, lang,
+        |    CASE lang
+        |      WHEN 'en' THEN CASE WHEN substr(md5(text), 1, 8) < '80000000'
+        |        THEN 1 ELSE 0 END
+        |      WHEN 'de' THEN 2 + CASE WHEN substr(md5(text), 1, 8) < '80000000'
+        |        THEN 1 ELSE 0 END
+        |      WHEN 'fr' THEN 1
+        |      WHEN 'es' THEN 3
+        |      ELSE 0 END AS copies
+        |  FROM documents
+        |), r AS (
+        |  SELECT doc_id, lang, unnest(range(0, copies)) AS copy
+        |  FROM c WHERE copies > 0
+        |)
+        |SELECT lang, count(*) AS n_rows, count(DISTINCT doc_id) AS n_docs,
+        |  CAST(max(copy) AS BIGINT) AS max_copy
+        |FROM r GROUP BY lang ORDER BY lang""".stripMargin,
     "q59_mixture_sample" ->
       """SELECT lang, count(*) AS n,
         |  CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT)

@@ -66,6 +66,38 @@ object Sampling {
     df.filter(keep)
   }
 
+  /** Deterministic weighted UPsampling — the other half of epoch planning
+    * ([[mixtureSample]] thins, this repeats): each row of domain `d` is
+    * emitted floor(w_d) or ceil(w_d) times, the fractional part decided by
+    * the content-hash Bernoulli, so a domain weighted 2.25 emits each doc
+    * 2 or 3 times with the exact long-run average, reproducibly. Output
+    * adds a 0-based `copy` index; domains absent from `weights` (and
+    * Bernoulli-dropped rows of weight < 1) are emitted zero times.
+    * Pure per-row generate, no shuffle.
+    */
+  def repeatWeighted(df: DataFrame, domainCol: Column,
+      weights: Map[String, Double], hashCol: Column,
+      copyCol: String = "copy"): DataFrame = {
+    require(weights.nonEmpty, "at least one domain weight required")
+    require(weights.values.forall(_ >= 0), "weights must be non-negative")
+    val h = substring(md5(hashCol.cast("string")), 1, 8)
+    val copies = weights.toSeq.sortBy(_._1)
+      .foldRight(lit(0): Column) { case ((dom, w), rest) =>
+        val base = math.floor(w).toLong
+        val frac = w - base
+        val extra =
+          if (frac <= 0.0) lit(0L)
+          else when(h < lit(f"${(frac * 4294967296.0).toLong}%08x"), 1L)
+            .otherwise(0L)
+        when(domainCol === dom, lit(base) + extra).otherwise(rest)
+      }
+    df.withColumn("__copies", copies)
+      .filter(col("__copies") > 0)
+      .withColumn(copyCol,
+        explode(sequence(lit(0L), col("__copies") - 1, lit(1L))))
+      .drop("__copies")
+  }
+
   /** Keep at most `cap` rows per group, deterministically (first by
     * `order`). One hash shuffle on the group key; the `row_number <= cap`
     * filter is recognized by Spark's WindowGroupLimit rule, which prunes

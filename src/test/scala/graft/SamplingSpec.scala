@@ -56,6 +56,35 @@ class SamplingSpec extends SparkSpec {
     assert(keep1 == keep2)
   }
 
+  test("repeatWeighted emits floor/ceil copies with contiguous copy indices") {
+    val df = (1 to 300).map(i => (s"text $i", i % 3 match {
+      case 0 => "a"; case 1 => "b"; case _ => "z"
+    })).toDF("text", "dom")
+    val got = Sampling.repeatWeighted(df, col("dom"),
+      Map("a" -> 2.5, "b" -> 1.0), col("text"))
+    val perDoc = got.groupBy("text", "dom")
+      .agg(count(lit(1)).as("n"), max(col("copy")).as("mx"),
+        min(col("copy")).as("mn"))
+      .collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // copy indices are 0..n-1 per doc
+    assert(perDoc.forall { case (_, n, mx, mn) => mn == 0 && mx == n - 1 })
+    val aCounts = perDoc.filter(_._1 == "a").map(_._2)
+    assert(aCounts.forall(n => n == 2 || n == 3))
+    // fractional part ~0.5: both outcomes occur
+    assert(aCounts.toSet == Set(2L, 3L))
+    assert(perDoc.filter(_._1 == "b").forall(_._2 == 1))
+    assert(!perDoc.exists(_._1 == "z")) // unlisted domain emitted 0 times
+    // repartitioned input produces the identical multiset
+    val again = Sampling.repeatWeighted(df.repartition(11), col("dom"),
+        Map("a" -> 2.5, "b" -> 1.0), col("text"))
+      .groupBy("text").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val first = got.groupBy("text").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(first == again)
+  }
+
   test("capPerGroup keeps the first `cap` rows per group by the given order") {
     val df = Seq((1, "a"), (2, "a"), (3, "a"), (4, "b"), (5, "b"), (6, "c"))
       .toDF("id", "g")
