@@ -29,5 +29,7 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // managed-table tests (bucketing) must not drop spark-warehouse/ in cwd
+  "-Dspark.sql.warehouse.dir=/tmp/graft_warehouse",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Bucketed-table layout for co-located joins — the third leg of the
+  * join-at-scale toolkit beside `broadcast()` (small dims) and
+  * [[Joins.saltedJoin]] (skew): pre-hash-partition BOTH sides of a
+  * repeated equi-join into the same number of buckets at WRITE time, and
+  * every subsequent join/aggregation on the bucket key skips its shuffle
+  * entirely — the exchange is paid once, not per query. This is how a
+  * 100 TB fact table joins its dimensions daily without re-shuffling
+  * 100 TB daily.
+  *
+  * Spark only honors bucket metadata through the catalog, so these are
+  * managed tables (`saveAsTable`), not path writes; `bucketJoin` is just a
+  * plain join — bucketing is a STORAGE property, the plan benefit
+  * (`SortMergeJoin` with no `Exchange` under either side) is automatic
+  * when bucket counts match.
+  */
+object Bucketing {
+
+  /** Write `df` as a bucketed (and optionally sorted) managed table.
+    * Sorting within buckets additionally removes the per-query Sort under
+    * a sort-merge join.
+    */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+      buckets: Int, sortCols: Seq[String] = Nil,
+      mode: String = "overwrite"): Unit = {
+    require(buckets > 0, "buckets must be positive")
+    val w = df.write.mode(mode).bucketBy(buckets, bucketCol)
+    val sorted =
+      if (sortCols.isEmpty) w
+      else w.sortBy(sortCols.head, sortCols.tail: _*)
+    sorted.saveAsTable(table)
+  }
+
+  /** Equi-join two bucketed tables on `key`. With matching bucket counts
+    * the physical plan contains NO shuffle exchange on either side
+    * (asserted in BucketingSpec).
+    */
+  def bucketJoin(spark: SparkSession, leftTable: String, rightTable: String,
+      key: String, joinType: String = "inner"): DataFrame =
+    spark.table(leftTable)
+      .join(spark.table(rightTable), Seq(key), joinType)
+}
