@@ -30,6 +30,9 @@ object GraftSession {
       functions.SketchExprs.ensureRegistered()
       functions.TextExprs.ensureRegistered()
       plans.MinHashAgg.ensureRegistered()
+      // asof_marker + its optimizer rule/strategy, so SQL text can spell
+      // an as-of join (JOIN ... ON asof_marker(k_l, k_r, t_l, t_r, mode))
+      plans.AsOfJoin.ensureRegistered(spark)
     } finally prev.foreach(SparkSession.setActiveSession)
     spark
   }

@@ -21,7 +21,9 @@ object Sampling {
     *
     * Hash the CONTENT (not a surrogate id) when near-duplicate leakage
     * across splits matters: identical texts always land in the same split.
-    * Weights are normalized to sum 1.
+    * Weights are normalized to sum 1. A NULL hash value yields a NULL
+    * split (not a silent assignment into the last — i.e. test — split);
+    * the caller decides what null content means.
     */
   def hashSplit(df: DataFrame, hashCol: Column,
       splits: Seq[(String, Double)], outCol: String = "split"): DataFrame = {
@@ -37,15 +39,17 @@ object Sampling {
       .foldRight(lit(splits.last._1): Column) { case ((thr, name), rest) =>
         when(h < lit(thr), name).otherwise(rest)
       }
-    df.withColumn(outCol, assigned)
+    df.withColumn(outCol,
+      when(h.isNotNull, assigned).otherwise(lit(null).cast("string")))
   }
 
   /** Deterministic domain-weighted subsample — the dataset-mixture step of
     * a pretraining pipeline: keep each row of domain `d` with probability
     * `rates(d)`, decided by the md5 of `hashCol` (reproducible,
     * partition-independent Bernoulli; domains absent from `rates` are
-    * dropped). Pure per-row filter, no shuffle; the same row always makes
-    * the same keep/drop decision across runs and engines.
+    * dropped, as are NULL-hash rows — null content cannot make a stable
+    * decision). Pure per-row filter, no shuffle; the same row always
+    * makes the same keep/drop decision across runs and engines.
     */
   def mixtureSample(df: DataFrame, domainCol: Column,
       rates: Map[String, Double], hashCol: Column): DataFrame = {
@@ -72,8 +76,9 @@ object Sampling {
     * the content-hash Bernoulli, so a domain weighted 2.25 emits each doc
     * 2 or 3 times with the exact long-run average, reproducibly. Output
     * adds a 0-based `copy` index; domains absent from `weights` (and
-    * Bernoulli-dropped rows of weight < 1) are emitted zero times.
-    * Pure per-row generate, no shuffle.
+    * Bernoulli-dropped rows of weight < 1) are emitted zero times; a
+    * NULL-hash row gets the floor count (the fractional extra needs a
+    * stable coin). Pure per-row generate, no shuffle.
     */
   def repeatWeighted(df: DataFrame, domainCol: Column,
       weights: Map[String, Double], hashCol: Column,

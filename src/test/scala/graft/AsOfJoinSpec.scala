@@ -32,6 +32,23 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out("t4") == null)  // unknown key
   }
 
+  test("SQL-spelled as-of join via GraftSession.init (asof_marker in join ON)") {
+    GraftSession.init(spark)
+    Seq((1L, ts("2024-01-01 10:00:05"), "t1"),
+      (2L, ts("2024-01-01 09:00:00"), "t3"))
+      .toDF("sym", "t_ts", "trade").createOrReplaceTempView("sql_trades")
+    Seq((1L, ts("2024-01-01 10:00:03"), 101.0),
+      (1L, ts("2024-01-01 10:00:04"), 102.0))
+      .toDF("q_sym", "q_ts", "px").createOrReplaceTempView("sql_quotes")
+    val out = spark.sql(
+      """SELECT trade, px FROM sql_trades LEFT JOIN sql_quotes
+        |ON asof_marker(sym, q_sym, t_ts, q_ts, 'broadcast')""".stripMargin)
+      .collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(1)) null else r.getDouble(1)))
+      .toMap
+    assert(out == Map("t1" -> 102.0, "t3" -> null))
+  }
+
   test("native as-of join matches the compositional q23 result") {
     val dir = "/root/testdata/sf0.001"
     val e = Tables(spark, dir, "events").select(col("event_id"), col("user_id"), col("ts"))

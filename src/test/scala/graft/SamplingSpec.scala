@@ -28,6 +28,13 @@ class SamplingSpec extends SparkSpec {
       .select("text", "split").collect()
       .map(r => r.getString(0) -> r.getString(1)).toMap
     assert(a == b)
+    // null content → null split (never a silent landing in the last split)
+    val withNull = Seq(Option("doc x"), None).toDF("text")
+    val ns = Sampling.hashSplit(withNull, col("text"),
+        Seq("train" -> 0.8, "test" -> 0.2))
+      .collect().map(r => Option(r.getString(0)).getOrElse("NULL") ->
+        Option(r.getString(1)).orNull).toMap
+    assert(ns("NULL") == null && ns("doc x") != null)
     // weights normalize: (8,1,1) == (0.8,0.1,0.1)
     val c = Sampling.hashSplit(df, col("text"),
         Seq("train" -> 8.0, "val" -> 1.0, "test" -> 1.0))
