@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
-import graft.operators.{Curation, Sampling}
+import graft.operators.{Curation, RangeJoin, Sampling}
 
 /** Third query batch: deterministic sampling/selection + data-governance
   * operators of a training-data pipeline (hash splits, per-group caps,
@@ -106,7 +106,24 @@ object Queries3 {
         max(col("copy")).as("max_copy"))
       .orderBy(col("lang"))
 
+  /** binned range join: order totals bucketed into price bands via
+    * point-in-interval semantics (the equi-join rewrite, never a nested
+    * loop — RangeJoinSpec pins the plan shape). Integer-valued band
+    * edges so double comparisons are engine-exact.
+    */
+  def q61_range_join(s: SparkSession, dir: String): DataFrame = {
+    val bands = s.range(0, 24).select(col("id").as("band"),
+      (col("id") * lit(25000.0)).as("lo"),
+      (col("id") * lit(25000.0) + lit(24999.0)).as("hi"))
+    RangeJoin.pointInInterval(t(s, dir, "orders"), col("o_totalprice"),
+        bands, col("lo"), col("hi"), binWidth = 25000.0)
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 4).as("tp_sum"))
+      .orderBy(col("band"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q61_range_join" -> q61_range_join _,
     "q60_repeat_weighted" -> q60_repeat_weighted _,
     "q59_mixture_sample" -> q59_mixture_sample _,
     "q54_hash_split" -> q54_hash_split _,
@@ -117,6 +134,14 @@ object Queries3 {
   )
 
   val oracles: Map[String, String] = Map(
+    "q61_range_join" ->
+      """WITH bands AS (
+        |  SELECT i AS band, i * 25000.0 AS lo, i * 25000.0 + 24999.0 AS hi
+        |  FROM range(0, 24) t(i)
+        |)
+        |SELECT band, count(*) AS n, round(sum(o_totalprice), 4) AS tp_sum
+        |FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice <= hi
+        |GROUP BY band ORDER BY band""".stripMargin,
     "q60_repeat_weighted" ->
       """WITH c AS (
         |  SELECT doc_id, lang,
