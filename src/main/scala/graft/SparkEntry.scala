@@ -12,10 +12,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Queries.all ++ ExtQueries.all ++ Queries2.all ++ Queries3.all
+    Queries.all ++ ExtQueries.all ++ Queries2.all ++ Queries3.all ++
+      Queries4.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Queries.oracles ++ ExtQueries.oracles ++ Queries2.oracles ++ Queries3.oracles
+    Queries.oracles ++ ExtQueries.oracles ++ Queries2.oracles ++
+      Queries3.oracles ++ Queries4.oracles
 }

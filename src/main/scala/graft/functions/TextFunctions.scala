@@ -128,6 +128,18 @@ object TextFunctions {
   def emailCount(c: Column): Column = regexp_count(c, lit(EmailRegex))
   def phoneCount(c: Column): Column = regexp_count(c, lit(PhoneRegex))
 
+  /** ALL word k-grams in document order (duplicates kept — for corpus
+    * frequency counting / vocab building, unlike [[wordShingles]] which
+    * dedups for set-similarity).
+    */
+  def ngrams(c: Column, k: Int): Column = {
+    val toks = tokensWs(c)
+    val n = size(toks)
+    when(n < k, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), n - (k - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(k)))))
+  }
+
   /** distinct word k-shingles ("w1 w2 w3" strings) of the raw text. */
   def wordShingles(c: Column, k: Int): Column = {
     val toks = tokensWs(c)

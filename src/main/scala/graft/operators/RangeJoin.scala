@@ -41,4 +41,28 @@ object RangeJoin {
       .filter(point >= lo && point <= hi)
       .drop("__bin")
   }
+
+  /** All (left, right) pairs whose closed intervals [llo,lhi] and
+    * [rlo,rhi] overlap. Both sides explode into the bins they span and
+    * equi-join on the bin id; a pair sharing k bins is kept only in the
+    * "owner" bin — the one containing max(llo, rlo), which lies in both
+    * intervals whenever they overlap — so each pair is emitted exactly
+    * once with no downstream distinct. Inverted and NULL intervals match
+    * nothing. Disambiguate column names before calling.
+    */
+  def intervalOverlap(left: DataFrame, llo: Column, lhi: Column,
+      right: DataFrame, rlo: Column, rhi: Column,
+      binWidth: Double): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    def bins(lo: Column, hi: Column) = explode(sequence(
+      floor(lo / binWidth).cast("long"),
+      floor(hi / binWidth).cast("long"), lit(1L)))
+    val l = left.filter(llo <= lhi).withColumn("__bin", bins(llo, lhi))
+    val r = right.filter(rlo <= rhi).withColumn("__bin", bins(rlo, rhi))
+    l.join(r, Seq("__bin"))
+      .filter(llo <= rhi && rlo <= lhi)
+      .filter(col("__bin") ===
+        floor(greatest(llo, rlo) / binWidth).cast("long"))
+      .drop("__bin")
+  }
 }

@@ -53,6 +53,45 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Two-stage quantized top-k: scan int8-quantized vectors (4× less
+    * memory traffic than float32 — at 100 TB the quantized corpus column
+    * is the one that fits in cache/shuffle), keep `rescoreFactor`·k
+    * candidates per query by integer dot, then fetch ONLY the survivors'
+    * float vectors for an exact cosine re-rank. The candidate scan carries
+    * just (id, bytes); full vectors never enter the pair loop.
+    */
+  def quantizedTopK(
+      queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      scale: Double = 0.05, rescoreFactor: Int = 4): DataFrame = {
+    import graft.functions.VectorExprs.{vec_dot_q8, vec_q8}
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      vec_q8(col(vecCol), scale).as("__qq"), col(vecCol).as("__qv"),
+      vec_l2norm(col(vecCol)).as("__qn")))
+    val cand = corpus
+      .select(col(idCol).as("match_id"), vec_q8(col(vecCol), scale).as("__cq"))
+      .crossJoin(q.select(col("query_id"), col("__qq")))
+      .filter(col("match_id") =!= col("query_id"))
+      .select(col("query_id"), col("match_id"),
+        vec_dot_q8(col("__qq"), col("__cq")).as("__qdot"))
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("__qdot").desc, col("match_id").asc)
+    val survivors = cand.withColumn("__qr", row_number().over(wq))
+      .filter(col("__qr") <= k * rescoreFactor)
+      .select("query_id", "match_id")
+    val cExact = corpus.select(col(idCol).as("match_id"),
+      col(vecCol).as("__cv"), vec_l2norm(col(vecCol)).as("__cn"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("match_id").asc)
+    survivors.join(cExact, "match_id")
+      .join(q.select(col("query_id"), col("__qv"), col("__qn")), "query_id")
+      .select(col("query_id"), col("match_id"),
+        (vec_dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")))
+          .as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Global top-n most-similar pairs (id_a < id_b), EXACT — the contract
     * when no similarity floor is known a priori. O(n²) dot products (any
     * exact dense-vector algorithm is), but each side's norm is precomputed

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextFunctions, VectorExprs}
+import graft.operators.Similarity
+
+class QuantizeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("vec_q8: half-up rounding, clamping, negatives, float widening") {
+    val df = Seq((1L, Seq(0.0f, 0.05f, 0.074f, 0.075f, -0.075f, 10.0f, -10.0f)))
+      .toDF("id", "v")
+    val bytes = df.select(VectorExprs.vec_q8(col("v"), 0.05).as("q"))
+      .collect()(0).getAs[Array[Byte]](0)
+    // 0.075f/0.05 = 1.50000002… (float 0.075 is slightly above) → floor(+0.5) = 2
+    // -0.075f → floor(-1.0000…) = -2; wait: floor(-1.5000…+0.5) = floor(-1.0000002) = -2
+    assert(bytes.toSeq == Seq[Byte](0, 1, 1, 2, -2, 127, -127))
+  }
+
+  test("vec_dot_q8 equals manual integer dot over the common prefix") {
+    val df = Seq((Seq(0.1f, -0.2f, 0.3f), Seq(0.1f, 0.2f, -0.3f, 9f)))
+      .toDF("a", "b")
+    val got = df.select(VectorExprs.vec_dot_q8(
+        VectorExprs.vec_q8(col("a"), 0.1),
+        VectorExprs.vec_q8(col("b"), 0.1)).as("d"))
+      .collect()(0).getLong(0)
+    // quantized: a=[1,-2,3], b=[1,2,-3,90] → 1*1 + (-2)*2 + 3*(-3) = -12
+    assert(got == -12L)
+  }
+
+  test("quantizedTopK with full-corpus rescore equals brute force") {
+    val emb = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val queries = emb.filter(col("vec_id") % 25 === 0)
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "match_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val brute = key(Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", 3))
+    val n = emb.count().toInt
+    val full = key(Similarity.quantizedTopK(queries, emb, "vec_id", "embedding", 3,
+      rescoreFactor = n))
+    assert(full == brute)
+  }
+
+  test("quantizedTopK at rescoreFactor=4 keeps high recall vs brute force") {
+    val emb = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val queries = emb.filter(col("vec_id") % 25 === 0)
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "match_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = key(Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", 5))
+    val quant = key(Similarity.quantizedTopK(queries, emb, "vec_id", "embedding", 5))
+    val recall = (brute & quant).size.toDouble / brute.size
+    assert(recall >= 0.9, s"recall $recall")
+  }
+
+  test("ngrams keeps duplicates in document order; short docs empty") {
+    val df = Seq("a b a b", "a", "", "  x  y  ").toDF("t")
+    val got = df.select(TextFunctions.ngrams(col("t"), 2).as("g"))
+      .collect().map(r => r.getSeq[String](0).toList).toList
+    assert(got == List(List("a b", "b a", "a b"), Nil, Nil, List("x y")))
+  }
+}

@@ -45,6 +45,53 @@ class RangeJoinSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
+  test("interval overlap == naive; each pair exactly once across shared bins") {
+    val a = (1 to 200).map { i =>
+      val lo = (i % 31) * 3.0 - 40.0
+      (i.toLong, lo, lo + (i % 11) * 4.0) // widths 0..40 → spans many bins
+    }.toDF("aid", "a_lo", "a_hi")
+    val b = (1 to 80).map { i =>
+      val lo = (i % 17) * 5.0 - 35.0
+      (i.toLong, lo, lo + (i % 5) * 7.0)
+    }.toDF("bid", "b_lo", "b_hi")
+
+    val naive = a.join(b, col("a_lo") <= col("b_hi") && col("b_lo") <= col("a_hi"))
+      .select("aid", "bid").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val binned = RangeJoin.intervalOverlap(a, col("a_lo"), col("a_hi"),
+        b, col("b_lo"), col("b_hi"), binWidth = 6.0)
+      .select("aid", "bid").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(binned.toSet == naive.toSet)
+    assert(naive.nonEmpty)
+    // no duplicate emission: wide intervals share many bins but the owner-bin
+    // rule keeps exactly one copy per pair
+    assert(binned.length == binned.toSet.size)
+    assert(binned.length == naive.length)
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = RangeJoin.intervalOverlap(a, col("a_lo"), col("a_hi"),
+          b, col("b_lo"), col("b_hi"), binWidth = 6.0)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoop") &&
+        !plan.contains("CartesianProduct"), plan.take(500))
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
+  test("interval overlap edges: inverted/null intervals drop, touch counts") {
+    val a = Seq((1L, Some(0.0), Some(10.0)), (2L, Some(5.0), Some(4.0)),
+        (3L, None, Some(3.0)))
+      .toDF("aid", "a_lo", "a_hi")
+    val b = Seq((10L, Some(10.0), Some(12.0)), // touches aid 1 at exactly 10
+        (11L, Some(-7.0), Some(-0.5)),         // misses everything
+        (12L, Some(3.0), Some(3.0)))           // point-interval inside aid 1
+      .toDF("bid", "b_lo", "b_hi")
+    val got = RangeJoin.intervalOverlap(a, col("a_lo"), col("a_hi"),
+        b, col("b_lo"), col("b_hi"), binWidth = 4.0)
+      .select("aid", "bid").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    assert(got == Set((1L, 10L), (1L, 12L)))
+  }
+
   test("range join edges: inverted and null intervals, null points, negatives") {
     val points = Seq((1L, Some(-3.0)), (2L, Some(0.0)), (3L, None))
       .toDF("pid", "v")
