@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{TextFunctions, VectorExprs}
-import graft.operators.RangeJoin
+import graft.operators.{RangeJoin, Vocab}
 
 /** Fourth query batch: interval analytics + corpus-vocabulary + quantized
   * vector math. All three DuckDB-oracled — the quantization is spelled as
@@ -41,12 +41,29 @@ object Queries4 {
     * more than the distinct-bigram counts.
     */
   def q63_top_bigrams(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
-      .select(explode(TextFunctions.ngrams(col("text"), 2)).as("bigram"))
-      .groupBy(col("bigram"))
-      .agg(count(lit(1)).as("n"))
-      .orderBy(col("n").desc, col("bigram"))
-      .limit(20)
+    Vocab.topNgrams(t(s, dir, "documents"), col("text"), 2, 20)
+      .select(col("ngram").as("bigram"), col("freq").as("n"))
+
+  /** per-document top TF-IDF term (keyword extraction): tf · ln(N/df),
+    * ranked on the unrounded score in BOTH engines so near-ties resolve
+    * identically, rounded only for output.
+    */
+  def q65_tfidf(s: SparkSession, dir: String): DataFrame =
+    Vocab.tfidfTopTerms(t(s, dir, "documents"), "doc_id", col("text"), 1)
+      .select(col("doc_id"), col("term"), round(col("tfidf"), 4).as("tfidf"))
+      .orderBy(col("doc_id"))
+
+  /** per-label embedding centroids — the class-prototype pass (seed of
+    * k-means / nearest-class-mean classification). posexplode + one
+    * map-side-combinable avg per (label, dim).
+    */
+  def q66_label_centroids(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings")
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "e")))
+      .groupBy(col("label"), col("dim"))
+      .agg(round(avg(col("e")), 4).as("c"))
+      .select(col("label"), col("dim").cast("long").as("dim"), col("c"))
+      .orderBy(col("label"), col("dim"))
 
   /** int8-quantized dot products against a fixed query vector — the
     * quantized-scan half of two-stage ANN, as deterministic integer math
@@ -68,7 +85,9 @@ object Queries4 {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q62_interval_overlap" -> q62_interval_overlap _,
     "q63_top_bigrams" -> q63_top_bigrams _,
-    "q64_quantized_dot" -> q64_quantized_dot _
+    "q64_quantized_dot" -> q64_quantized_dot _,
+    "q65_tfidf" -> q65_tfidf _,
+    "q66_label_centroids" -> q66_label_centroids _
   )
 
   val oracles: Map[String, String] = Map(
@@ -106,6 +125,33 @@ object Queries4 {
         |)
         |SELECT c.vec_id, CAST(sum(c.qe * q.qe) AS BIGINT) AS qdot
         |FROM c JOIN q ON c.i = q.i
-        |GROUP BY c.vec_id ORDER BY qdot DESC, vec_id LIMIT 50""".stripMargin
+        |GROUP BY c.vec_id ORDER BY qdot DESC, vec_id LIMIT 50""".stripMargin,
+    "q65_tfidf" ->
+      """WITH docs AS (
+        |  SELECT doc_id, text FROM documents WHERE length(trim(text)) > 0
+        |), tok AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+        |  FROM docs
+        |), tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term
+        |), df AS (
+        |  SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term
+        |), n AS (SELECT count(*) AS n FROM docs),
+        |scored AS (
+        |  SELECT doc_id, term,
+        |         tf * ln(CAST(n.n AS DOUBLE) / CAST(df.df AS DOUBLE)) AS s,
+        |         row_number() OVER (PARTITION BY doc_id
+        |           ORDER BY tf * ln(CAST(n.n AS DOUBLE) / CAST(df.df AS DOUBLE)) DESC,
+        |                    term) AS rk
+        |  FROM tf JOIN df USING (term) CROSS JOIN n
+        |)
+        |SELECT doc_id, term, round(s, 4) AS tfidf FROM scored WHERE rk = 1
+        |ORDER BY doc_id""".stripMargin,
+    "q66_label_centroids" ->
+      """SELECT label, CAST(i - 1 AS BIGINT) AS dim, round(avg(e), 4) AS c
+        |FROM (SELECT label, unnest(embedding) AS e,
+        |             generate_subscripts(embedding, 1) AS i
+        |      FROM embeddings)
+        |GROUP BY label, dim ORDER BY label, dim""".stripMargin
   )
 }

@@ -13,8 +13,8 @@ class QuantizeSpec extends SparkSpec {
       .toDF("id", "v")
     val bytes = df.select(VectorExprs.vec_q8(col("v"), 0.05).as("q"))
       .collect()(0).getAs[Array[Byte]](0)
-    // 0.075f/0.05 = 1.50000002… (float 0.075 is slightly above) → floor(+0.5) = 2
-    // -0.075f → floor(-1.0000…) = -2; wait: floor(-1.5000…+0.5) = floor(-1.0000002) = -2
+    // 0.075f widens to 0.07500000298… → /0.05 = 1.50000005… → floor(+0.5) = 2
+    // -0.075f → floor(-1.50000005… + 0.5) = floor(-1.00000005…) = -2
     assert(bytes.toSeq == Seq[Byte](0, 1, 1, 2, -2, 127, -127))
   }
 
@@ -52,6 +52,32 @@ class QuantizeSpec extends SparkSpec {
     val quant = key(Similarity.quantizedTopK(queries, emb, "vec_id", "embedding", 5))
     val recall = (brute & quant).size.toDouble / brute.size
     assert(recall >= 0.9, s"recall $recall")
+  }
+
+  test("tfidf: hand-computed scores, per-doc rank, lexicographic ties") {
+    import graft.operators.Vocab
+    // N=3; "x" in 1 doc, "y" in 2, "z" in all 3
+    val docs = Seq((1L, "x x y z"), (2L, "y z z"), (3L, "z")).toDF("id", "t")
+    val got = Vocab.tfidfTopTerms(docs, "id", col("t"), 2)
+      .select("id", "term", "tfidf", "rank").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getInt(3)))
+      .sortBy(x => (x._1, x._4)).toList
+    val ln3 = math.log(3.0); val lnHalf3 = math.log(1.5)
+    def approxEq(a: Double, b: Double) = math.abs(a - b) < 1e-12
+    assert(got.map(x => (x._1, x._2, x._4)) == List(
+      (1L, "x", 1), (1L, "y", 2),   // x: 2·ln3 = 2.197 > y: 1·ln1.5
+      (2L, "y", 1), (2L, "z", 2),   // y: ln1.5 = 0.405 > z: 2·ln1 = 0
+      (3L, "z", 1)))
+    assert(approxEq(got(0)._3, 2 * ln3) && approxEq(got(1)._3, lnHalf3))
+  }
+
+  test("topNgrams counts duplicates and breaks frequency ties by ngram") {
+    import graft.operators.Vocab
+    val docs = Seq("b a b a", "a b").toDF("t")
+    val got = Vocab.topNgrams(docs, col("t"), 2, 10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toList
+    // doc1 grams: "b a","a b","b a"; doc2: "a b" → both count 2; tie → "a b" first
+    assert(got == List(("a b", 2L), ("b a", 2L)))
   }
 
   test("ngrams keeps duplicates in document order; short docs empty") {
