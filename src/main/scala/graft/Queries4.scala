@@ -82,12 +82,55 @@ object Queries4 {
       .limit(50)
   }
 
+  /** forward as-of through the native sort-merge exec: each click joined
+    * to the user's NEXT purchase (first purchase at-or-after the click).
+    * The sortmerge path is the no-build-side-limit one — at 100 TB both
+    * event streams shuffle by user and merge in one pass.
+    */
+  def q67_asof_forward(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val purch = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"), col("value").as("p_value"))
+    graft.plans.AsOfJoin.asofJoin(clicks, purch,
+        "user_id", "p_user", "ts", "p_ts",
+        rightTieBreak = Seq(purch("p_id")),
+        strategy = "sortmerge", direction = "forward")
+      .select(col("event_id"), col("user_id"),
+        col("p_id").as("next_purchase"),
+        round(col("p_value"), 4).as("purchase_value"))
+      .orderBy(col("event_id"))
+  }
+
+  /** nearest as-of through the native broadcast exec: each signup joined
+    * to the user's temporally-closest error event (equal distance prefers
+    * the earlier one).
+    */
+  def q68_asof_nearest(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val errs = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("e_id"), col("user_id").as("e_user"),
+        col("ts").as("e_ts"))
+    graft.plans.AsOfJoin.asofJoin(signups, errs,
+        "user_id", "e_user", "ts", "e_ts",
+        rightTieBreak = Seq(errs("e_id")),
+        strategy = "broadcast", direction = "nearest")
+      .select(col("event_id"), col("user_id"), col("e_id").as("nearest_error"))
+      .orderBy(col("event_id"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q62_interval_overlap" -> q62_interval_overlap _,
     "q63_top_bigrams" -> q63_top_bigrams _,
     "q64_quantized_dot" -> q64_quantized_dot _,
     "q65_tfidf" -> q65_tfidf _,
-    "q66_label_centroids" -> q66_label_centroids _
+    "q66_label_centroids" -> q66_label_centroids _,
+    "q67_asof_forward" -> q67_asof_forward _,
+    "q68_asof_nearest" -> q68_asof_nearest _
   )
 
   val oracles: Map[String, String] = Map(
@@ -152,6 +195,33 @@ object Queries4 {
         |FROM (SELECT label, unnest(embedding) AS e,
         |             generate_subscripts(embedding, 1) AS i
         |      FROM embeddings)
-        |GROUP BY label, dim ORDER BY label, dim""".stripMargin
+        |GROUP BY label, dim ORDER BY label, dim""".stripMargin,
+    "q67_asof_forward" ->
+      """WITH clicks AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+        |), purch AS (
+        |  SELECT event_id AS p_id, user_id AS p_user, ts AS p_ts, value AS p_value
+        |  FROM events WHERE event_type = 'purchase'
+        |)
+        |SELECT c.event_id, c.user_id, p_id AS next_purchase,
+        |       round(p_value, 4) AS purchase_value
+        |FROM clicks c LEFT JOIN purch p ON p_user = c.user_id AND p_ts >= c.ts
+        |QUALIFY row_number() OVER (PARTITION BY c.event_id
+        |  ORDER BY p_ts ASC NULLS LAST, p_id DESC NULLS LAST) = 1
+        |ORDER BY c.event_id""".stripMargin,
+    "q68_asof_nearest" ->
+      """WITH signups AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'signup'
+        |), errs AS (
+        |  SELECT event_id AS e_id, user_id AS e_user, ts AS e_ts
+        |  FROM events WHERE event_type = 'error'
+        |)
+        |SELECT s.event_id, s.user_id, e_id AS nearest_error
+        |FROM signups s LEFT JOIN errs e ON e_user = s.user_id
+        |QUALIFY row_number() OVER (PARTITION BY s.event_id
+        |  ORDER BY abs(epoch_us(e_ts) - epoch_us(s.ts)) ASC NULLS LAST,
+        |           CASE WHEN e_ts <= s.ts THEN 0 ELSE 1 END ASC,
+        |           e_id DESC NULLS LAST) = 1
+        |ORDER BY s.event_id""".stripMargin
   )
 }

@@ -51,6 +51,10 @@ object AsOfJoin {
     * tieBreak… — the strategy mode rides IN the plan (not session conf) so
     * a built DataFrame keeps its requested exec regardless of when the
     * action runs or what other joins set afterwards.
+    *
+    * The mode literal is `strategy` or `strategy:direction` — a bare
+    * `'sortmerge'` (the original SQL spelling) still parses, direction
+    * defaulting to backward.
     */
   case class AsOfMarker(children: Seq[Expression])
       extends Expression with Unevaluable {
@@ -58,10 +62,15 @@ object AsOfJoin {
     def rightKey: Expression = children(1)
     def leftTime: Expression = children(2)
     def rightTime: Expression = children(3)
-    def mode: String = children(4) match {
+    private def rawMode: String = children(4) match {
       case org.apache.spark.sql.catalyst.expressions.Literal(v, _) if v != null =>
         v.toString
       case _ => "auto"
+    }
+    def mode: String = rawMode.split(':')(0)
+    def direction: String = rawMode.split(':') match {
+      case Array(_, d) => d
+      case _           => "backward"
     }
     def tieBreak: Seq[Expression] = children.drop(5)
     override def dataType: DataType = BooleanType
@@ -75,7 +84,8 @@ object AsOfJoin {
   case class AsOfJoinPlan(left: LogicalPlan, right: LogicalPlan,
       leftKey: Expression, rightKey: Expression,
       leftTime: Expression, rightTime: Expression,
-      tieBreak: Seq[Expression], mode: String = "auto") extends BinaryNode {
+      tieBreak: Seq[Expression], mode: String = "auto",
+      direction: String = "backward") extends BinaryNode {
     override def output: Seq[Attribute] =
       left.output ++ right.output.map(_.withNullability(true))
     override protected def withNewChildrenInternal(
@@ -88,13 +98,13 @@ object AsOfJoin {
     override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
       case Join(l, r, _, Some(m: AsOfMarker), _) =>
         AsOfJoinPlan(l, r, m.leftKey, m.rightKey, m.leftTime, m.rightTime,
-          m.tieBreak, m.mode)
+          m.tieBreak, m.mode, m.direction)
     }
   }
 
   object AsOfJoinStrategy extends org.apache.spark.sql.execution.SparkStrategy {
     override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-      case p @ AsOfJoinPlan(l, r, lk, rk, lt, rt, tb, planMode) =>
+      case p @ AsOfJoinPlan(l, r, lk, rk, lt, rt, tb, planMode, dir) =>
         val conf = SQLConf.get
         // per-join mode wins; "auto" falls through to the session conf,
         // then to the broadcast-threshold statistics decision
@@ -105,9 +115,9 @@ object AsOfJoin {
           r.stats.sizeInBytes <= conf.autoBroadcastJoinThreshold
         val exec =
           if (mode == "broadcast" || (mode == "auto" && fits))
-            AsOfBroadcastExec(planLater(l), planLater(r), lk, rk, lt, rt, tb)
+            AsOfBroadcastExec(planLater(l), planLater(r), lk, rk, lt, rt, tb, dir)
           else
-            AsOfSortMergeExec(planLater(l), planLater(r), lk, rk, lt, rt, tb)
+            AsOfSortMergeExec(planLater(l), planLater(r), lk, rk, lt, rt, tb, dir)
         exec :: Nil
       case _ => Nil
     }
@@ -134,10 +144,45 @@ object AsOfJoin {
     ans
   }
 
+  /** smallest index with times(i) >= t extended to the END of its
+    * equal-time run, or -1. The array is sorted (time, tieBreak) ascending,
+    * so the run's last row carries the greatest tieBreak — "greatest
+    * tieBreak wins" stays uniform across directions.
+    */
+  private[plans] def firstGeqRunEnd(times: Array[Long], t: Long): Int = {
+    var lo = 0
+    var hi = times.length - 1
+    var ans = -1
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      if (times(mid) >= t) { ans = mid; hi = mid - 1 }
+      else lo = mid + 1
+    }
+    if (ans >= 0) {
+      while (ans + 1 < times.length && times(ans + 1) == times(ans)) ans += 1
+    }
+    ans
+  }
+
+  /** pick between backward candidate b and forward candidate f for
+    * direction `dir`; equal |Δt| prefers backward (documented contract).
+    */
+  private[plans] def pick(dir: String, b: Int, f: Int,
+      times: Array[Long], t: Long): Int = dir match {
+    case "forward" => f
+    case "nearest" =>
+      if (b < 0) f
+      else if (f < 0) b
+      else if (t - times(b) <= times(f) - t) b
+      else f
+    case _ => b
+  }
+
   case class AsOfBroadcastExec(left: SparkPlan, right: SparkPlan,
       leftKey: Expression, rightKey: Expression,
       leftTime: Expression, rightTime: Expression,
-      tieBreak: Seq[Expression]) extends BinaryExecNode {
+      tieBreak: Seq[Expression],
+      direction: String = "backward") extends BinaryExecNode {
 
     override def output: Seq[Attribute] =
       left.output ++ right.output.map(_.withNullability(true))
@@ -189,6 +234,7 @@ object AsOfJoin {
       val lk = leftKey
       val lt = leftTime
       val allOut = output
+      val dir = direction
 
       left.execute().mapPartitions { iter =>
         val map = bc.value
@@ -204,7 +250,9 @@ object AsOfJoin {
             if (key == null || t == Long.MinValue) nullRight
             else map.get(key) match {
               case Some((times, rows)) =>
-                val idx = lastLeq(times, t)
+                val b = if (dir == "forward") -1 else lastLeq(times, t)
+                val f = if (dir == "backward") -1 else firstGeqRunEnd(times, t)
+                val idx = pick(dir, b, f, times, t)
                 if (idx >= 0) rows(idx) else nullRight
               case None => nullRight
             }
@@ -218,13 +266,22 @@ object AsOfJoin {
     * (key, time[, tieBreak…]); one forward-only merge pass per
     * co-partition. Because left rows arrive time-ascending within a key,
     * the right cursor only ever advances — each right row is visited
-    * once; `lastMatch` holds the best (greatest (time, tieBreak) ≤ t)
-    * row seen for the current key. No build-side size limit.
+    * once. Per direction:
+    *  - backward: `lastMatch` holds the best (greatest (time, tieBreak)
+    *    ≤ t) row seen for the current key;
+    *  - forward: rows with time < t are skipped and the cursor row (first
+    *    time ≥ t) is the match WITHOUT being consumed — tieBreak is sorted
+    *    DESCENDING on this path so the first row of an equal-time run is
+    *    the greatest-tieBreak winner;
+    *  - nearest: backward's consume loop plus a one-row-lookahead run
+    *    extension for the forward candidate; equal |Δt| prefers backward.
+    * No build-side size limit on any path.
     */
   case class AsOfSortMergeExec(left: SparkPlan, right: SparkPlan,
       leftKey: Expression, rightKey: Expression,
       leftTime: Expression, rightTime: Expression,
-      tieBreak: Seq[Expression]) extends BinaryExecNode {
+      tieBreak: Seq[Expression],
+      direction: String = "backward") extends BinaryExecNode {
 
     override def output: Seq[Attribute] =
       left.output ++ right.output.map(_.withNullability(true))
@@ -236,7 +293,10 @@ object AsOfJoin {
     override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
       Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending)),
       Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, Ascending)) ++
-        tieBreak.map(SortOrder(_, Ascending)))
+        tieBreak.map(SortOrder(_,
+          if (direction == "forward")
+            org.apache.spark.sql.catalyst.expressions.Descending
+          else Ascending)))
 
     override def outputPartitioning: Partitioning = left.outputPartitioning
 
@@ -255,6 +315,7 @@ object AsOfJoin {
       val rightWidth = rightOut.size
       val keyOrd = TypeUtils.getInterpretedOrdering(leftKey.dataType)
 
+      val dir = direction
       left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
         val boundLk = BindReferences.bindReference(lk, leftOut)
         val boundLt = BindReferences.bindReference(lt, leftOut)
@@ -264,30 +325,40 @@ object AsOfJoin {
         val joined = new JoinedRow
         val project = UnsafeProjection.create(allOut, allOut)
 
-        // right cursor (rows copied: shuffle iterators reuse row objects;
-        // null-keyed / null-timed right rows can never match — skipped)
+        // right cursor with one-row lookahead (rows copied: shuffle
+        // iterators reuse row objects; null-keyed / null-timed right rows
+        // can never match — skipped at fetch)
         var rRow: InternalRow = null
         var rKey: Any = null
         var rTime: Long = Long.MinValue
-        def advanceRight(): Unit = {
-          rRow = null
-          while (rRow == null && rIter.hasNext) {
+        var nRow: InternalRow = null
+        var nKey: Any = null
+        var nTime: Long = Long.MinValue
+        def fetchNext(): Unit = {
+          nRow = null
+          while (nRow == null && rIter.hasNext) {
             val row = rIter.next()
             val k = boundRk.eval(row)
             val t = toMicros(boundRt.eval(row))
             if (k != null && t != Long.MinValue) {
-              rRow = row.copy()
-              rKey = InternalRow.copyValue(k)
-              rTime = t
+              nRow = row.copy()
+              nKey = InternalRow.copyValue(k)
+              nTime = t
             }
           }
-          if (rRow == null) { rKey = null; rTime = Long.MinValue }
+          if (nRow == null) { nKey = null; nTime = Long.MinValue }
         }
+        def advanceRight(): Unit = {
+          rRow = nRow; rKey = nKey; rTime = nTime
+          if (rRow != null) fetchNext()
+        }
+        fetchNext()
         advanceRight()
 
         var haveKey = false
         var curKey: Any = null
         var lastMatch: InternalRow = null
+        var lastMatchTime = Long.MinValue
 
         lIter.map { lrow =>
           val k = boundLk.eval(lrow)
@@ -299,15 +370,43 @@ object AsOfJoin {
                 curKey = InternalRow.copyValue(k)
                 haveKey = true
                 lastMatch = null
+                lastMatchTime = Long.MinValue
                 while (rRow != null && keyOrd.compare(rKey, curKey) < 0)
                   advanceRight()
               }
-              while (rRow != null && keyOrd.compare(rKey, curKey) == 0 &&
-                  rTime <= t) {
-                lastMatch = rRow
-                advanceRight()
+              if (dir == "forward") {
+                // skip strictly-earlier rows; never needed again since left
+                // times ascend within the key
+                while (rRow != null && keyOrd.compare(rKey, curKey) == 0 &&
+                    rTime < t)
+                  advanceRight()
+                if (rRow != null && keyOrd.compare(rKey, curKey) == 0) rRow
+                else nullRight
+              } else {
+                while (rRow != null && keyOrd.compare(rKey, curKey) == 0 &&
+                    rTime <= t) {
+                  lastMatch = rRow
+                  lastMatchTime = rTime
+                  advanceRight()
+                }
+                if (dir == "nearest") {
+                  // forward candidate: cursor row extended to the END of its
+                  // equal-time run (greatest tieBreak under asc ordering);
+                  // consumed run-prefix rows lose every future comparison to
+                  // the row we stop on, so skipping them is safe
+                  if (rRow != null && keyOrd.compare(rKey, curKey) == 0) {
+                    while (nRow != null && nTime == rTime &&
+                        keyOrd.compare(nKey, curKey) == 0)
+                      advanceRight()
+                    val fwdBeats = lastMatch == null ||
+                      (rTime - t) < (t - lastMatchTime)
+                    if (fwdBeats) rRow
+                    else lastMatch
+                  } else if (lastMatch != null) lastMatch
+                  else nullRight
+                } else if (lastMatch != null) lastMatch
+                else nullRight
               }
-              if (lastMatch != null) lastMatch else nullRight
             }
           project(joined(lrow, matched))
         }
@@ -337,9 +436,13 @@ object AsOfJoin {
         spark.experimental.extraStrategies :+ AsOfJoinStrategy
   }
 
-  /** left-outer as-of join: latest `right` row per key at or before the
-    * left row's time; `rightTieBreak` (compared ascending, greatest wins,
-    * nulls lose) makes equal-time picks deterministic. `strategy`
+  /** left-outer as-of join: the `right` row per key nearest the left
+    * row's time in the requested `direction` —
+    *  - "backward" (default): greatest rightTime <= leftTime;
+    *  - "forward": smallest rightTime >= leftTime;
+    *  - "nearest": smaller |rightTime - leftTime|, ties → backward.
+    * `rightTieBreak` (greatest wins, nulls lose — in every direction)
+    * makes equal-time picks deterministic. `strategy`
     * ("auto" | "broadcast" | "sortmerge") pins the physical exec for THIS
     * join — it travels in the plan, so it holds no matter when the action
     * runs; "auto" defers to the `spark.graft.asof.strategy` conf and then
@@ -349,13 +452,18 @@ object AsOfJoin {
       leftKey: String, rightKey: String,
       leftTime: String, rightTime: String,
       rightTieBreak: Seq[Column] = Nil,
-      strategy: String = "auto"): DataFrame = {
+      strategy: String = "auto",
+      direction: String = "backward"): DataFrame = {
+    require(Set("auto", "broadcast", "sortmerge")(strategy),
+      s"unknown strategy: $strategy")
+    require(Set("backward", "forward", "nearest")(direction),
+      s"unknown direction: $direction")
     val spark = left.sparkSession
     ensureRegistered(spark)
     left.join(right,
       call_function("asof_marker",
         Seq(left(leftKey), right(rightKey), left(leftTime), right(rightTime),
-          org.apache.spark.sql.functions.lit(strategy))
+          org.apache.spark.sql.functions.lit(s"$strategy:$direction"))
           ++ rightTieBreak: _*),
       "left")
   }
