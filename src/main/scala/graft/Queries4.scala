@@ -123,6 +123,40 @@ object Queries4 {
       .orderBy(col("event_id"))
   }
 
+  /** time-RANGE window frame: per user, events and value-sum in the
+    * preceding hour (peers at the same microsecond included — RANGE, not
+    * ROWS). The frame rides the epoch-micros ordering key so both engines
+    * compute the identical numeric frame.
+    */
+  def q69_rolling_window(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ep"))
+      .rangeBetween(-3600000000L, 0L)
+    t(s, dir, "events")
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ep"), col("value"))
+      .select(col("event_id"), col("user_id"),
+        count(lit(1)).over(w).as("n_prev_hour"),
+        round(sum(col("value")).over(w), 4).as("v_prev_hour"))
+      .orderBy(col("event_id"))
+  }
+
+  /** pivot: event counts per day-of-month × event type, via the native
+    * groupBy().pivot() with an EXPLICIT value list (no extra distinct
+    * scan to discover pivot values — the two-pass form is the scale
+    * trap); absent cells coalesce to 0 to match COUNT semantics.
+    */
+  def q70_pivot(s: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    t(s, dir, "events")
+      .groupBy(dayofmonth(col("ts")).cast("long").as("d"))
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+      .select(col("d") +: types.map(ty =>
+        coalesce(col(ty), lit(0L)).as(ty)): _*)
+      .orderBy(col("d"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q62_interval_overlap" -> q62_interval_overlap _,
     "q63_top_bigrams" -> q63_top_bigrams _,
@@ -130,7 +164,9 @@ object Queries4 {
     "q65_tfidf" -> q65_tfidf _,
     "q66_label_centroids" -> q66_label_centroids _,
     "q67_asof_forward" -> q67_asof_forward _,
-    "q68_asof_nearest" -> q68_asof_nearest _
+    "q68_asof_nearest" -> q68_asof_nearest _,
+    "q69_rolling_window" -> q69_rolling_window _,
+    "q70_pivot" -> q70_pivot _
   )
 
   val oracles: Map[String, String] = Map(
@@ -222,6 +258,22 @@ object Queries4 {
         |  ORDER BY abs(epoch_us(e_ts) - epoch_us(s.ts)) ASC NULLS LAST,
         |           CASE WHEN e_ts <= s.ts THEN 0 ELSE 1 END ASC,
         |           e_id DESC NULLS LAST) = 1
-        |ORDER BY s.event_id""".stripMargin
+        |ORDER BY s.event_id""".stripMargin,
+    "q69_rolling_window" ->
+      """SELECT event_id, user_id,
+        |  count(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS n_prev_hour,
+        |  round(sum(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW), 4) AS v_prev_hour
+        |FROM events
+        |ORDER BY event_id""".stripMargin,
+    "q70_pivot" ->
+      """SELECT CAST(day(ts) AS BIGINT) AS d,
+        |  count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+        |  count(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+        |  count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+        |  count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+        |  count(CASE WHEN event_type = 'view' THEN 1 END) AS view
+        |FROM events GROUP BY d ORDER BY d""".stripMargin
   )
 }

@@ -16,11 +16,25 @@ import graft.functions.TextFunctions
   */
 object Vocab {
 
+  /** The n-gram explode is compute-bound on text, so it must run on every
+    * core — but a small corpus arriving as ONE parquet file plans as one
+    * partition and serializes the whole scan. Widen only when the input
+    * is narrower than the cluster; at real scale the source is already
+    * split and this is a no-op (no shuffle added).
+    */
+  private def parallelized(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.queryExecution.toRdd.getNumPartitions < target)
+      df.repartition(target)
+    else df
+  }
+
   /** Global top-k word n-grams by corpus frequency (duplicates within a
     * document count — this is frequency, not document-set similarity).
     */
   def topNgrams(docs: DataFrame, textCol: Column, n: Int, k: Int): DataFrame =
-    docs.select(explode(TextFunctions.ngrams(textCol, n)).as("ngram"))
+    parallelized(docs.select(textCol.as("__text")))
+      .select(explode(TextFunctions.ngrams(col("__text"), n)).as("ngram"))
       .groupBy(col("ngram"))
       .agg(count(lit(1)).as("freq"))
       .orderBy(col("freq").desc, col("ngram"))
@@ -34,11 +48,13 @@ object Vocab {
   def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: Column,
       topPerDoc: Int = 1): DataFrame = {
     val nonEmpty = docs.filter(length(trim(textCol)) > 0)
-    val tok = nonEmpty.select(col(idCol),
-      explode(TextFunctions.tokensWs(textCol)).as("term"))
+    val tok = parallelized(nonEmpty.select(col(idCol), textCol.as("__text")))
+      .select(col(idCol), explode(TextFunctions.tokensWs(col("__text"))).as("term"))
     val tf = tok.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
-    val dfreq = tok.groupBy(col("term"))
-      .agg(countDistinct(col(idCol)).as("df"))
+    // df(t) = docs containing t = rows per term in tf (already one row per
+    // (doc, term)) — deriving it from tf instead of tok runs the explode
+    // once and shuffles term counts, not raw tokens
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = nonEmpty.agg(count(lit(1)).as("__n"))
     val scored = tf.join(dfreq, "term").crossJoin(broadcast(n))
       .select(col(idCol), col("term"),

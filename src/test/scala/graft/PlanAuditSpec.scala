@@ -46,4 +46,33 @@ class PlanAuditSpec extends SparkSpec {
     val p = planOf("q58_contamination")
     assert("Scan parquet".r.findAllIn(p).length == 2, p.take(600))
   }
+
+  test("q61/q62: range joins plan as equi-joins, never nested loops") {
+    for (q <- Seq("q61_range_join", "q62_interval_overlap")) {
+      val p = planOf(q)
+      assert(!p.contains("BroadcastNestedLoop") && !p.contains("CartesianProduct"),
+        s"$q: ${p.take(400)}")
+    }
+  }
+
+  test("q63/q64: vocab and quantized scans end in TakeOrderedAndProject") {
+    assert(planOf("q63_top_bigrams").contains("TakeOrderedAndProject"))
+    assert(planOf("q64_quantized_dot").contains("TakeOrderedAndProject"))
+  }
+
+  test("q63: bigram count aggregates map-side before the shuffle") {
+    // partial_count before the exchange = map-side combine on the ngram key
+    val p = planOf("q63_top_bigrams")
+    assert(p.contains("partial_count"), p.take(600))
+  }
+
+  test("q67/q68: direction-pinned as-of queries use their pinned execs") {
+    assert(planOf("q67_asof_forward").contains("AsOfSortMerge"))
+    assert(planOf("q68_asof_nearest").contains("AsOfBroadcast"))
+  }
+
+  test("q70: pivot with explicit values is one aggregation pass (1 scan)") {
+    val p = planOf("q70_pivot")
+    assert("Scan parquet".r.findAllIn(p).length == 1, p.take(600))
+  }
 }
