@@ -157,6 +157,25 @@ object Queries4 {
       .orderBy(col("d"))
   }
 
+  /** span-level exact-substring duplication: per doc, how many word
+    * 10-gram positions repeat anywhere in the corpus (the substring-dedup
+    * signal). Post-explode everything is (id, hash, count) — gram strings
+    * never shuffle.
+    */
+  def q71_repeated_spans(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Dedup
+      .repeatedSpans(t(s, dir, "documents"), "doc_id", "text", k = 10)
+      .select(col("doc_id"), col("total_spans"), col("dup_spans"),
+        round(col("dup_spans").cast("double") /
+          greatest(col("total_spans"), lit(1L)), 4).as("dup_ratio"))
+      .orderBy(col("doc_id"))
+
+  /** fixed-width histogram of document lengths — one map-side-combinable
+    * groupBy over floor(n_chars/50).
+    */
+  def q72_histogram(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Stats.histogram(t(s, dir, "documents"), col("n_chars"), 50.0)
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q62_interval_overlap" -> q62_interval_overlap _,
     "q63_top_bigrams" -> q63_top_bigrams _,
@@ -166,7 +185,9 @@ object Queries4 {
     "q67_asof_forward" -> q67_asof_forward _,
     "q68_asof_nearest" -> q68_asof_nearest _,
     "q69_rolling_window" -> q69_rolling_window _,
-    "q70_pivot" -> q70_pivot _
+    "q70_pivot" -> q70_pivot _,
+    "q71_repeated_spans" -> q71_repeated_spans _,
+    "q72_histogram" -> q72_histogram _
   )
 
   val oracles: Map[String, String] = Map(
@@ -274,6 +295,30 @@ object Queries4 {
         |  count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
         |  count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
         |  count(CASE WHEN event_type = 'view' THEN 1 END) AS view
-        |FROM events GROUP BY d ORDER BY d""".stripMargin
+        |FROM events GROUP BY d ORDER BY d""".stripMargin,
+    "q71_repeated_spans" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        |  FROM documents WHERE length(trim(text)) > 0
+        |), grams AS (
+        |  SELECT doc_id, array_to_string(t[g:g+9], ' ') AS gram
+        |  FROM toks, unnest(generate_series(1, len(t) - 9)) AS u(g)
+        |), gc AS (SELECT gram, count(*) AS c FROM grams GROUP BY gram),
+        |per AS (
+        |  SELECT doc_id, count(*) AS total_spans,
+        |         count(CASE WHEN c > 1 THEN 1 END) AS dup_spans
+        |  FROM grams JOIN gc USING (gram) GROUP BY doc_id
+        |)
+        |SELECT d.doc_id, coalesce(total_spans, 0) AS total_spans,
+        |       coalesce(dup_spans, 0) AS dup_spans,
+        |       round(CAST(coalesce(dup_spans, 0) AS DOUBLE) /
+        |             greatest(coalesce(total_spans, 0), 1), 4) AS dup_ratio
+        |FROM documents d LEFT JOIN per USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+    "q72_histogram" ->
+      """SELECT bin, bin * 50.0 AS lo, (bin + 1) * 50.0 AS hi, count(*) AS n
+        |FROM (SELECT CAST(floor(n_chars / 50.0) AS BIGINT) AS bin
+        |      FROM documents WHERE n_chars IS NOT NULL)
+        |GROUP BY bin ORDER BY bin""".stripMargin
   )
 }

@@ -41,6 +41,37 @@ object Dedup {
       .filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** Span-level (exact-substring) duplication marker: for each doc, how
+    * many of its word k-gram positions carry a k-gram that occurs more
+    * than once ANYWHERE in the corpus — the signal behind
+    * substring-dedup passes over training data.
+    *
+    * Shape: the text explodes ONCE into (id, gramHash) and immediately
+    * pre-aggregates per (id, hash) — everything after the first shuffle
+    * carries counts, never gram strings. Global gram frequency is the sum
+    * of the per-doc counts, joined back on the 8-byte hash. Returns one
+    * row per input doc: (idCol, total_spans, dup_spans) with zeros for
+    * docs shorter than k words.
+    */
+  def repeatedSpans(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 10): DataFrame = {
+    val grams = docs.select(col(idCol),
+        explode(graft.functions.TextFunctions.ngrams(col(textCol), k)).as("__g"))
+      .select(col(idCol), xxhash64(col("__g")).as("__h"))
+      .groupBy(col(idCol), col("__h"))
+      .agg(count(lit(1)).as("__n"))
+    val global = grams.groupBy(col("__h")).agg(sum(col("__n")).as("__c"))
+    val per = grams.join(global, "__h")
+      .groupBy(col(idCol))
+      .agg(sum(col("__n")).as("total_spans"),
+        sum(when(col("__c") > 1, col("__n")).otherwise(lit(0L)))
+          .as("dup_spans"))
+    docs.select(col(idCol)).join(per, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("total_spans"), lit(0L)).as("total_spans"),
+        coalesce(col("dup_spans"), lit(0L)).as("dup_spans"))
+  }
+
   // ---------------------------------------------------------------- minhash
 
   /** MinHash signatures: one row per doc with an array<long> `sig` column.

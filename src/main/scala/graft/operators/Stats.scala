@@ -52,4 +52,22 @@ object Stats {
     onerow.selectExpr(
       s"stack(${numericCols.length}, $stackArgs) as (col_name, vmin, vmax, vmean)")
   }
+
+  /** Fixed-width histogram of a numeric column: (bin, lo, hi, n) with
+    * bin = floor(value / binWidth). NULL values drop; empty bins are
+    * absent (a dense axis is presentation, not data). One
+    * map-side-combinable groupBy — the scan never materializes more than
+    * |bins| partial states per partition.
+    */
+  def histogram(df: DataFrame,
+      valueCol: org.apache.spark.sql.Column, binWidth: Double): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    df.filter(valueCol.isNotNull)
+      .select(floor(valueCol / binWidth).cast("long").as("bin"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("bin"), (col("bin") * binWidth).as("lo"),
+        ((col("bin") + 1) * binWidth).as("hi"), col("n"))
+      .orderBy(col("bin"))
+  }
 }

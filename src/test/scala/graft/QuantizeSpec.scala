@@ -80,6 +80,33 @@ class QuantizeSpec extends SparkSpec {
     assert(got == List(("a b", 2L), ("b a", 2L)))
   }
 
+  test("repeatedSpans: corpus-wide repeats counted, short docs zero") {
+    import graft.operators.Dedup
+    val docs = Seq(
+      (1L, "a b c d e"),   // k=3 grams: "a b c","b c d","c d e"
+      (2L, "x a b c y"),   // shares "a b c" with doc 1
+      (3L, "p q"),         // shorter than k → 0 spans
+      (4L, "a b c a b c a b c")) // internal repeat: "a b c" ×3 + others
+      .toDF("id", "t")
+    val got = Dedup.repeatedSpans(docs, "id", "t", k = 3)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(got(3L) == ((0L, 0L)))
+    assert(got(1L) == ((3L, 1L))) // only "a b c" repeats corpus-wide
+    assert(got(2L) == ((3L, 1L)))
+    // doc 4 grams: abc,bca,cab,abc,bca,cab,abc → abc×3 bca×2 cab×2 → all 7 dup
+    assert(got(4L) == ((7L, 7L)))
+  }
+
+  test("histogram: fixed bins, negatives, nulls dropped, empty bins absent") {
+    import graft.operators.Stats
+    val df = Seq(Some(-1.0), Some(0.0), Some(4.9), Some(5.0), Some(99.0), None)
+      .toDF("v")
+    val got = Stats.histogram(df, col("v"), 5.0)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(3))).toList
+    assert(got == List((-1L, -5.0, 1L), (0L, 0.0, 2L), (1L, 5.0, 1L),
+      (19L, 95.0, 1L)))
+  }
+
   test("ngrams keeps duplicates in document order; short docs empty") {
     val df = Seq("a b a b", "a", "", "  x  y  ").toDF("t")
     val got = df.select(TextFunctions.ngrams(col("t"), 2).as("g"))
