@@ -176,6 +176,18 @@ object Queries4 {
   def q72_histogram(s: SparkSession, dir: String): DataFrame =
     graft.operators.Stats.histogram(t(s, dir, "documents"), col("n_chars"), 50.0)
 
+  /** length-weighted exact-size sample (Efraimidis–Spirakis priority
+    * keys over content-hash uniforms — deterministic, partition-stable).
+    * The hex→uniform→ln arithmetic is reproduced digit-for-digit in the
+    * DuckDB oracle, so even the sampler is hash-checked.
+    */
+  def q73_priority_sample(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling
+      .prioritySample(t(s, dir, "documents"), col("n_chars"), 100,
+        col("text"), tieBreak = Seq(col("doc_id")))
+      .select(col("doc_id"), col("n_chars"))
+      .orderBy(col("doc_id"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q62_interval_overlap" -> q62_interval_overlap _,
     "q63_top_bigrams" -> q63_top_bigrams _,
@@ -187,7 +199,8 @@ object Queries4 {
     "q69_rolling_window" -> q69_rolling_window _,
     "q70_pivot" -> q70_pivot _,
     "q71_repeated_spans" -> q71_repeated_spans _,
-    "q72_histogram" -> q72_histogram _
+    "q72_histogram" -> q72_histogram _,
+    "q73_priority_sample" -> q73_priority_sample _
   )
 
   val oracles: Map[String, String] = Map(
@@ -319,6 +332,23 @@ object Queries4 {
       """SELECT bin, bin * 50.0 AS lo, (bin + 1) * 50.0 AS hi, count(*) AS n
         |FROM (SELECT CAST(floor(n_chars / 50.0) AS BIGINT) AS bin
         |      FROM documents WHERE n_chars IS NOT NULL)
-        |GROUP BY bin ORDER BY bin""".stripMargin
+        |GROUP BY bin ORDER BY bin""".stripMargin,
+    "q73_priority_sample" ->
+      """WITH h AS (
+        |  SELECT doc_id, n_chars, substr(md5(text), 1, 8) AS hx FROM documents
+        |), u AS (
+        |  SELECT doc_id, max(n_chars) AS n_chars,
+        |    sum((strpos('0123456789abcdef', substr(hx, g, 1)) - 1)
+        |        * power(16, 8 - g)) AS ui
+        |  FROM h, unnest(generate_series(1, 8)) AS t(g)
+        |  GROUP BY doc_id
+        |), keyed AS (
+        |  SELECT doc_id, n_chars,
+        |    ln((ui + 0.5) / 4294967296.0) / n_chars AS k
+        |  FROM u WHERE n_chars > 0
+        |)
+        |SELECT doc_id, n_chars FROM
+        |  (SELECT doc_id, n_chars FROM keyed ORDER BY k DESC, doc_id LIMIT 100)
+        |ORDER BY doc_id""".stripMargin
   )
 }

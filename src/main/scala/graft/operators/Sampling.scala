@@ -118,6 +118,27 @@ object Sampling {
       .filter(col("__rn") <= cap).drop("__rn")
   }
 
+  /** Exact-size weighted sample WITHOUT replacement (Efraimidis–Spirakis
+    * A-Res): each row gets priority key ln(u)/w where u is the row's
+    * md5-derived uniform and w = `weightCol`; the n largest keys are the
+    * sample, so inclusion probability is proportional to weight. Like
+    * every op in this module the "randomness" is content-hash determinism:
+    * same rows → same sample, regardless of partitioning or cluster size.
+    * Rows with NULL or non-positive weight are excluded. The top-n is a
+    * TakeOrdered (per-partition heaps of size n) — no global sort.
+    */
+  def prioritySample(df: DataFrame, weightCol: Column, n: Int,
+      hashCol: Column, tieBreak: Seq[Column] = Nil): DataFrame = {
+    require(n > 0, "n must be positive")
+    val h = substring(md5(hashCol.cast("string")), 1, 8)
+    val u = (conv(h, 16, 10).cast("double") + lit(0.5)) / lit(4294967296.0)
+    df.filter(weightCol.isNotNull && weightCol > 0)
+      .withColumn("__k", log(u) / weightCol)
+      .orderBy(col("__k").desc +: tieBreak: _*)
+      .limit(n)
+      .drop("__k")
+  }
+
   /** Select rows in `order` (highest-value first, by convention) while the
     * running token total stays within `budget` — the "best docs until the
     * token budget is spent" curation step.

@@ -153,4 +153,24 @@ class SamplingSpec extends SparkSpec {
     assert(got(2) == ((3L, 0L, 6L, 0.0, 0L)))
     assert(got(3) == ((4L, 0L, 0L, 0.0, 0L)))
   }
+
+  test("prioritySample: weight dominance, exclusions, partition stability") {
+    val rows = (1 to 200).map(i =>
+      (i.toLong, s"doc body $i", if (i == 7) 1e9 else 1.0)) ++
+      Seq((900L, "zero weight", 0.0), (901L, "null-ish", -3.0))
+    val df = rows.toDF("id", "text", "w")
+    def ids(d: org.apache.spark.sql.DataFrame) =
+      Sampling.prioritySample(d, col("w"), 20, col("text"),
+          tieBreak = Seq(col("id")))
+        .select("id").collect().map(_.getLong(0)).toSet
+    val s1 = ids(df)
+    assert(s1.size == 20)
+    assert(s1.contains(7L))                  // ln(u)/1e9 ≈ 0 beats every w=1 key
+    assert(!s1.contains(900L) && !s1.contains(901L)) // non-positive excluded
+    assert(ids(df.repartition(13)) == s1)    // content-hash determinism
+    // n >= eligible rows → everything eligible comes back
+    val small = rows.take(5).toDF("id", "text", "w")
+    assert(Sampling.prioritySample(small, col("w"), 50, col("text"))
+      .count() == 5)
+  }
 }
