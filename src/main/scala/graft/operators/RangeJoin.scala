@@ -20,23 +20,40 @@ import org.apache.spark.sql.functions._
   */
 object RangeJoin {
 
+  /** Guarded bin explode: an interval spanning more than
+    * `maxBinsPerInterval` bins fails LOUDLY instead of silently
+    * materializing billions of rows (or hitting Spark's array-size limit)
+    * — one dirty sentinel endpoint (hi = 1e15) must not reintroduce the
+    * O(|L|·|R|) cliff this operator exists to avoid. Widen `binWidth` or
+    * clean the data.
+    */
+  private def binsOf(lo: Column, hi: Column, binWidth: Double,
+      maxBins: Int): Column = {
+    val b0 = floor(lo / binWidth).cast("long")
+    val b1 = floor(hi / binWidth).cast("long")
+    explode(when(b1 - b0 >= maxBins, raise_error(concat(
+        lit(s"RangeJoin: interval spans more than $maxBins bins (lo="),
+        lo.cast("string"), lit(", hi="), hi.cast("string"),
+        lit(s", binWidth=$binWidth); widen binWidth or filter the row"))))
+      .otherwise(sequence(b0, b1, lit(1L))))
+  }
+
   /** All (left, right) pairs with `point` ∈ [`lo`, `hi`] (inclusive).
     * Columns of both inputs are preserved (disambiguate beforehand).
     * Intervals with `lo > hi` match nothing; NULL endpoints/points drop
-    * (SQL comparison semantics).
+    * (SQL comparison semantics). Intervals spanning more than
+    * `maxBinsPerInterval` bins raise an error (see [[binsOf]]).
     */
   def pointInInterval(left: DataFrame, point: Column,
       right: DataFrame, lo: Column, hi: Column,
-      binWidth: Double): DataFrame = {
+      binWidth: Double, maxBinsPerInterval: Int = 4096): DataFrame = {
     require(binWidth > 0, "binWidth must be positive")
+    require(maxBinsPerInterval > 0, "maxBinsPerInterval must be positive")
     val l = left.withColumn("__bin",
       floor(point / binWidth).cast("long"))
     val r = right
       .filter(lo <= hi)
-      .withColumn("__bin", explode(sequence(
-        floor(lo / binWidth).cast("long"),
-        floor(hi / binWidth).cast("long"),
-        lit(1L))))
+      .withColumn("__bin", binsOf(lo, hi, binWidth, maxBinsPerInterval))
     l.join(r, Seq("__bin"))
       .filter(point >= lo && point <= hi)
       .drop("__bin")
@@ -52,13 +69,13 @@ object RangeJoin {
     */
   def intervalOverlap(left: DataFrame, llo: Column, lhi: Column,
       right: DataFrame, rlo: Column, rhi: Column,
-      binWidth: Double): DataFrame = {
+      binWidth: Double, maxBinsPerInterval: Int = 4096): DataFrame = {
     require(binWidth > 0, "binWidth must be positive")
-    def bins(lo: Column, hi: Column) = explode(sequence(
-      floor(lo / binWidth).cast("long"),
-      floor(hi / binWidth).cast("long"), lit(1L)))
-    val l = left.filter(llo <= lhi).withColumn("__bin", bins(llo, lhi))
-    val r = right.filter(rlo <= rhi).withColumn("__bin", bins(rlo, rhi))
+    require(maxBinsPerInterval > 0, "maxBinsPerInterval must be positive")
+    val l = left.filter(llo <= lhi).withColumn("__bin",
+      binsOf(llo, lhi, binWidth, maxBinsPerInterval))
+    val r = right.filter(rlo <= rhi).withColumn("__bin",
+      binsOf(rlo, rhi, binWidth, maxBinsPerInterval))
     l.join(r, Seq("__bin"))
       .filter(llo <= rhi && rlo <= lhi)
       .filter(col("__bin") ===

@@ -77,7 +77,7 @@ object Similarity {
     val wq = Window.partitionBy(col("query_id"))
       .orderBy(col("__qdot").desc, col("match_id").asc)
     val survivors = cand.withColumn("__qr", row_number().over(wq))
-      .filter(col("__qr") <= k * rescoreFactor)
+      .filter(col("__qr") <= k.toLong * rescoreFactor) // Long: k*factor can pass Int.MaxValue in full-rescore use
       .select("query_id", "match_id")
     val cExact = corpus.select(col(idCol).as("match_id"),
       col(vecCol).as("__cv"), vec_l2norm(col(vecCol)).as("__cn"))

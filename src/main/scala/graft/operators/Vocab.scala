@@ -18,13 +18,18 @@ object Vocab {
 
   /** The n-gram explode is compute-bound on text, so it must run on every
     * core — but a small corpus arriving as ONE parquet file plans as one
-    * partition and serializes the whole scan. Widen only when the input
-    * is narrower than the cluster; at real scale the source is already
-    * split and this is a no-op (no shuffle added).
+    * partition and serializes the whole scan. Widen only when the plan
+    * STATISTICS say the input is too small to split across the cluster
+    * (~4 MB/core); at real scale the source is already split and this is
+    * a no-op. Statistics, not `toRdd` partition counts: under AQE,
+    * touching `toRdd` at DataFrame-construction time eagerly executes any
+    * upstream shuffle stages, and that work is not reused by the real
+    * action.
     */
   private def parallelized(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.queryExecution.toRdd.getNumPartitions < target)
+    val size = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (size >= 0 && size < BigInt(target) * (4L << 20))
       df.repartition(target)
     else df
   }

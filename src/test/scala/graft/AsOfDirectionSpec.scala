@@ -97,22 +97,29 @@ class AsOfDirectionSpec extends SparkSpec {
   }
 
   test("forward and nearest: sort-merge equals broadcast on testdata") {
+    // events-vs-events: clicks and purchases interleave in time, so
+    // forward genuinely matches (orders-vs-events would be vacuous —
+    // every order predates every event)
     val dir = "/root/testdata/sf0.001"
-    val e = Tables(spark, dir, "events")
+    val ev = Tables(spark, dir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
       .select(col("event_id"), col("user_id"), col("ts"))
-    val o = Tables(spark, dir, "orders")
-      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+    val purch = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
     for (d <- Seq("forward", "nearest")) {
-      def run(s: String) = AsOfJoin.asofJoin(e, o, "user_id", "o_custkey",
-          "ts", "o_orderdate", rightTieBreak = Seq(o("o_orderkey")),
+      def run(s: String) = AsOfJoin.asofJoin(clicks, purch,
+          "user_id", "p_user", "ts", "p_ts",
+          rightTieBreak = Seq(purch("p_id")),
           strategy = s, direction = d)
-        .select(col("event_id"), col("o_orderkey")).collect()
+        .select(col("event_id"), col("p_id")).collect()
         .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
         .toMap
       val bc = run("broadcast")
       val sm = run("sortmerge")
       assert(bc == sm, d)
-      assert(bc.nonEmpty)
+      assert(bc.values.count(_ >= 0) > bc.size / 2,
+        s"$d: expected mostly-matched rows, got ${bc.values.count(_ >= 0)}/${bc.size}")
     }
   }
 

@@ -92,6 +92,23 @@ class RangeJoinSpec extends SparkSpec {
     assert(got == Set((1L, 10L), (1L, 12L)))
   }
 
+  test("interval wider than maxBinsPerInterval raises instead of exploding") {
+    val points = Seq((1L, 5.0)).toDF("pid", "v")
+    val dirty = Seq((1L, 0.0, 1e15)).toDF("iid", "lo", "hi") // sentinel hi
+    val ex = intercept[Exception] {
+      RangeJoin.pointInInterval(points, col("v"), dirty,
+        col("lo"), col("hi"), binWidth = 25000.0).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ msgs(e.getCause))
+    assert(msgs(ex).exists(_.contains("spans more than")), msgs(ex).mkString("|"))
+    // a clean wide-but-bounded interval still works under a raised cap
+    val ok = RangeJoin.pointInInterval(points, col("v"),
+      Seq((1L, 0.0, 10.0)).toDF("iid", "lo", "hi"),
+      col("lo"), col("hi"), binWidth = 0.01, maxBinsPerInterval = 2000)
+    assert(ok.count() == 1)
+  }
+
   test("range join edges: inverted and null intervals, null points, negatives") {
     val points = Seq((1L, Some(-3.0)), (2L, Some(0.0)), (3L, None))
       .toDF("pid", "v")
