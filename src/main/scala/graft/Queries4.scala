@@ -188,6 +188,23 @@ object Queries4 {
       .select(col("doc_id"), col("n_chars"))
       .orderBy(col("doc_id"))
 
+  /** copy-on-write mutation under the driver oracle: edit + delete +
+    * positional insert replayed as a deterministic plan over a sorted
+    * base (the COW row index follows the pre-sort), then materialized in
+    * final row order. Brings SURVEY §2.11 — previously spec-only — under
+    * the DuckDB gate.
+    */
+  def q74_cow_mutations(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "nation")
+      .select(col("n_nationkey").cast("string").as("nkey"), col("n_name"))
+      .orderBy(col("nkey").cast("int"))
+    graft.operators.Mutations.writable(base)
+      .setCell(3, "n_name", "EDITED")
+      .deleteRow(5)
+      .insertRow(2, Seq("999", "ZETALAND"))
+      .result()
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q62_interval_overlap" -> q62_interval_overlap _,
     "q63_top_bigrams" -> q63_top_bigrams _,
@@ -200,7 +217,8 @@ object Queries4 {
     "q70_pivot" -> q70_pivot _,
     "q71_repeated_spans" -> q71_repeated_spans _,
     "q72_histogram" -> q72_histogram _,
-    "q73_priority_sample" -> q73_priority_sample _
+    "q73_priority_sample" -> q73_priority_sample _,
+    "q74_cow_mutations" -> q74_cow_mutations _
   )
 
   val oracles: Map[String, String] = Map(
@@ -349,6 +367,24 @@ object Queries4 {
         |)
         |SELECT doc_id, n_chars FROM
         |  (SELECT doc_id, n_chars FROM keyed ORDER BY k DESC, doc_id LIMIT 100)
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+    "q74_cow_mutations" ->
+      """WITH base AS (
+        |  SELECT CAST(n_nationkey AS VARCHAR) AS nkey, n_name,
+        |         row_number() OVER (ORDER BY n_nationkey) - 1 AS idx
+        |  FROM nation
+        |), edited AS (
+        |  SELECT nkey,
+        |         CASE WHEN idx = 3 THEN 'EDITED' ELSE n_name END AS n_name, idx
+        |  FROM base WHERE idx <> 5
+        |), ranked AS (
+        |  SELECT nkey, n_name,
+        |         CAST(row_number() OVER (ORDER BY idx) - 1 AS DOUBLE) AS ord
+        |  FROM edited
+        |)
+        |SELECT nkey, n_name FROM (
+        |  SELECT nkey, n_name, ord FROM ranked
+        |  UNION ALL SELECT '999', 'ZETALAND', 1.5
+        |) ORDER BY ord""".stripMargin
   )
 }

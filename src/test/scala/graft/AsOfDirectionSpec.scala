@@ -123,6 +123,20 @@ class AsOfDirectionSpec extends SparkSpec {
     }
   }
 
+  test("SQL-spelled direction: asof_marker with 'broadcast:forward'") {
+    GraftSession.init(spark)
+    Seq((1L, ts("2024-01-01 10:00:05"), "t1"))
+      .toDF("sym", "t_ts", "trade").createOrReplaceTempView("dir_trades")
+    Seq((1L, ts("2024-01-01 10:00:03"), 101.0),
+      (1L, ts("2024-01-01 10:00:08"), 108.0))
+      .toDF("q_sym", "q_ts", "px").createOrReplaceTempView("dir_quotes")
+    val out = spark.sql(
+      """SELECT trade, px FROM dir_trades LEFT JOIN dir_quotes
+        |ON asof_marker(sym, q_sym, t_ts, q_ts, 'broadcast:forward')""".stripMargin)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(out == Map("t1" -> 108.0)) // first quote at-or-after 10:00:05
+  }
+
   test("unknown direction rejected") {
     val df = Seq((1L, ts("2024-01-01 10:00:00"), "t")).toDF("sym", "t_ts", "trade")
     intercept[IllegalArgumentException] {
