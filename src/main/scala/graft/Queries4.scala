@@ -205,6 +205,20 @@ object Queries4 {
       .result()
   }
 
+  /** cross-table fuzzy join (record linkage): even-id documents matched
+    * against odd-id documents by shingle Jaccard ≥ 0.5 through the
+    * LSH-gated path; oracled against DuckDB's exhaustive exact cross
+    * Jaccard — so the gate's recall is itself under the hash check.
+    */
+  def q75_fuzzy_join(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    graft.operators.Dedup.fuzzyJoin(
+        d.filter(col("doc_id") % 2 === 0), "doc_id", "text",
+        d.filter(col("doc_id") % 2 === 1), "doc_id", "text",
+        threshold = 0.5)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q62_interval_overlap" -> q62_interval_overlap _,
     "q63_top_bigrams" -> q63_top_bigrams _,
@@ -218,7 +232,8 @@ object Queries4 {
     "q71_repeated_spans" -> q71_repeated_spans _,
     "q72_histogram" -> q72_histogram _,
     "q73_priority_sample" -> q73_priority_sample _,
-    "q74_cow_mutations" -> q74_cow_mutations _
+    "q74_cow_mutations" -> q74_cow_mutations _,
+    "q75_fuzzy_join" -> q75_fuzzy_join _
   )
 
   val oracles: Map[String, String] = Map(
@@ -385,6 +400,29 @@ object Queries4 {
         |SELECT nkey, n_name FROM (
         |  SELECT nkey, n_name, ord FROM ranked
         |  UNION ALL SELECT '999', 'ZETALAND', 1.5
-        |) ORDER BY ord""".stripMargin
+        |) ORDER BY ord""".stripMargin,
+    "q75_fuzzy_join" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1),
+        |    i -> array_to_string(t[i:i+2], ' '))) AS shingles
+        |  FROM toks
+        |), ex AS (
+        |  SELECT doc_id, unnest(shingles) AS s FROM sh
+        |), pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        |  FROM ex a JOIN ex b ON a.s = b.s
+        |  WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+        |  GROUP BY 1, 2
+        |)
+        |SELECT id_a, id_b, inter,
+        |  round(inter / CAST(sa.n + sb.n - inter AS DOUBLE), 4) AS jaccard
+        |FROM pairs
+        |JOIN (SELECT doc_id, len(shingles) AS n FROM sh) sa ON sa.doc_id = id_a
+        |JOIN (SELECT doc_id, len(shingles) AS n FROM sh) sb ON sb.doc_id = id_b
+        |WHERE round(inter / CAST(sa.n + sb.n - inter AS DOUBLE), 4) >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin
   )
 }

@@ -139,6 +139,55 @@ object Dedup {
       .filter(col("est_jaccard") >= threshold)
   }
 
+  /** Cross-TABLE near-duplicate join (record linkage / entity
+    * resolution): all (left, right) pairs whose distinct word-shingle
+    * Jaccard ≥ `threshold`. LSH-gated — minhash signatures band-join
+    * ACROSS the two tables, so work is proportional to band collisions,
+    * never |L|·|R|; each candidate is then verified EXACTLY with a sorted
+    * merge-scan intersection over the docs' shingle-hash sets. Default
+    * band geometry (r=2 × 64 bands): P(candidate | jaccard=t) =
+    * 1-(1-t²)^64 ≈ 1-1e-8 at t=0.5 — effectively total recall at the
+    * thresholds this gates.
+    */
+  def fuzzyJoin(left: DataFrame, leftId: String, leftText: String,
+      right: DataFrame, rightId: String, rightText: String,
+      threshold: Double, shingleWords: Int = 3,
+      numHashes: Int = 128, bands: Int = 64): DataFrame = {
+    require(numHashes % bands == 0, s"bands ($bands) must divide numHashes")
+    val rpb = numHashes / bands
+    import graft.functions.SketchExprs.{minhash_array, shingle_hashes}
+    import graft.functions.VectorExprs.sorted_inter_count
+
+    // one exchange per side shared by the band branch and the verify
+    // branch (ReusedExchange) — without it shingling+minhash re-executes
+    def prep(df: DataFrame, id: String, text: String, outId: String) =
+      df.select(col(id).as(outId),
+          shingle_hashes(TextFunctions.tokensWs(col(text)), shingleWords)
+            .as("__sh"))
+        .withColumn("__sig", minhash_array(col("__sh"), numHashes))
+        .repartition(col(outId))
+    def banded(df: DataFrame, id: String) = {
+      val bandHashes = (0 until bands).map(j =>
+        xxhash64(slice(col("__sig"), j * rpb + 1, rpb)))
+      df.select(col(id),
+        posexplode(array(bandHashes: _*)).as(Seq("__band", "__bh")))
+    }
+    val a = prep(left, leftId, leftText, "id_a")
+    val b = prep(right, rightId, rightText, "id_b")
+    val cand = banded(a, "id_a").join(banded(b, "id_b"), Seq("__band", "__bh"))
+      .select(col("id_a"), col("id_b")).distinct()
+    cand
+      .join(a.select(col("id_a"), col("__sh").as("__sha")), "id_a")
+      .join(b.select(col("id_b"), col("__sh").as("__shb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        sorted_inter_count(col("__sha"), col("__shb")).as("inter"),
+        size(col("__sha")).as("__na"), size(col("__shb")).as("__nb"))
+      .select(col("id_a"), col("id_b"), col("inter"),
+        round(col("inter").cast("double") /
+          (col("__na") + col("__nb") - col("inter")), 4).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   // ------------------------------------------------------------ exact jaccard
 
   /** Exact distinct-word-shingle Jaccard for pairs above a threshold —
