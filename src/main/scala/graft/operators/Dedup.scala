@@ -158,14 +158,18 @@ object Dedup {
     import graft.functions.SketchExprs.{minhash_array, shingle_hashes}
     import graft.functions.VectorExprs.sorted_inter_count
 
-    // one exchange per side shared by the band branch and the verify
-    // branch (ReusedExchange) — without it shingling+minhash re-executes
+    // each side feeds a band branch and a verify branch with DIFFERENT
+    // column sets, so after pruning the subtrees aren't identical and
+    // ReusedExchange can't share them — localCheckpoint materializes the
+    // (id, shingles, signature) relation once per side instead of running
+    // the shingle+minhash scan twice (same pattern as jaccardPairsDense)
     def prep(df: DataFrame, id: String, text: String, outId: String) =
       df.select(col(id).as(outId),
           shingle_hashes(TextFunctions.tokensWs(col(text)), shingleWords)
             .as("__sh"))
         .withColumn("__sig", minhash_array(col("__sh"), numHashes))
         .repartition(col(outId))
+        .localCheckpoint()
     def banded(df: DataFrame, id: String) = {
       val bandHashes = (0 until bands).map(j =>
         xxhash64(slice(col("__sig"), j * rpb + 1, rpb)))
