@@ -128,12 +128,14 @@ object Dedup {
       threshold: Double = 0.7, shingleWords: Int = 3,
       numHashes: Int = 128, bands: Int = 32): DataFrame = {
     // The signature relation feeds FOUR plan branches (both band-join
-    // sides + both estimate sides). A deliberate repartition inserts one
-    // small exchange (|docs| × numHashes longs) that Spark's
-    // ReusedExchange shares across the branches — without it the per-row
-    // sketch (shingling + hashing) re-executes once per branch.
+    // sides + both estimate sides). A bare repartition is NOT shared
+    // across them — AQE re-plans the broadcast sides under their own
+    // BroadcastExchange, so ReusedExchange never matches and the per-row
+    // sketch ran once per branch (executed-plan-verified, 4 scans).
+    // localCheckpoint materializes the |docs| × numHashes longs once.
     val sig = minhashSignatures(df, idCol, textCol, shingleWords, numHashes)
       .repartition(col(idCol))
+      .localCheckpoint()
     val cand = lshCandidates(sig, idCol, bands, numHashes / bands)
     estimateJaccard(sig, idCol, cand, numHashes)
       .filter(col("est_jaccard") >= threshold)
@@ -251,12 +253,19 @@ object Dedup {
     require(bands > 0 && numHashes % bands == 0,
       s"bands ($bands) must divide numHashes ($numHashes)")
     import graft.functions.{SketchExprs, VectorExprs}
+    // base feeds 4 consumers (both band sides + both verify sides) and
+    // sig feeds 2; a bare repartition does NOT get shared — AQE wraps the
+    // broadcast sides in BroadcastExchange over a re-planned subtree, so
+    // ReusedExchange never matches and the shingle scan ran 4×
+    // (executed-plan-verified). localCheckpoint materializes each once.
     val base = df.select(col(idCol).as("id"),
         SketchExprs.shingle_hashes(
           TextFunctions.tokensWs(col(textCol)), shingleWords).as("shingles"))
       .repartition(col("id"))
+      .localCheckpoint()
     val sig = base.select(col("id"),
-      SketchExprs.minhash_array(col("shingles"), numHashes).as("sig"))
+        SketchExprs.minhash_array(col("shingles"), numHashes).as("sig"))
+      .localCheckpoint()
     val cand = lshCandidates(sig, "id", bands, numHashes / bands)
     val a = base.select(col("id").as("id_a"), col("shingles").as("__sa"),
       size(col("shingles")).as("n_a"))
