@@ -380,9 +380,11 @@ object Dedup {
   def simhashNearDupPairs(
       df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
-    // repartition = shared exchange: the banded relation branches twice
-    // (join l/r); without it the per-row sketch re-executes per branch
+    // the banded relation branches twice (join l/r) and a bare
+    // repartition is not shared across broadcast-side re-planning —
+    // materialize the per-row sketch once
     val sig = simhash64(df, idCol, textCol).repartition(col(idCol))
+      .localCheckpoint()
     val bandCols = (0 until 4).map(j =>
       shiftright(col("simhash"), j * 16).bitwiseAND(0xFFFFL).as(s"band_$j"))
     val banded = sig.select(col(idCol).as("id") +: col("simhash") +: bandCols: _*)

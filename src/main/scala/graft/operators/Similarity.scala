@@ -155,6 +155,10 @@ object Similarity {
         vec_l2norm(col(vecCol)).as("__nm"),
         lshSignature(col(vecCol), dim, planes).as("__sig"))
       .repartition(col("id"))
+      // 4 consumers (band l/r + rescore a/b); broadcast sides re-plan
+      // under BroadcastExchange so the repartition alone is never reused
+      // (4 scans in the executed plan) — materialize once
+      .localCheckpoint()
     val banded = base.select(col("id"),
       posexplode(array((0 until bands).map(j =>
         shiftright(col("__sig"), j * r).bitwiseAND(lit((1L << r) - 1))): _*))
