@@ -55,11 +55,17 @@ object Dedup {
     */
   def repeatedSpans(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 10): DataFrame = {
-    val grams = docs.select(col(idCol),
-        explode(graft.functions.TextFunctions.ngrams(col(textCol), k)).as("__g"))
+    // widen a single-file corpus so the k-gram explode runs on every
+    // core, then materialize the compact (id, hash, n) aggregate once so
+    // the explode doesn't run per consuming branch
+    val grams = PlanUtil
+      .widenIfNarrow(docs.select(col(idCol), col(textCol).as("__t")))
+      .select(col(idCol),
+        explode(graft.functions.TextFunctions.ngrams(col("__t"), k)).as("__g"))
       .select(col(idCol), xxhash64(col("__g")).as("__h"))
       .groupBy(col(idCol), col("__h"))
       .agg(count(lit(1)).as("__n"))
+      .localCheckpoint()
     val global = grams.groupBy(col("__h")).agg(sum(col("__n")).as("__c"))
     val per = grams.join(global, "__h")
       .groupBy(col(idCol))

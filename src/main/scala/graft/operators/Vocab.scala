@@ -16,23 +16,8 @@ import graft.functions.TextFunctions
   */
 object Vocab {
 
-  /** The n-gram explode is compute-bound on text, so it must run on every
-    * core — but a small corpus arriving as ONE parquet file plans as one
-    * partition and serializes the whole scan. Widen only when the plan
-    * STATISTICS say the input is too small to split across the cluster
-    * (~4 MB/core); at real scale the source is already split and this is
-    * a no-op. Statistics, not `toRdd` partition counts: under AQE,
-    * touching `toRdd` at DataFrame-construction time eagerly executes any
-    * upstream shuffle stages, and that work is not reused by the real
-    * action.
-    */
-  private def parallelized(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    val size = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    if (size >= 0 && size < BigInt(target) * (4L << 20))
-      df.repartition(target)
-    else df
-  }
+  private def parallelized(df: DataFrame): DataFrame =
+    PlanUtil.widenIfNarrow(df)
 
   /** Global top-k word n-grams by corpus frequency (duplicates within a
     * document count — this is frequency, not document-set similarity).
@@ -55,7 +40,11 @@ object Vocab {
     val nonEmpty = docs.filter(length(trim(textCol)) > 0)
     val tok = parallelized(nonEmpty.select(col(idCol), textCol.as("__text")))
       .select(col(idCol), explode(TextFunctions.tokensWs(col("__text"))).as("term"))
+    // tf feeds the score join AND dfreq; without materialization each
+    // branch re-runs the token explode (executed plan showed the docs
+    // scan twice). tf is compact — one row per (doc, distinct term).
     val tf = tok.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
     // df(t) = docs containing t = rows per term in tf (already one row per
     // (doc, term)) — deriving it from tf instead of tok runs the explode
     // once and shuffles term counts, not raw tokens
