@@ -134,13 +134,15 @@ object Dedup {
       threshold: Double = 0.7, shingleWords: Int = 3,
       numHashes: Int = 128, bands: Int = 32): DataFrame = {
     // The signature relation feeds FOUR plan branches (both band-join
-    // sides + both estimate sides). A bare repartition is NOT shared
+    // sides + both estimate sides); a bare repartition is NOT shared
     // across them — AQE re-plans the broadcast sides under their own
     // BroadcastExchange, so ReusedExchange never matches and the per-row
     // sketch ran once per branch (executed-plan-verified, 4 scans).
+    // Widen a single-file corpus so sketching runs on every core, then
     // localCheckpoint materializes the |docs| × numHashes longs once.
-    val sig = minhashSignatures(df, idCol, textCol, shingleWords, numHashes)
-      .repartition(col(idCol))
+    val sig = minhashSignatures(
+        PlanUtil.widenIfNarrow(df.select(col(idCol), col(textCol))),
+        idCol, textCol, shingleWords, numHashes)
       .localCheckpoint()
     val cand = lshCandidates(sig, idCol, bands, numHashes / bands)
     estimateJaccard(sig, idCol, cand, numHashes)
@@ -172,11 +174,11 @@ object Dedup {
     // (id, shingles, signature) relation once per side instead of running
     // the shingle+minhash scan twice (same pattern as jaccardPairsDense)
     def prep(df: DataFrame, id: String, text: String, outId: String) =
-      df.select(col(id).as(outId),
-          shingle_hashes(TextFunctions.tokensWs(col(text)), shingleWords)
+      PlanUtil.widenIfNarrow(df.select(col(id).as(outId), col(text).as("__t")))
+        .select(col(outId),
+          shingle_hashes(TextFunctions.tokensWs(col("__t")), shingleWords)
             .as("__sh"))
         .withColumn("__sig", minhash_array(col("__sh"), numHashes))
-        .repartition(col(outId))
         .localCheckpoint()
     def banded(df: DataFrame, id: String) = {
       val bandHashes = (0 until bands).map(j =>
@@ -263,11 +265,13 @@ object Dedup {
     // sig feeds 2; a bare repartition does NOT get shared — AQE wraps the
     // broadcast sides in BroadcastExchange over a re-planned subtree, so
     // ReusedExchange never matches and the shingle scan ran 4×
-    // (executed-plan-verified). localCheckpoint materializes each once.
-    val base = df.select(col(idCol).as("id"),
+    // (executed-plan-verified). Widen single-file corpora so shingling
+    // parallelizes; localCheckpoint materializes each relation once.
+    val base = PlanUtil
+      .widenIfNarrow(df.select(col(idCol).as("id"), col(textCol).as("__t")))
+      .select(col("id"),
         SketchExprs.shingle_hashes(
-          TextFunctions.tokensWs(col(textCol)), shingleWords).as("shingles"))
-      .repartition(col("id"))
+          TextFunctions.tokensWs(col("__t")), shingleWords).as("shingles"))
       .localCheckpoint()
     val sig = base.select(col("id"),
         SketchExprs.minhash_array(col("shingles"), numHashes).as("sig"))
@@ -388,8 +392,10 @@ object Dedup {
       maxHamming: Int = 3): DataFrame = {
     // the banded relation branches twice (join l/r) and a bare
     // repartition is not shared across broadcast-side re-planning —
-    // materialize the per-row sketch once
-    val sig = simhash64(df, idCol, textCol).repartition(col(idCol))
+    // widen, then materialize the per-row sketch once
+    val sig = simhash64(
+        PlanUtil.widenIfNarrow(df.select(col(idCol), col(textCol))),
+        idCol, textCol)
       .localCheckpoint()
     val bandCols = (0 until 4).map(j =>
       shiftright(col("simhash"), j * 16).bitwiseAND(0xFFFFL).as(s"band_$j"))

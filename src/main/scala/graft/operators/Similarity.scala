@@ -151,13 +151,14 @@ object Similarity {
     // one exchange shared by the banding branch and both rescore sides
     // (ReusedExchange) — without it the signature projection executes
     // once per branch
-    val base = df.select(col(idCol).as("id"), col(vecCol).as("__v"),
-        vec_l2norm(col(vecCol)).as("__nm"),
-        lshSignature(col(vecCol), dim, planes).as("__sig"))
-      .repartition(col("id"))
-      // 4 consumers (band l/r + rescore a/b); broadcast sides re-plan
-      // under BroadcastExchange so the repartition alone is never reused
-      // (4 scans in the executed plan) — materialize once
+    // 4 consumers (band l/r + rescore a/b); broadcast sides re-plan
+    // under BroadcastExchange so a shared repartition is never reused
+    // (4 scans in the executed plan) — widen a single-file corpus so the
+    // signature projection runs on every core, then materialize once
+    val base = PlanUtil
+      .widenIfNarrow(df.select(col(idCol).as("id"), col(vecCol).as("__v")))
+      .select(col("id"), col("__v"), vec_l2norm(col("__v")).as("__nm"),
+        lshSignature(col("__v"), dim, planes).as("__sig"))
       .localCheckpoint()
     val banded = base.select(col("id"),
       posexplode(array((0 until bands).map(j =>
