@@ -107,6 +107,29 @@ class QuantizeSpec extends SparkSpec {
       (19L, 95.0, 1L)))
   }
 
+  test("property: quantize+dot matches a scala-side model on random vectors") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    def samples[T](g: Gen[T], n: Int): Seq[T] =
+      (1 to n).map(i => g.pureApply(Gen.Parameters.default, Seed(7L + i)))
+    def q8(x: Float, scale: Double): Long = {
+      val q = math.floor(x.toDouble / scale + 0.5).toLong
+      math.max(-127L, math.min(127L, q))
+    }
+    val vecGen = Gen.choose(1, 40).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(-8.0f, 8.0f)))
+    samples(Gen.zip(vecGen, vecGen, Gen.oneOf(0.05, 0.1, 1.0)), 15)
+      .foreach { case (a, b, scale) =>
+        val want = a.zip(b).map { case (x, y) => q8(x, scale) * q8(y, scale) }.sum
+        val got = Seq((a, b)).toDF("a", "b")
+          .select(VectorExprs.vec_dot_q8(
+            VectorExprs.vec_q8(col("a"), scale),
+            VectorExprs.vec_q8(col("b"), scale)).as("d"))
+          .collect()(0).getLong(0)
+        assert(got == want, s"scale=$scale a=$a b=$b")
+      }
+  }
+
   test("fuzzyJoin equals driver brute-force cross Jaccard on testdata") {
     import graft.operators.Dedup
     val d = Tables(spark, "/root/testdata/sf0.001", "documents")

@@ -109,6 +109,56 @@ class RangeJoinSpec extends SparkSpec {
     assert(ok.count() == 1)
   }
 
+  test("property: binned joins equal naive joins across random scenarios") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    def samples[T](g: Gen[T], n: Int): Seq[T] =
+      (1 to n).map(i => g.pureApply(Gen.Parameters.default, Seed(100L + i)))
+    val ivGen = for {
+      lo <- Gen.choose(-50.0, 50.0)
+      w <- Gen.choose(0.0, 20.0)
+      inverted <- Gen.prob(0.1)
+    } yield if (inverted) (lo, lo - 1.0) else (lo, lo + w)
+    val scGen = for {
+      np <- Gen.choose(1, 40); ni <- Gen.choose(1, 30)
+      ps <- Gen.listOfN(np, Gen.choose(-60.0, 60.0))
+      is <- Gen.listOfN(ni, ivGen)
+      bw <- Gen.oneOf(1.0, 3.7, 10.0)
+    } yield (ps, is, bw)
+    samples(scGen, 10).foreach { case (ps, is, bw) =>
+      val points = ps.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("pid", "v")
+      val ivs = is.zipWithIndex.map { case ((lo, hi), i) => (i.toLong, lo, hi) }
+        .toDF("iid", "lo", "hi")
+      def pairsOf(df: org.apache.spark.sql.DataFrame) = df
+        .select("pid", "iid").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      val naiveP = pairsOf(points.join(ivs,
+        col("v") >= col("lo") && col("v") <= col("hi"))).toSet
+      val binnedP = pairsOf(RangeJoin.pointInInterval(points, col("v"),
+        ivs, col("lo"), col("hi"), bw))
+      assert(binnedP.toSet == naiveP && binnedP.length == binnedP.toSet.size,
+        s"pointInInterval bw=$bw")
+      // overlap: intervals vs intervals (reuse ivs against a shifted copy)
+      val ivs2 = is.zipWithIndex.map { case ((lo, hi), i) =>
+        (i.toLong, lo + 2.5, hi + 2.5) }.toDF("jid", "lo2", "hi2")
+      // the contract drops inverted intervals, so the naive reference
+      // must too (a raw overlap predicate can still match an inverted
+      // left interval against a fat right one)
+      val naiveO = ivs.filter(col("lo") <= col("hi"))
+        .join(ivs2.filter(col("lo2") <= col("hi2")),
+          col("lo") <= col("hi2") && col("lo2") <= col("hi"))
+        .select("iid", "jid").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      val binnedO = RangeJoin.intervalOverlap(ivs, col("lo"), col("hi"),
+          ivs2, col("lo2"), col("hi2"), bw)
+        .select("iid", "jid").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      assert(binnedO.toSet == naiveO.toSet &&
+        binnedO.length == naiveO.length, s"intervalOverlap bw=$bw")
+    }
+  }
+
   test("range join edges: inverted and null intervals, null points, negatives") {
     val points = Seq((1L, Some(-3.0)), (2L, Some(0.0)), (3L, None))
       .toDF("pid", "v")
