@@ -140,8 +140,12 @@ object Dedup {
     // sketch ran once per branch (executed-plan-verified, 4 scans).
     // Widen a single-file corpus so sketching runs on every core, then
     // localCheckpoint materializes the |docs| × numHashes longs once.
+    // shingle-less docs would carry all-sentinel signatures that match
+    // each other 128/128 (est_jaccard = 1.0) while the exact twin
+    // (jaccardPairs, inter >= 1) emits nothing for them — drop up front
     val sig = minhashSignatures(
-        PlanUtil.widenIfNarrow(df.select(col(idCol), col(textCol))),
+        PlanUtil.widenIfNarrow(df.select(col(idCol), col(textCol)))
+          .filter(TextFunctions.tokenCountWs(col(textCol)) >= shingleWords),
         idCol, textCol, shingleWords, numHashes)
       .localCheckpoint()
     val cand = lshCandidates(sig, idCol, bands, numHashes / bands)
@@ -173,11 +177,17 @@ object Dedup {
     // ReusedExchange can't share them — localCheckpoint materializes the
     // (id, shingles, signature) relation once per side instead of running
     // the shingle+minhash scan twice (same pattern as jaccardPairsDense)
+    // docs shorter than shingleWords have NO shingles: they can never
+    // reach a positive Jaccard, but their all-sentinel minhash signatures
+    // would band-collide with EVERY other empty doc (|emptyL|×|emptyR|
+    // candidates) and 0/0 division yields NaN — which Spark orders ABOVE
+    // every number, so `NaN >= threshold` would pass. Drop them up front.
     def prep(df: DataFrame, id: String, text: String, outId: String) =
       PlanUtil.widenIfNarrow(df.select(col(id).as(outId), col(text).as("__t")))
         .select(col(outId),
           shingle_hashes(TextFunctions.tokensWs(col("__t")), shingleWords)
             .as("__sh"))
+        .filter(size(col("__sh")) > 0)
         .withColumn("__sig", minhash_array(col("__sh"), numHashes))
         .localCheckpoint()
     def banded(df: DataFrame, id: String) = {
@@ -250,9 +260,10 @@ object Dedup {
     * together with P≈0.006, so the verify set stays tiny. Results equal
     * [[jaccardPairs]] (same hash space, exact verification).
     *
-    * Plan shape: the shingle relation is repartitioned once by id so the
-    * signature/banding branch and both verify sides share ONE exchange
-    * (ReusedExchange) instead of re-shingling per branch.
+    * Plan shape: the shingle relation is widened (single-file corpora)
+    * and localCheckpoint'ed once — a shared repartition is NOT reused
+    * across branches that end under a broadcast join (AQE re-plans them
+    * in their own BroadcastExchange; 4 scans observed before the fix).
     */
   def jaccardPairsLsh(
       df: DataFrame, idCol: String, textCol: String,
@@ -267,11 +278,17 @@ object Dedup {
     // ReusedExchange never matches and the shingle scan ran 4×
     // (executed-plan-verified). Widen single-file corpora so shingling
     // parallelizes; localCheckpoint materializes each relation once.
+    // shingle-less docs (shorter than shingleWords) never form a valid
+    // pair (sparse jaccardPairs needs inter >= 1) but their all-sentinel
+    // signatures would band-collide pairwise and produce 0/0 = NaN
+    // jaccards, which pass any >= threshold filter (Spark orders NaN
+    // above every number) — drop them before signing
     val base = PlanUtil
       .widenIfNarrow(df.select(col(idCol).as("id"), col(textCol).as("__t")))
       .select(col("id"),
         SketchExprs.shingle_hashes(
           TextFunctions.tokensWs(col("__t")), shingleWords).as("shingles"))
+      .filter(size(col("shingles")) > 0)
       .localCheckpoint()
     val sig = base.select(col("id"),
         SketchExprs.minhash_array(col("shingles"), numHashes).as("sig"))

@@ -148,9 +148,6 @@ object Similarity {
       planes: Int = 63, bands: Int = 9): DataFrame = {
     require(planes % bands == 0, s"bands ($bands) must divide planes ($planes)")
     val r = planes / bands
-    // one exchange shared by the banding branch and both rescore sides
-    // (ReusedExchange) — without it the signature projection executes
-    // once per branch
     // 4 consumers (band l/r + rescore a/b); broadcast sides re-plan
     // under BroadcastExchange so a shared repartition is never reused
     // (4 scans in the executed plan) — widen a single-file corpus so the

@@ -16,14 +16,11 @@ import graft.functions.TextFunctions
   */
 object Vocab {
 
-  private def parallelized(df: DataFrame): DataFrame =
-    PlanUtil.widenIfNarrow(df)
-
   /** Global top-k word n-grams by corpus frequency (duplicates within a
     * document count — this is frequency, not document-set similarity).
     */
   def topNgrams(docs: DataFrame, textCol: Column, n: Int, k: Int): DataFrame =
-    parallelized(docs.select(textCol.as("__text")))
+    PlanUtil.widenIfNarrow(docs.select(textCol.as("__text")))
       .select(explode(TextFunctions.ngrams(col("__text"), n)).as("ngram"))
       .groupBy(col("ngram"))
       .agg(count(lit(1)).as("freq"))
@@ -38,7 +35,8 @@ object Vocab {
   def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: Column,
       topPerDoc: Int = 1): DataFrame = {
     val nonEmpty = docs.filter(length(trim(textCol)) > 0)
-    val tok = parallelized(nonEmpty.select(col(idCol), textCol.as("__text")))
+    val tok = PlanUtil
+      .widenIfNarrow(nonEmpty.select(col(idCol), textCol.as("__text")))
       .select(col(idCol), explode(TextFunctions.tokensWs(col("__text"))).as("term"))
     // tf feeds the score join AND dfreq; without materialization each
     // branch re-runs the token explode (executed plan showed the docs
@@ -49,7 +47,9 @@ object Vocab {
     // (doc, term)) — deriving it from tf instead of tok runs the explode
     // once and shuffles term counts, not raw tokens
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val n = nonEmpty.agg(count(lit(1)).as("__n"))
+    // N from the checkpointed tf, not a second corpus scan: every
+    // non-empty doc has >= 1 token, so it appears in tf
+    val n = tf.agg(countDistinct(col(idCol)).as("__n"))
     val scored = tf.join(dfreq, "term").crossJoin(broadcast(n))
       .select(col(idCol), col("term"),
         (col("tf") * log(col("__n").cast("double") / col("df").cast("double")))

@@ -262,6 +262,53 @@ class OperatorsSpec extends SparkSpec {
       s"minhash missed ${exact.diff(sketch)}")
   }
 
+  test("fuzzyJoin equals driver brute-force cross Jaccard on testdata") {
+    import graft.functions.TextFunctions
+    val d = Tables(spark, "/root/testdata/sf0.001", "documents")
+    val left = d.filter(col("doc_id") % 2 === 0)
+    val right = d.filter(col("doc_id") % 2 === 1)
+    val got = Dedup.fuzzyJoin(left, "doc_id", "text",
+        right, "doc_id", "text", threshold = 0.5)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute force over collected shingle sets
+    def shingles(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("doc_id"),
+        TextFunctions.wordShingles(col("text"), 3).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    val sl = shingles(left); val sr = shingles(right)
+    val want = (for {
+      (ia, sa) <- sl.toSeq; (ib, sb) <- sr.toSeq
+      inter = (sa & sb).size
+      union = sa.size + sb.size - inter
+      if union > 0 &&
+        BigDecimal(inter.toDouble / union)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP) >= 0.5
+    } yield (ia, ib)).toSet
+    assert(got == want)
+    assert(want.nonEmpty, "testdata should contain planted cross-side dups")
+  }
+
+  test("shingle-less docs never pair: no NaN jaccard, no sentinel collisions") {
+    // docs shorter than shingleWords used to carry all-sentinel minhash
+    // signatures: every empty pair band-collided and 0/0 = NaN passed
+    // `>= threshold` (Spark orders NaN above all numbers)
+    val docs = Seq((1L, "hi"), (2L, "yo"), (3L, ""),
+      (4L, "alpha beta gamma delta"), (5L, "alpha beta gamma delta"))
+      .toDF("doc_id", "text")
+    def pairs(df: org.apache.spark.sql.DataFrame) = df
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs(Dedup.jaccardPairsLsh(docs, "doc_id", "text", 0.5))
+      == Set((4L, 5L)))
+    assert(pairs(Dedup.minhashNearDupPairs(docs, "doc_id", "text", 0.5))
+      == Set((4L, 5L)))
+    assert(pairs(Dedup.fuzzyJoin(
+        docs.filter(col("doc_id") % 2 === 1), "doc_id", "text",
+        docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", 0.5))
+      == Set((5L, 4L)))
+  }
+
   test("jaccardPairsLsh and jaccardPairsDense match the sparse exact plan") {
     val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
     def pairs(df: org.apache.spark.sql.DataFrame) =

@@ -130,33 +130,6 @@ class QuantizeSpec extends SparkSpec {
       }
   }
 
-  test("fuzzyJoin equals driver brute-force cross Jaccard on testdata") {
-    import graft.operators.Dedup
-    val d = Tables(spark, "/root/testdata/sf0.001", "documents")
-    val left = d.filter(col("doc_id") % 2 === 0)
-    val right = d.filter(col("doc_id") % 2 === 1)
-    val got = Dedup.fuzzyJoin(left, "doc_id", "text",
-        right, "doc_id", "text", threshold = 0.5)
-      .select("id_a", "id_b").collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
-    // brute force over collected shingle sets
-    def shingles(df: org.apache.spark.sql.DataFrame) = df
-      .select(col("doc_id"),
-        TextFunctions.wordShingles(col("text"), 3).as("sh"))
-      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
-    val sl = shingles(left); val sr = shingles(right)
-    val want = (for {
-      (ia, sa) <- sl.toSeq; (ib, sb) <- sr.toSeq
-      inter = (sa & sb).size
-      union = sa.size + sb.size - inter
-      if union > 0 &&
-        BigDecimal(inter.toDouble / union)
-          .setScale(4, BigDecimal.RoundingMode.HALF_UP) >= 0.5
-    } yield (ia, ib)).toSet
-    assert(got == want)
-    assert(want.nonEmpty, "testdata should contain planted cross-side dups")
-  }
-
   test("ngrams keeps duplicates in document order; short docs empty") {
     val df = Seq("a b a b", "a", "", "  x  y  ").toDF("t")
     val got = df.select(TextFunctions.ngrams(col("t"), 2).as("g"))
