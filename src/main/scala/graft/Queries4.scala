@@ -219,6 +219,44 @@ object Queries4 {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** z-order (Morton) clustering value over two 10-bit keys — the
+    * multi-dimensional layout pass behind OPTIMIZE ZORDER; pure integer
+    * bit arithmetic, reproduced bit-for-bit in the DuckDB oracle.
+    */
+  def q76_zorder(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").select(
+      col("l_orderkey"), col("l_linenumber"),
+      (col("l_partkey") % 1024).as("x"), (col("l_suppkey") % 1024).as("y"))
+    li.select(col("l_orderkey"), col("l_linenumber"), col("x"), col("y"),
+        graft.operators.Bucketing.zorderValue(col("x"), col("y"), 10).as("zval"))
+      .orderBy(col("zval"), col("x"), col("y"),
+        col("l_orderkey"), col("l_linenumber"))
+      .limit(100)
+      .select(col("zval"), col("x"), col("y"))
+  }
+
+  /** upsert / CDC merge: a derived delta (10% price bump for every 29th
+    * order, plus two brand-new keys) merged into orders via the
+    * anti-join + union plan; summarized per provenance tag.
+    */
+  def q77_upsert(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "orders").select(col("o_orderkey"),
+      round(col("o_totalprice"), 4).as("o_totalprice"),
+      lit("kept").as("tag"))
+    val bumped = t(s, dir, "orders")
+      .filter(col("o_orderkey") % 29 === 0)
+      .select(col("o_orderkey"),
+        round(col("o_totalprice") * 1.1, 4).as("o_totalprice"),
+        lit("bumped").as("tag"))
+    val fresh = s.range(1, 3).select((-col("id")).as("o_orderkey"),
+      lit(123.4567).as("o_totalprice"), lit("inserted").as("tag"))
+    graft.operators.Joins
+      .upsert(base, bumped.unionByName(fresh), Seq("o_orderkey"))
+      .groupBy(col("tag"))
+      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 4).as("tp"))
+      .orderBy(col("tag"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q62_interval_overlap" -> q62_interval_overlap _,
     "q63_top_bigrams" -> q63_top_bigrams _,
@@ -233,7 +271,9 @@ object Queries4 {
     "q72_histogram" -> q72_histogram _,
     "q73_priority_sample" -> q73_priority_sample _,
     "q74_cow_mutations" -> q74_cow_mutations _,
-    "q75_fuzzy_join" -> q75_fuzzy_join _
+    "q75_fuzzy_join" -> q75_fuzzy_join _,
+    "q76_zorder" -> q76_zorder _,
+    "q77_upsert" -> q77_upsert _
   )
 
   val oracles: Map[String, String] = Map(
@@ -423,6 +463,36 @@ object Queries4 {
         |JOIN (SELECT doc_id, len(shingles) AS n FROM sh) sa ON sa.doc_id = id_a
         |JOIN (SELECT doc_id, len(shingles) AS n FROM sh) sb ON sb.doc_id = id_b
         |WHERE round(inter / CAST(sa.n + sb.n - inter AS DOUBLE), 4) >= 0.5
-        |ORDER BY id_a, id_b""".stripMargin
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q76_zorder" ->
+      """WITH keyed AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |         CAST(l_partkey % 1024 AS BIGINT) AS x,
+        |         CAST(l_suppkey % 1024 AS BIGINT) AS y
+        |  FROM lineitem
+        |), z AS (
+        |  SELECT l_orderkey, l_linenumber, x, y,
+        |    (SELECT CAST(sum(((x >> b.g) & 1) * power(4, b.g) * 2 +
+        |                     ((y >> b.g) & 1) * power(4, b.g)) AS BIGINT)
+        |     FROM unnest(generate_series(0, 9)) AS b(g)) AS zval
+        |  FROM keyed
+        |)
+        |SELECT zval, x, y FROM z
+        |ORDER BY zval, x, y, l_orderkey, l_linenumber LIMIT 100""".stripMargin,
+    "q77_upsert" ->
+      """WITH delta AS (
+        |  SELECT o_orderkey, round(o_totalprice * 1.1, 4) AS o_totalprice,
+        |         'bumped' AS tag
+        |  FROM orders WHERE o_orderkey % 29 = 0
+        |  UNION ALL
+        |  SELECT -i, 123.4567, 'inserted' FROM range(1, 3) t(i)
+        |), merged AS (
+        |  SELECT coalesce(d.o_orderkey, o.o_orderkey) AS o_orderkey,
+        |         coalesce(d.o_totalprice, round(o.o_totalprice, 4)) AS o_totalprice,
+        |         coalesce(d.tag, 'kept') AS tag
+        |  FROM orders o FULL OUTER JOIN delta d ON o.o_orderkey = d.o_orderkey
+        |)
+        |SELECT tag, count(*) AS n, round(sum(o_totalprice), 4) AS tp
+        |FROM merged GROUP BY tag ORDER BY tag""".stripMargin
   )
 }

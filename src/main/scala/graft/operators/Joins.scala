@@ -101,4 +101,18 @@ object Joins {
           saltedL("__salt") === replicatedR("__salt"), "inner")
       .drop("__salt")
   }
+
+  /** Upsert (CDC merge): rows of `delta` replace same-keyed rows of
+    * `target`; delta rows with new keys are appended. The canonical
+    * anti-join + union plan — ONE shuffle on the key (the anti join),
+    * no full-outer row widening; both inputs keep their schema
+    * (unionByName, so column order may differ). Delta must be unique per
+    * key (standard CDC contract — dedupe upstream with
+    * [[Dedup.exact]] otherwise).
+    */
+  def upsert(target: DataFrame, delta: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "upsert needs at least one key column")
+    target.join(delta, keys, "left_anti").unionByName(delta)
+  }
 }

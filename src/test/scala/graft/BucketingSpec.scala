@@ -34,4 +34,40 @@ class BucketingSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS bkt_right")
     }
   }
+
+  test("zorderValue interleaves bits; locality beats single-column sort") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.operators.Bucketing
+    val df = Seq((0L, 0L), (0L, 1L), (1L, 0L), (1L, 1L), (2L, 2L), (3L, 5L))
+      .toDF("x", "y")
+    val got = df.select(col("x"), col("y"),
+        Bucketing.zorderValue(col("x"), col("y"), 4).as("z"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    // interleave: x bits at odd positions, y at even
+    assert(got((0L, 0L)) == 0L && got((0L, 1L)) == 1L)
+    assert(got((1L, 0L)) == 2L && got((1L, 1L)) == 3L)
+    assert(got((2L, 2L)) == 12L) // x bit1 → pos 3 (8), y bit1 → pos 2 (4)
+    assert(got((3L, 5L)) == (2L + 8L) + (1L + 16L)) // x=11b → 2+8; y=101b → 1+16
+  }
+
+  test("zorderLayout: consecutive partitions cover disjoint z ranges") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.operators.Bucketing
+    val rnd = new java.util.SplittableRandom(11L)
+    val df = (1 to 2000).map(_ =>
+      (rnd.nextLong(1024), rnd.nextLong(1024))).toDF("x", "y")
+    val laid = Bucketing.zorderLayout(df, col("x"), col("y"), partitions = 8)
+    val ranges = laid
+      .withColumn("z", Bucketing.zorderValue(col("x"), col("y")))
+      .withColumn("p", spark_partition_id())
+      .groupBy("p").agg(min("z").as("lo"), max("z").as("hi"))
+      .orderBy("p").collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    assert(ranges.length > 1)
+    ranges.sliding(2).foreach { case Array((_, hi1), (lo2, _)) =>
+      assert(hi1 <= lo2, s"overlapping z ranges: $hi1 > $lo2")
+    }
+  }
 }

@@ -262,6 +262,22 @@ class OperatorsSpec extends SparkSpec {
       s"minhash missed ${exact.diff(sketch)}")
   }
 
+  test("upsert: delta replaces matched keys, appends new ones, keeps rest") {
+    val target = Seq((1L, "a", 10), (2L, "b", 20), (3L, "c", 30))
+      .toDF("k", "v", "n")
+    val delta = Seq((2L, "B", 99), (4L, "d", 40)).toDF("k", "v", "n")
+    val got = Joins.upsert(target, delta, Seq("k"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    assert(got == Set((1L, "a", 10), (2L, "B", 99), (3L, "c", 30),
+      (4L, "d", 40)))
+    // composite keys
+    val t2 = Seq((1L, "x", 1.0), (1L, "y", 2.0)).toDF("k1", "k2", "v")
+    val d2 = Seq((1L, "y", 9.0)).toDF("k1", "k2", "v")
+    val got2 = Joins.upsert(t2, d2, Seq("k1", "k2"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(got2 == Set((1L, "x", 1.0), (1L, "y", 9.0)))
+  }
+
   test("fuzzyJoin equals driver brute-force cross Jaccard on testdata") {
     import graft.functions.TextFunctions
     val d = Tables(spark, "/root/testdata/sf0.001", "documents")
