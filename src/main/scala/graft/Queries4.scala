@@ -257,6 +257,33 @@ object Queries4 {
       .orderBy(col("tag"))
   }
 
+  /** CUBE grouping: all 2^k aggregation granularities in one pass
+    * (Expand + single aggregate — NOT 2^k scans). */
+  def q78_cube(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 4).as("qty"))
+      .select(coalesce(col("l_returnflag"), lit("(all)")).as("rf"),
+        coalesce(col("l_linestatus"), lit("(all)")).as("ls"),
+        col("n"), col("qty"))
+      .orderBy(col("rf"), col("ls"))
+
+  /** ntile quartiles per segment (standard uneven-bucket semantics in
+    * both engines), summarized per (segment, tile). */
+  def q79_ntile(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal"), col("c_custkey"))
+    t(s, dir, "customer")
+      .select(col("c_mktsegment"), col("c_acctbal"),
+        ntile(4).over(w).as("tile"))
+      .groupBy(col("c_mktsegment"), col("tile"))
+      .agg(count(lit(1)).as("n"),
+        round(min(col("c_acctbal")), 4).as("lo"),
+        round(max(col("c_acctbal")), 4).as("hi"))
+      .orderBy(col("c_mktsegment"), col("tile"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q62_interval_overlap" -> q62_interval_overlap _,
     "q63_top_bigrams" -> q63_top_bigrams _,
@@ -273,7 +300,9 @@ object Queries4 {
     "q74_cow_mutations" -> q74_cow_mutations _,
     "q75_fuzzy_join" -> q75_fuzzy_join _,
     "q76_zorder" -> q76_zorder _,
-    "q77_upsert" -> q77_upsert _
+    "q77_upsert" -> q77_upsert _,
+    "q78_cube" -> q78_cube _,
+    "q79_ntile" -> q79_ntile _
   )
 
   val oracles: Map[String, String] = Map(
@@ -493,6 +522,24 @@ object Queries4 {
         |  FROM orders o FULL OUTER JOIN delta d ON o.o_orderkey = d.o_orderkey
         |)
         |SELECT tag, count(*) AS n, round(sum(o_totalprice), 4) AS tp
-        |FROM merged GROUP BY tag ORDER BY tag""".stripMargin
+        |FROM merged GROUP BY tag ORDER BY tag""".stripMargin,
+    "q78_cube" ->
+      """SELECT coalesce(l_returnflag, '(all)') AS rf,
+        |       coalesce(l_linestatus, '(all)') AS ls,
+        |       count(*) AS n, round(sum(l_quantity), 4) AS qty
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY rf, ls""".stripMargin,
+    "q79_ntile" ->
+      """WITH t AS (
+        |  SELECT c_mktsegment,
+        |         CAST(ntile(4) OVER (PARTITION BY c_mktsegment
+        |           ORDER BY c_acctbal, c_custkey) AS INT) AS tile,
+        |         c_acctbal
+        |  FROM customer
+        |)
+        |SELECT c_mktsegment, tile, count(*) AS n,
+        |       round(min(c_acctbal), 4) AS lo, round(max(c_acctbal), 4) AS hi
+        |FROM t GROUP BY c_mktsegment, tile
+        |ORDER BY c_mktsegment, tile""".stripMargin
   )
 }
