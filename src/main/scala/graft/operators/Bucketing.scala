@@ -54,11 +54,21 @@ object Bucketing {
   def zorderValue(x: org.apache.spark.sql.Column,
       y: org.apache.spark.sql.Column, bits: Int = 10): org.apache.spark.sql.Column = {
     require(bits > 0 && bits <= 31, "bits must be in [1, 31]")
-    import org.apache.spark.sql.functions.{lit, shiftright}
-    (0 until bits).map { g =>
-      shiftright(x, g).bitwiseAND(lit(1L)) * lit(1L << (2 * g + 1)) +
-        shiftright(y, g).bitwiseAND(lit(1L)) * lit(1L << (2 * g))
-    }.reduce(_ + _)
+    import org.apache.spark.sql.functions.{concat, lit, raise_error, shiftright, when}
+    // keys outside [0, 2^bits) would silently alias (their high bits are
+    // never inspected, so z(2^bits, 0) == z(0, 0)) and quietly destroy
+    // the clustering — fail loudly instead; callers mask (x % 2^bits) or
+    // widen `bits` deliberately
+    val bound = 1L << bits
+    def guard(c: org.apache.spark.sql.Column, name: String) =
+      when(c < 0 || c >= lit(bound), raise_error(concat(
+        lit(s"zorderValue: $name outside [0, $bound) — mask the key or widen bits: "),
+        c.cast("string")))).otherwise(lit(0L))
+    (guard(x, "x") + guard(y, "y")) +
+      (0 until bits).map { g =>
+        shiftright(x, g).bitwiseAND(lit(1L)) * lit(1L << (2 * g + 1)) +
+          shiftright(y, g).bitwiseAND(lit(1L)) * lit(1L << (2 * g))
+      }.reduce(_ + _)
   }
 
   /** Cluster `df` for write: range-partition by the z-value and sort

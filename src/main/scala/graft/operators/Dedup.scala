@@ -142,11 +142,18 @@ object Dedup {
     // localCheckpoint materializes the |docs| × numHashes longs once.
     // shingle-less docs would carry all-sentinel signatures that match
     // each other 128/128 (est_jaccard = 1.0) while the exact twin
-    // (jaccardPairs, inter >= 1) emits nothing for them — drop up front
-    val sig = minhashSignatures(
-        PlanUtil.widenIfNarrow(df.select(col(idCol), col(textCol)))
-          .filter(TextFunctions.tokenCountWs(col(textCol)) >= shingleWords),
-        idCol, textCol, shingleWords, numHashes)
+    // (jaccardPairs, inter >= 1) emits nothing for them — drop up front.
+    // Shingle once, filter on the column, THEN minhash: filtering on a
+    // re-tokenization would run the trim+split regex twice per row
+    // (Filter and Project don't share subexpressions).
+    val sig = PlanUtil.widenIfNarrow(df.select(col(idCol), col(textCol)))
+      .select(col(idCol),
+        graft.functions.SketchExprs.shingle_hashes(
+          TextFunctions.tokensWs(col(textCol)), shingleWords).as("__sh"))
+      .filter(size(col("__sh")) > 0)
+      .select(col(idCol),
+        graft.functions.SketchExprs.minhash_array(col("__sh"), numHashes)
+          .as("sig"))
       .localCheckpoint()
     val cand = lshCandidates(sig, idCol, bands, numHashes / bands)
     estimateJaccard(sig, idCol, cand, numHashes)

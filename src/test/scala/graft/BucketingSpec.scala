@@ -49,6 +49,14 @@ class BucketingSpec extends SparkSpec {
     assert(got((1L, 0L)) == 2L && got((1L, 1L)) == 3L)
     assert(got((2L, 2L)) == 12L) // x bit1 → pos 3 (8), y bit1 → pos 2 (4)
     assert(got((3L, 5L)) == (2L + 8L) + (1L + 16L)) // x=11b → 2+8; y=101b → 1+16
+    // out-of-range keys raise instead of silently aliasing z(16,0)==z(0,0)
+    val ex = intercept[Exception] {
+      Seq((16L, 0L)).toDF("x", "y")
+        .select(Bucketing.zorderValue(col("x"), col("y"), 4)).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ msgs(e.getCause))
+    assert(msgs(ex).exists(_.contains("outside [0, 16)")), msgs(ex).mkString("|"))
   }
 
   test("zorderLayout: consecutive partitions cover disjoint z ranges") {
