@@ -284,6 +284,34 @@ object Queries4 {
       .orderBy(col("c_mktsegment"), col("tile"))
   }
 
+  /** temporal rollup: date_trunc('month') × priority — the standard
+    * time-series aggregation grid; one partial-aggregated groupBy. */
+  def q80_monthly_trend(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(date_trunc("month", col("o_orderdate")).as("mon"),
+        col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), round(avg(col("o_totalprice")), 4).as("avg_tp"))
+      .orderBy(col("mon"), col("o_orderpriority"))
+
+  /** ORDERED array aggregation: top-3 customers per nation as a
+    * rank-ordered joined list. collect_list has NO order guarantee in a
+    * distributed agg — ordering is recovered by sorting (rank, name)
+    * structs INSIDE the aggregated value, the engine-safe idiom.
+    */
+  def q81_top_names(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("c_nationkey"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    t(s, dir, "customer")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .groupBy(col("c_nationkey"))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("rk"), col("c_name")))),
+          s2 => s2.getField("c_name")), ",").as("top3"))
+      .orderBy(col("c_nationkey"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q62_interval_overlap" -> q62_interval_overlap _,
     "q63_top_bigrams" -> q63_top_bigrams _,
@@ -302,7 +330,9 @@ object Queries4 {
     "q76_zorder" -> q76_zorder _,
     "q77_upsert" -> q77_upsert _,
     "q78_cube" -> q78_cube _,
-    "q79_ntile" -> q79_ntile _
+    "q79_ntile" -> q79_ntile _,
+    "q80_monthly_trend" -> q80_monthly_trend _,
+    "q81_top_names" -> q81_top_names _
   )
 
   val oracles: Map[String, String] = Map(
@@ -540,6 +570,22 @@ object Queries4 {
         |SELECT c_mktsegment, tile, count(*) AS n,
         |       round(min(c_acctbal), 4) AS lo, round(max(c_acctbal), 4) AS hi
         |FROM t GROUP BY c_mktsegment, tile
-        |ORDER BY c_mktsegment, tile""".stripMargin
+        |ORDER BY c_mktsegment, tile""".stripMargin,
+    "q80_monthly_trend" ->
+      """SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS mon,
+        |       o_orderpriority,
+        |       count(*) AS n, round(avg(o_totalprice), 4) AS avg_tp
+        |FROM orders GROUP BY mon, o_orderpriority
+        |ORDER BY mon, o_orderpriority""".stripMargin,
+    "q81_top_names" ->
+      """WITH ranked AS (
+        |  SELECT c_nationkey, c_name,
+        |         row_number() OVER (PARTITION BY c_nationkey
+        |           ORDER BY c_acctbal DESC, c_custkey) AS rk
+        |  FROM customer
+        |)
+        |SELECT c_nationkey, string_agg(c_name, ',' ORDER BY rk) AS top3
+        |FROM ranked WHERE rk <= 3 GROUP BY c_nationkey
+        |ORDER BY c_nationkey""".stripMargin
   )
 }
