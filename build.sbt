@@ -14,6 +14,10 @@ run / fork := true
 // forked run writes raw stdout (no "[info] " prefix) so the Bench JSON
 // line is machine-parseable from the captured output
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// ...and nothing prints AFTER it: sbt's "[success] Total time" epilogue
+// would otherwise be the last stdout line and break last-line JSON
+// parsing of the bench output (BENCH_r01–r04 all captured parsed:null)
+ThisBuild / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

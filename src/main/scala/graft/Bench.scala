@@ -36,7 +36,8 @@ object Bench {
 
     // single-file CSV parse throughput: the FULL lineitem at this SF as
     // one CSV file (~39 MB at sf0.1 — the round-1 methodology) through
-    // CsvReader; BEST of 5 timed iterations (capability, not box noise:
+    // CsvReader; 6 runs, first discarded as warmup, BEST of the remaining
+    // 5 (capability, not box noise:
     // the driver's round-3 run averaged 64 MB/s for the same build that
     // sustains ~270 on an idle box — co-tenant load in 2 of 3 samples
     // poisons a mean, not a max). Runs AFTER the query suite on purpose:

@@ -381,7 +381,7 @@ object Queries4 {
         |  SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term
         |), df AS (
         |  SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term
-        |), n AS (SELECT count(*) AS n FROM docs),
+        |), n AS (SELECT count(DISTINCT doc_id) AS n FROM docs),
         |scored AS (
         |  SELECT doc_id, term,
         |         tf * ln(CAST(n.n AS DOUBLE) / CAST(df.df AS DOUBLE)) AS s,

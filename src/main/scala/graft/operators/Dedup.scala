@@ -504,9 +504,21 @@ object Dedup {
         r
       }
       // every externally-visible AtomicType value (Long/Int/String/
-      // Timestamp/...) is java.lang.Comparable
-      def lt(x: Any, y: Any): Boolean =
-        x.asInstanceOf[java.lang.Comparable[Any]].compareTo(y) < 0
+      // Timestamp/...) is java.lang.Comparable. Strings must order by
+      // UTF-8 bytes (unsigned) — the distributed label-propagation loop
+      // converges on Spark's binary-ordering minima, and UTF-16
+      // code-unit order diverges from UTF-8 order for supplementary
+      // characters; both paths must pick the same component roots.
+      def lt(x: Any, y: Any): Boolean = (x, y) match {
+        case (a: String, b: String) =>
+          val (ab, bb) = (a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+            b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          var i = 0
+          val n = math.min(ab.length, bb.length)
+          while (i < n && ab(i) == bb(i)) i += 1
+          if (i < n) (ab(i) & 0xff) < (bb(i) & 0xff) else ab.length < bb.length
+        case _ => x.asInstanceOf[java.lang.Comparable[Any]].compareTo(y) < 0
+      }
       // one collect job (≤ localEdgeLimit rows by the gate above) —
       // toLocalIterator would schedule a mini-job per partition
       e.collect().foreach { row =>
