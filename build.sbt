@@ -18,6 +18,9 @@ run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // would otherwise be the last stdout line and break last-line JSON
 // parsing of the bench output (BENCH_r01–r04 all captured parsed:null)
 ThisBuild / showSuccess := false
+// showSuccess is consumed by sbt's command layer, not a task — lint
+// can't see that
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

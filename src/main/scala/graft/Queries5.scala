@@ -1,0 +1,158 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+import graft.operators.{Curation, Dedup, Sampling, Stats}
+
+/** Fifth query batch: training-run orchestration over the corpus —
+  * deterministic shuffle + sharding, quality-argmax canonical dedup,
+  * corpus Pareto coverage, and percentile-band length filtering. All four
+  * DuckDB-oracled (md5 hex and interpolated quantiles are engine-exact on
+  * both sides).
+  */
+object Queries5 {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  /** deterministic training shuffle: global md5(doc_id) order (pos) +
+    * round-robin dealing into 8 shards. Distributed sort + zipWithIndex —
+    * no single-partition window.
+    */
+  def q82_train_shuffle(s: SparkSession, dir: String): DataFrame =
+    Sampling.deterministicShuffle(
+        t(s, dir, "documents").select(col("doc_id")), col("doc_id"), 8)
+      .select(col("doc_id"), col("pos"), col("shard"))
+      .orderBy(col("doc_id"))
+
+  /** keep-BEST near-dup dedup: q51's LSH-gated Jaccard clusters, but the
+    * survivor is the cluster's longest document (tie → smallest id)
+    * instead of the smallest id — the canonical-selection policy of a
+    * real curation pass.
+    */
+  def q83_cluster_canonical(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val pairs = Dedup.jaccardPairsLsh(docs, "doc_id", "text",
+      threshold = 0.5, shingleWords = 3)
+    val labels = Dedup.connectedComponents(docs.select(col("doc_id")),
+        "doc_id", pairs, "id_a", "id_b")
+      .select(col("id").as("doc_id"), col("comp").as("cluster"))
+    Dedup.canonicalPerCluster(labels, "doc_id", "cluster",
+        docs.select(col("doc_id"), col("n_chars")), "doc_id", col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** corpus Pareto coverage: which sources make up 90% of all tokens —
+    * one map-side-combinable groupBy, then the window runs on the
+    * 20-row aggregate.
+    */
+  def q84_token_pareto(s: SparkSession, dir: String): DataFrame =
+    Curation.paretoCoverage(t(s, dir, "documents"), col("source"),
+        TextFunctions.tokenCountWs(col("text")).cast("long"), 0.9)
+      .select(col("group").as("source"), col("w").as("toks"),
+        col("cum_share"), col("in_core"))
+      .orderBy(col("toks").desc, col("source"))
+
+  /** per-language length band: exact p5/p95 of n_chars per lang +
+    * in-band counts (the outlier-trim filter, measured). Percentile agg
+    * + broadcast band join.
+    */
+  def q85_length_band(s: SparkSession, dir: String): DataFrame =
+    Stats.quantileBand(t(s, dir, "documents"), col("lang"), col("n_chars"),
+        0.05, 0.95)
+      .select(col("group").as("lang"), round(col("lo"), 4).as("lo"),
+        round(col("hi"), 4).as("hi"), col("n_in"), col("n_all"))
+      .orderBy(col("lang"))
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q82_train_shuffle" -> q82_train_shuffle _,
+    "q83_cluster_canonical" -> q83_cluster_canonical _,
+    "q84_token_pareto" -> q84_token_pareto _,
+    "q85_length_band" -> q85_length_band _
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q82_train_shuffle" ->
+      """WITH k AS (
+        |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS key FROM documents
+        |), p AS (
+        |  SELECT doc_id,
+        |    CAST(row_number() OVER (ORDER BY key, doc_id) AS BIGINT) AS pos
+        |  FROM k
+        |)
+        |SELECT doc_id, pos, CAST((pos - 1) % 8 AS BIGINT) AS shard
+        |FROM p ORDER BY doc_id""".stripMargin,
+    "q83_cluster_canonical" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1),
+        |    i -> array_to_string(t[i:i+2], ' '))) AS shingles
+        |  FROM toks
+        |), ex AS (
+        |  SELECT doc_id, unnest(shingles) AS s FROM sh
+        |), inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+        |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |), pairs AS (
+        |  SELECT id_a, id_b FROM inter
+        |  JOIN (SELECT doc_id, len(shingles) n FROM sh) sa ON sa.doc_id = id_a
+        |  JOIN (SELECT doc_id, len(shingles) n FROM sh) sb ON sb.doc_id = id_b
+        |  WHERE round(i / CAST(sa.n + sb.n - i AS DOUBLE), 4) >= 0.5
+        |), e AS (
+        |  SELECT id_a AS a, id_b AS b FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs
+        |), reach AS (
+        |  SELECT a, b FROM e
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a WHERE e.b <> r.a
+        |), cl AS (
+        |  SELECT d.doc_id,
+        |    least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS cluster
+        |  FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+        |  GROUP BY d.doc_id
+        |), sel AS (
+        |  SELECT c.doc_id, c.cluster,
+        |    first_value(c.doc_id) OVER (PARTITION BY c.cluster
+        |      ORDER BY d.n_chars DESC, c.doc_id) AS canonical
+        |  FROM cl c JOIN documents d USING (doc_id)
+        |)
+        |SELECT doc_id, cluster, canonical,
+        |  CAST(CASE WHEN doc_id = canonical THEN 1 ELSE 0 END AS BIGINT)
+        |    AS keep
+        |FROM sel ORDER BY doc_id""".stripMargin,
+    "q84_token_pareto" ->
+      """WITH s AS (
+        |  SELECT source,
+        |    CAST(sum(len(regexp_split_to_array(trim(text), '\s+')))
+        |      AS BIGINT) AS toks
+        |  FROM documents GROUP BY source
+        |), c AS (
+        |  SELECT source, toks,
+        |    CAST(sum(toks) OVER (ORDER BY toks DESC, source
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+        |    CAST(sum(toks) OVER () AS BIGINT) AS tot
+        |  FROM s
+        |)
+        |SELECT source, toks, round(CAST(cum AS DOUBLE) / tot, 4) AS cum_share,
+        |  CAST(CASE WHEN cum - toks < 0.9 * tot THEN 1 ELSE 0 END AS BIGINT)
+        |    AS in_core
+        |FROM c ORDER BY toks DESC, source""".stripMargin,
+    "q85_length_band" ->
+      """WITH q AS (
+        |  SELECT lang, quantile_cont(n_chars, 0.05) AS qlo,
+        |    quantile_cont(n_chars, 0.95) AS qhi
+        |  FROM documents GROUP BY lang
+        |)
+        |SELECT d.lang, round(q.qlo, 4) AS lo, round(q.qhi, 4) AS hi,
+        |  count(CASE WHEN d.n_chars >= q.qlo AND d.n_chars <= q.qhi
+        |    THEN 1 END) AS n_in,
+        |  count(*) AS n_all
+        |FROM documents d JOIN q USING (lang)
+        |GROUP BY d.lang, q.qlo, q.qhi ORDER BY d.lang""".stripMargin
+  )
+}

@@ -115,4 +115,33 @@ object Curation {
     counted.select(stack((lit(stages.length) +: stackArgs): _*)
       .as(Seq("stage", "name", "n")))
   }
+
+  /** Pareto coverage by group: per-group weight totals, cumulative share
+    * in descending-weight order, and `in_core` marking the smallest
+    * prefix of groups whose cumulative weight reaches `coverage` —
+    * "which sources make up 90% of the corpus tokens". A group is in the
+    * core iff the cumulative weight BEFORE it is still under the target,
+    * so the group that crosses the threshold is included.
+    *
+    * Scale: the corpus-size work is one map-side-combinable groupBy; the
+    * total-order window runs on the AGGREGATED relation (one row per
+    * group), so its single partition holds |groups| rows, not the corpus.
+    */
+  def paretoCoverage(df: DataFrame, groupCol: Column, weight: Column,
+      coverage: Double = 0.9): DataFrame = {
+    require(coverage > 0 && coverage <= 1, "coverage must be in (0, 1]")
+    val s = df.groupBy(groupCol.as("group"))
+      .agg(sum(weight).cast("long").as("w"))
+    val ord = Window.orderBy(col("w").desc, col("group"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    s.withColumn("cum", sum(col("w")).over(ord))
+      .withColumn("tot", sum(col("w")).over(
+        Window.partitionBy().rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+      .select(col("group"), col("w"),
+        round(col("cum").cast("double") / col("tot"), 4).as("cum_share"),
+        when((col("cum") - col("w")).cast("double") <
+            lit(coverage) * col("tot"), 1L).otherwise(0L).as("in_core"))
+      .orderBy(col("w").desc, col("group"))
+  }
 }

@@ -665,4 +665,28 @@ object Dedup {
       .join(comp, Seq("id"), "left")
       .select(col("id"), coalesce(col("__c"), col("id")).as("comp"))
   }
+
+  /** Canonical-document selection per near-dup cluster: given component
+    * labels `(idCol, compCol)` (e.g. [[connectedComponents]] output) and
+    * a per-id quality score, pick each cluster's best-scoring id (ties →
+    * smallest id) as the canonical survivor — the "keep the BEST copy,
+    * not just the lowest-id copy" dedup policy of a curation pipeline.
+    * Returns (idCol, compCol, canonical, keep 1/0).
+    *
+    * Scale: one equi-join on id (cluster labels vs scores) and one
+    * window shuffle on compCol. Near-dup clusters are small by nature,
+    * so the per-partition window state is bounded; no cross join, no
+    * driver materialization.
+    */
+  def canonicalPerCluster(labels: DataFrame, idCol: String, compCol: String,
+      scores: DataFrame, scoreIdCol: String, scoreCol: Column): DataFrame = {
+    val sc = scores.select(col(scoreIdCol).as(idCol), scoreCol.as("__score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(compCol))
+      .orderBy(col("__score").desc, col(idCol).asc)
+    labels.join(sc, idCol)
+      .withColumn("canonical", first(col(idCol)).over(w))
+      .select(col(idCol), col(compCol), col("canonical"),
+        when(col(idCol) === col("canonical"), 1L).otherwise(0L).as("keep"))
+  }
 }

@@ -158,4 +158,33 @@ object Sampling {
       .withColumn("cum_tok", sum(col("n_tok")).over(w))
       .filter(col("cum_tok") <= budget)
   }
+
+  /** Deterministic global training-order shuffle + round-robin shard
+    * dealing: rows order by `md5(id)` (reproducible across runs, engines
+    * and partitionings — the same property [[hashSplit]] leans on), get a
+    * contiguous 1-based `pos` in that order, and deal into `numShards`
+    * shards round-robin — the "shuffle once, then shard" step in front of
+    * a training run. Round-robin on the hash order makes every shard an
+    * interleaved, equal-size (±1 row) slice: no hash-modulo skew.
+    *
+    * Scale: `orderBy` is Spark's range-partitioned distributed sort and
+    * the contiguous index is `zipWithIndex` (narrow; one extra job for
+    * per-partition counts) — no single-partition window anywhere.
+    */
+  def deterministicShuffle(df: DataFrame, idCol: Column, numShards: Int,
+      posCol: String = "pos", shardCol: String = "shard"): DataFrame = {
+    require(numShards > 0, "numShards must be positive")
+    val spark = df.sparkSession
+    val keyed = df.withColumn("__key", md5(idCol.cast("string")))
+      .orderBy(col("__key"), idCol)
+    val schema = keyed.schema
+    val indexed = keyed.rdd.zipWithIndex().map { case (row, idx) =>
+      org.apache.spark.sql.Row.fromSeq(row.toSeq :+ (idx + 1L))
+    }
+    spark.createDataFrame(indexed,
+        schema.add(posCol, org.apache.spark.sql.types.LongType,
+          nullable = false))
+      .withColumn(shardCol, ((col(posCol) - 1) % numShards).cast("long"))
+      .drop("__key")
+  }
 }

@@ -70,4 +70,33 @@ object Stats {
         ((col("bin") + 1) * binWidth).as("hi"), col("n"))
       .orderBy(col("bin"))
   }
+
+  /** Per-group percentile band + in-band counts: the exact interpolated
+    * [pLo, pHi] percentiles of `valueCol` within each group, and how many
+    * of the group's rows fall inside that band — the "trim the
+    * length-outlier tails per language" curation filter, measured before
+    * committing to it.
+    *
+    * Scale: one percentile aggregation per group (sort-based exact
+    * percentile — the reference semantics; swap approx_percentile at
+    * 100 TB), then the tiny per-group band table broadcasts back onto
+    * the corpus for a map-side-combinable counting pass. Two scans, no
+    * wide shuffle of the data itself.
+    */
+  def quantileBand(df: DataFrame,
+      groupCol: org.apache.spark.sql.Column,
+      valueCol: org.apache.spark.sql.Column,
+      pLo: Double, pHi: Double): DataFrame = {
+    require(pLo >= 0 && pHi <= 1 && pLo <= pHi, "need 0 <= pLo <= pHi <= 1")
+    val q = df.groupBy(groupCol.as("group"))
+      .agg(percentile(valueCol, lit(pLo)).as("lo"),
+        percentile(valueCol, lit(pHi)).as("hi"))
+    df.select(groupCol.as("group"), valueCol.as("__v"))
+      .join(broadcast(q), "group")
+      .groupBy(col("group"), col("lo"), col("hi"))
+      .agg(count(when(col("__v") >= col("lo") && col("__v") <= col("hi"), 1))
+          .as("n_in"),
+        count(lit(1)).as("n_all"))
+      .orderBy(col("group"))
+  }
 }
