@@ -66,11 +66,79 @@ object Queries5 {
         round(col("hi"), 4).as("hi"), col("n_in"), col("n_all"))
       .orderBy(col("lang"))
 
+  /** winsorized vs raw mean doc length per language — the robust-stat
+    * pass of a curation dashboard (percentile agg + broadcast clip).
+    */
+  def q86_winsorized_mean(s: SparkSession, dir: String): DataFrame =
+    Stats.winsorizedMean(t(s, dir, "documents"), col("lang"),
+        col("n_chars"), 0.05, 0.95)
+      .select(col("group").as("lang"), round(col("wmean"), 4).as("wmean"),
+        round(col("mean"), 4).as("mean"))
+      .orderBy(col("lang"))
+
+  /** per-label dot-product stats against one fixed query embedding —
+    * the codegen vec_dot kernel under a deterministic oracle (both
+    * engines accumulate left-to-right in double).
+    */
+  def q87_label_dot_stats(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+    e.crossJoin(broadcast(q))
+      .select(col("label"),
+        graft.functions.VectorExprs.vec_dot(col("embedding"), col("qe"))
+          .as("d"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"), round(avg(col("d")), 4).as("avg_dot"),
+        round(min(col("d")), 4).as("min_dot"),
+        round(max(col("d")), 4).as("max_dot"))
+      .orderBy(col("label"))
+  }
+
+  /** vocabulary-fingerprint near-dup rate per source: docs whose sorted
+    * DISTINCT token set collides with another doc's — the cheap
+    * order-insensitive dup signal, one fingerprint scan + a broadcast
+    * group-size join.
+    */
+  def q88_vocab_dup_rate(s: SparkSession, dir: String): DataFrame = {
+    val f = t(s, dir, "documents").select(col("doc_id"), col("source"),
+        TextFunctions.vocabFingerprint(col("text")).as("fp"))
+      .localCheckpoint() // two consumers below — tokenize once
+    val g = f.groupBy(col("fp")).agg(count(lit(1)).as("c"))
+    f.join(g, "fp")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(col("c") > 1, 1)).as("n_dup"),
+        round(count(when(col("c") > 1, 1)).cast("double") / count(lit(1)), 4)
+          .as("dup_rate"))
+      .orderBy(col("source"))
+  }
+
+  /** daily active users with the new/returning split — first-touch
+    * cohorting over the events stream (distinct (user, day) + min-day
+    * join; both shuffles key on user_id).
+    */
+  def q89_daily_active(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(col("user_id"), date_trunc("day", col("ts")).as("d"))
+      .localCheckpoint() // feeds first-touch AND distinct-day branches
+    val first = ev.groupBy(col("user_id")).agg(min(col("d")).as("first_d"))
+    ev.distinct()
+      .join(first, "user_id")
+      .groupBy(col("d"))
+      .agg(count(lit(1)).as("active"),
+        count(when(col("d") === col("first_d"), 1)).as("new_users"))
+      .orderBy(col("d"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q82_train_shuffle" -> q82_train_shuffle _,
     "q83_cluster_canonical" -> q83_cluster_canonical _,
     "q84_token_pareto" -> q84_token_pareto _,
-    "q85_length_band" -> q85_length_band _
+    "q85_length_band" -> q85_length_band _,
+    "q86_winsorized_mean" -> q86_winsorized_mean _,
+    "q87_label_dot_stats" -> q87_label_dot_stats _,
+    "q88_vocab_dup_rate" -> q88_vocab_dup_rate _,
+    "q89_daily_active" -> q89_daily_active _
   )
 
   val oracles: Map[String, String] = Map(
@@ -153,6 +221,54 @@ object Queries5 {
         |    THEN 1 END) AS n_in,
         |  count(*) AS n_all
         |FROM documents d JOIN q USING (lang)
-        |GROUP BY d.lang, q.qlo, q.qhi ORDER BY d.lang""".stripMargin
+        |GROUP BY d.lang, q.qlo, q.qhi ORDER BY d.lang""".stripMargin,
+    "q86_winsorized_mean" ->
+      """WITH q AS (
+        |  SELECT lang, quantile_cont(n_chars, 0.05) AS qlo,
+        |    quantile_cont(n_chars, 0.95) AS qhi
+        |  FROM documents GROUP BY lang
+        |)
+        |SELECT d.lang,
+        |  round(avg(least(greatest(CAST(d.n_chars AS DOUBLE), q.qlo),
+        |    q.qhi)), 4) AS wmean,
+        |  round(avg(CAST(d.n_chars AS DOUBLE)), 4) AS mean
+        |FROM documents d JOIN q USING (lang)
+        |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
+    "q87_label_dot_stats" ->
+      """WITH q AS (
+        |  SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings
+        |  WHERE vec_id = 0
+        |)
+        |SELECT label, count(*) AS n,
+        |  round(avg(list_inner_product(CAST(e.embedding AS DOUBLE[]),
+        |    q.qe)), 4) AS avg_dot,
+        |  round(min(list_inner_product(CAST(e.embedding AS DOUBLE[]),
+        |    q.qe)), 4) AS min_dot,
+        |  round(max(list_inner_product(CAST(e.embedding AS DOUBLE[]),
+        |    q.qe)), 4) AS max_dot
+        |FROM embeddings e CROSS JOIN q
+        |GROUP BY label ORDER BY label""".stripMargin,
+    "q88_vocab_dup_rate" ->
+      """WITH f AS (
+        |  SELECT doc_id, source,
+        |    md5(array_to_string(list_sort(list_distinct(
+        |      regexp_split_to_array(trim(lower(text)), '\s+'))), ' ')) AS fp
+        |  FROM documents
+        |), g AS (SELECT fp, count(*) AS c FROM f GROUP BY fp)
+        |SELECT source, count(*) AS n_docs,
+        |  count(CASE WHEN c > 1 THEN 1 END) AS n_dup,
+        |  round(count(CASE WHEN c > 1 THEN 1 END) / CAST(count(*) AS DOUBLE),
+        |    4) AS dup_rate
+        |FROM f JOIN g USING (fp) GROUP BY source ORDER BY source""".stripMargin,
+    "q89_daily_active" ->
+      """WITH fe AS (
+        |  SELECT user_id, date_trunc('day', min(ts)) AS first_d
+        |  FROM events GROUP BY user_id
+        |), w AS (
+        |  SELECT DISTINCT user_id, date_trunc('day', ts) AS d FROM events
+        |)
+        |SELECT d, count(*) AS active,
+        |  count(CASE WHEN d = first_d THEN 1 END) AS new_users
+        |FROM w JOIN fe USING (user_id) GROUP BY d ORDER BY d""".stripMargin
   )
 }

@@ -110,6 +110,13 @@ object TextFunctions {
     */
   def fingerprint(c: Column): Column = md5(normalizeText(c))
 
+  /** vocabulary fingerprint: md5 over the SORTED DISTINCT lowercase
+    * token set — a cheap order-insensitive near-dup signal (word-shuffled
+    * rewrites of the same text collide; [[fingerprint]] would not).
+    */
+  def vocabFingerprint(c: Column): Column =
+    md5(array_join(array_sort(array_distinct(tokensWs(lower(c)))), " "))
+
   /** PII patterns, kept RE2-compatible (no backreferences/lookaround) so
     * the DuckDB oracle evaluates them identically to Java regex.
     */

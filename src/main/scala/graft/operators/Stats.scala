@@ -99,4 +99,26 @@ object Stats {
         count(lit(1)).as("n_all"))
       .orderBy(col("group"))
   }
+
+  /** Winsorized per-group mean: clip `valueCol` to the group's exact
+    * [pLo, pHi] percentile band before averaging, alongside the raw mean
+    * — the robust-location stat a curation dashboard shows next to the
+    * plain average. Same two-pass shape as [[quantileBand]]: percentile
+    * agg, then a broadcast band join + one combinable avg pass.
+    */
+  def winsorizedMean(df: DataFrame,
+      groupCol: org.apache.spark.sql.Column,
+      valueCol: org.apache.spark.sql.Column,
+      pLo: Double, pHi: Double): DataFrame = {
+    require(pLo >= 0 && pHi <= 1 && pLo <= pHi, "need 0 <= pLo <= pHi <= 1")
+    val q = df.groupBy(groupCol.as("group"))
+      .agg(percentile(valueCol, lit(pLo)).as("lo"),
+        percentile(valueCol, lit(pHi)).as("hi"))
+    df.select(groupCol.as("group"), valueCol.cast("double").as("__v"))
+      .join(broadcast(q), "group")
+      .groupBy(col("group"))
+      .agg(avg(least(greatest(col("__v"), col("lo")), col("hi"))).as("wmean"),
+        avg(col("__v")).as("mean"))
+      .orderBy(col("group"))
+  }
 }

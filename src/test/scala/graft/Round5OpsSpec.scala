@@ -72,6 +72,31 @@ class Round5OpsSpec extends SparkSpec {
     assert(out("d") == ((5L, 1.0, 0L)))
   }
 
+  test("winsorizedMean: clips to the band before averaging, raw mean unchanged") {
+    // g1 = 1..9 plus a 1000 outlier; p10/p90 of (1..9,1000) interpolate
+    // to 1.9 and 108.1, so the outlier clips to 108.1
+    val df = ((1 to 9).map(v => ("g1", v.toLong)) :+ (("g1", 1000L)))
+      .toDF("g", "v")
+    val r = Stats.winsorizedMean(df, col("g"), col("v"), 0.1, 0.9)
+      .collect().head
+    val rawMean = ((1 to 9).sum + 1000) / 10.0
+    assert(math.abs(r.getDouble(2) - rawMean) < 1e-9)
+    val expectedW = ((2 to 9).sum + 1.9 + 108.1) / 10.0
+    assert(math.abs(r.getDouble(1) - expectedW) < 1e-9)
+  }
+
+  test("vocabFingerprint: order-insensitive, duplicate-token-insensitive, case-folded") {
+    val df = Seq(
+      ("a", "the quick brown fox"),
+      ("b", "fox brown THE quick quick"), // shuffle + dup + case → same set
+      ("c", "a different text entirely")).toDF("id", "text")
+    val fps = df.select(col("id"),
+        graft.functions.TextFunctions.vocabFingerprint(col("text")).as("fp"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(fps("a") == fps("b"))
+    assert(fps("a") != fps("c"))
+  }
+
   test("quantileBand: interpolated percentiles and in-band counts per group") {
     val df = ((1 to 10).map(v => ("g1", v.toLong)) ++
       Seq(("g2", 100L), ("g2", 200L))).toDF("g", "v")
