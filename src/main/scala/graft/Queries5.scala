@@ -130,6 +130,38 @@ object Queries5 {
       .orderBy(col("d"))
   }
 
+  /** ordered conversion funnel over first-touch timestamps: signup →
+    * click → purchase, sequence enforced — one user-keyed shuffle.
+    */
+  def q90_ordered_funnel(s: SparkSession, dir: String): DataFrame =
+    Curation.orderedFunnel(t(s, dir, "events"), col("user_id"), col("ts"),
+      Seq(
+        "signup" -> (col("event_type") === "signup"),
+        "click" -> (col("event_type") === "click"),
+        "purchase" -> (col("event_type") === "purchase")))
+
+  /** per-type inter-event gap distribution (same user, same type):
+    * lag window in integer epoch-micros (engine-exact vs epoch_us), then
+    * exact percentiles per type.
+    */
+  def q91_event_gaps(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("us"), col("event_id"))
+    t(s, dir, "events")
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("gap", col("us") - lag(col("us"), 1).over(w))
+      .groupBy(col("event_type"))
+      .agg(count(col("gap")).as("n"),
+        round(percentile(col("gap").cast("double") / 1e6, lit(0.5)), 4)
+          .as("p50_s"),
+        round(percentile(col("gap").cast("double") / 1e6, lit(0.9)), 4)
+          .as("p90_s"),
+        round(avg(col("gap").cast("double") / 1e6), 4).as("avg_s"))
+      .orderBy(col("event_type"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q82_train_shuffle" -> q82_train_shuffle _,
     "q83_cluster_canonical" -> q83_cluster_canonical _,
@@ -138,7 +170,9 @@ object Queries5 {
     "q86_winsorized_mean" -> q86_winsorized_mean _,
     "q87_label_dot_stats" -> q87_label_dot_stats _,
     "q88_vocab_dup_rate" -> q88_vocab_dup_rate _,
-    "q89_daily_active" -> q89_daily_active _
+    "q89_daily_active" -> q89_daily_active _,
+    "q90_ordered_funnel" -> q90_ordered_funnel _,
+    "q91_event_gaps" -> q91_event_gaps _
   )
 
   val oracles: Map[String, String] = Map(
@@ -269,6 +303,33 @@ object Queries5 {
         |)
         |SELECT d, count(*) AS active,
         |  count(CASE WHEN d = first_d THEN 1 END) AS new_users
-        |FROM w JOIN fe USING (user_id) GROUP BY d ORDER BY d""".stripMargin
+        |FROM w JOIN fe USING (user_id) GROUP BY d ORDER BY d""".stripMargin,
+    "q90_ordered_funnel" ->
+      """WITH p AS (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type = 'signup' THEN ts END) AS ts_s,
+        |    min(CASE WHEN event_type = 'click' THEN ts END) AS ts_c,
+        |    min(CASE WHEN event_type = 'purchase' THEN ts END) AS ts_p
+        |  FROM events GROUP BY user_id
+        |)
+        |SELECT count(CASE WHEN ts_s IS NOT NULL THEN 1 END) AS n_signup,
+        |  count(CASE WHEN ts_s IS NOT NULL AND ts_c > ts_s THEN 1 END)
+        |    AS n_click,
+        |  count(CASE WHEN ts_s IS NOT NULL AND ts_c > ts_s AND ts_p > ts_c
+        |    THEN 1 END) AS n_purchase
+        |FROM p""".stripMargin,
+    "q91_event_gaps" ->
+      """WITH g AS (
+        |  SELECT event_type,
+        |    epoch_us(ts) - lag(epoch_us(ts)) OVER (
+        |      PARTITION BY user_id, event_type
+        |      ORDER BY epoch_us(ts), event_id) AS gap
+        |  FROM events
+        |)
+        |SELECT event_type, count(gap) AS n,
+        |  round(quantile_cont(CAST(gap AS DOUBLE) / 1e6, 0.5), 4) AS p50_s,
+        |  round(quantile_cont(CAST(gap AS DOUBLE) / 1e6, 0.9), 4) AS p90_s,
+        |  round(avg(CAST(gap AS DOUBLE) / 1e6), 4) AS avg_s
+        |FROM g GROUP BY event_type ORDER BY event_type""".stripMargin
   )
 }

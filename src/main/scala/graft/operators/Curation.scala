@@ -116,6 +116,36 @@ object Curation {
       .as(Seq("stage", "name", "n")))
   }
 
+  /** ORDERED funnel: how many users reached each stage IN SEQUENCE —
+    * stage i counts users whose first-touch timestamps satisfy
+    * t(stage 0) < t(stage 1) < ... < t(stage i), first event of each
+    * stage deciding (the product-analytics "did signup happen before
+    * first click before first purchase" question; [[funnel]] counts
+    * per-ROW predicates and ignores order).
+    *
+    * Scale: ONE user-keyed shuffle (groupBy user with min(when) per
+    * stage), then a single-row global count — no joins, no windows.
+    * Returns one wide row: `n_<stage>` per stage.
+    */
+  def orderedFunnel(df: DataFrame, userCol: Column, tsCol: Column,
+      stages: Seq[(String, Column)]): DataFrame = {
+    require(stages.nonEmpty, "at least one stage required")
+    val firsts = stages.zipWithIndex.map { case ((_, pred), i) =>
+      min(when(pred, tsCol)).as(s"__t$i")
+    }
+    val per = df.groupBy(userCol.as("__u")).agg(firsts.head, firsts.tail: _*)
+    val conds = stages.indices.map { i =>
+      (0 to i).foldLeft(lit(true)) { (acc, j) =>
+        if (j == 0) acc && col("__t0").isNotNull
+        else acc && col(s"__t$j") > col(s"__t${j - 1}")
+      }
+    }
+    val aggs = stages.zipWithIndex.map { case ((name, _), i) =>
+      count(when(conds(i), 1)).as(s"n_$name")
+    }
+    per.agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Pareto coverage by group: per-group weight totals, cumulative share
     * in descending-weight order, and `in_core` marking the smallest
     * prefix of groups whose cumulative weight reaches `coverage` —

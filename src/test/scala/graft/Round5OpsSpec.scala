@@ -97,6 +97,26 @@ class Round5OpsSpec extends SparkSpec {
     assert(fps("a") != fps("c"))
   }
 
+  test("orderedFunnel: sequence enforced on first-touch timestamps") {
+    // u1 completes in order; u2 clicked BEFORE signup (second click later
+    // does not matter — first-touch decides); u3 signed up only;
+    // u4 never signed up (excluded everywhere)
+    val ev = Seq(
+      (1L, "signup", 10L), (1L, "click", 20L), (1L, "purchase", 30L),
+      (2L, "click", 5L), (2L, "signup", 10L), (2L, "click", 15L),
+      (2L, "purchase", 20L),
+      (3L, "signup", 10L),
+      (4L, "click", 1L), (4L, "purchase", 2L)
+    ).toDF("user_id", "event_type", "ts")
+    val r = Curation.orderedFunnel(ev, col("user_id"), col("ts"), Seq(
+      "signup" -> (col("event_type") === "signup"),
+      "click" -> (col("event_type") === "click"),
+      "purchase" -> (col("event_type") === "purchase"))).collect().head
+    assert(r.getLong(0) == 3) // u1, u2, u3 signed up
+    assert(r.getLong(1) == 1) // only u1 clicked after first signup
+    assert(r.getLong(2) == 1) // only u1 purchased after that click
+  }
+
   test("quantileBand: interpolated percentiles and in-band counts per group") {
     val df = ((1 to 10).map(v => ("g1", v.toLong)) ++
       Seq(("g2", 100L), ("g2", 200L))).toDF("g", "v")
