@@ -157,6 +157,24 @@ object TextFunctions {
           i => concat_ws(" ", slice(toks, i, lit(k))))))
   }
 
+  /** Shannon entropy (nats) of the document's whitespace-token
+    * distribution — low entropy flags repetitive/boilerplate text, the
+    * standard cheap quality signal beside length/punctuation ratios.
+    * Pure per-row HOF work (distinct types × token scan, O(types·n) on
+    * one row's tokens): no shuffle, unlike an explode→groupBy(doc)
+    * formulation that would re-key the whole corpus by document.
+    * Empty input → 0.0.
+    */
+  def tokenEntropy(c: Column): Column = {
+    val toks = tokensWs(c)
+    val n = size(toks).cast("double")
+    when(n === 0, lit(0.0)).otherwise(
+      -aggregate(array_distinct(toks), lit(0.0), (acc, w) => {
+        val p = size(filter(toks, t => t === w)).cast("double") / n
+        acc + p * log(p)
+      }))
+  }
+
   /** distinct character k-shingles of the normalized text. */
   def charShingles(c: Column, k: Int): Column = {
     val s = normalizeText(c)

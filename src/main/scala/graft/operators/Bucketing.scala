@@ -34,6 +34,21 @@ object Bucketing {
     sorted.saveAsTable(table)
   }
 
+  /** Hive-style partitioned parquet layout: one directory per distinct
+    * value combination of `partitionCols`. A later read with a filter on
+    * a partition column prunes whole directories BEFORE any file IO
+    * (`PartitionFilters` in the scan, asserted in BucketingSpec) — the
+    * layout that lets a per-lang / per-date query over 100 TB touch only
+    * its slice. Complements [[writeBucketed]]: partitioning prunes scans
+    * on low-cardinality columns, bucketing co-locates joins on
+    * high-cardinality keys; a table can use both.
+    */
+  def writePartitioned(df: DataFrame, path: String,
+      partitionCols: Seq[String], mode: String = "overwrite"): Unit = {
+    require(partitionCols.nonEmpty, "need at least one partition column")
+    df.write.mode(mode).partitionBy(partitionCols: _*).parquet(path)
+  }
+
   /** Equi-join two bucketed tables on `key`. With matching bucket counts
     * the physical plan contains NO shuffle exchange on either side
     * (asserted in BucketingSpec).

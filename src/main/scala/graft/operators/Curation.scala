@@ -174,4 +174,47 @@ object Curation {
             lit(coverage) * col("tot"), 1L).otherwise(0L).as("in_core"))
       .orderBy(col("w").desc, col("group"))
   }
+
+  /** Sliding-window document chunking: split each document's whitespace
+    * tokens into windows of `window` tokens every `stride` tokens (the
+    * training-context chunker; stride < window overlaps, the final
+    * chunk may be short). Output: (idCol, chunk_idx, n_toks, chunk_text).
+    *
+    * Pure per-row column work (tokenize → posexplode over the start
+    * offsets → slice): embarrassingly parallel, no shuffle, no state —
+    * the 100 TB shape. A start offset is emitted for every
+    * k·stride < n_tokens, so every token lands in ≥ 1 chunk.
+    */
+  def chunkDocuments(df: DataFrame, idCol: String, textCol: Column,
+      window: Int, stride: Int): DataFrame = {
+    require(window > 0 && stride > 0, "window and stride must be positive")
+    df.select(col(idCol),
+        graft.functions.TextFunctions.tokensWs(textCol).as("__t"))
+      .select(col(idCol), col("__t"),
+        posexplode(sequence(lit(0),
+          greatest(size(col("__t")) - 1, lit(0)), lit(stride)))
+          .as(Seq("__pos", "__s")))
+      .select(col(idCol), col("__pos").cast("long").as("chunk_idx"),
+        slice(col("__t"), col("__s") + 1, lit(window)).as("__chunk"))
+      .select(col(idCol), col("chunk_idx"),
+        size(col("__chunk")).cast("long").as("n_toks"),
+        concat_ws(" ", col("__chunk")).as("chunk_text"))
+  }
+
+  /** Cohort retention matrix: users grouped by first-touch day, distinct
+    * users active per (cohort, weeks-since-cohort). Two shuffles, both
+    * keyed on the user (first-touch agg + join); the final matrix agg is
+    * map-side combinable over (cohort, offset, user) partial distincts.
+    */
+  def cohortRetention(df: DataFrame, userCol: Column,
+      tsCol: Column): DataFrame = {
+    val ev = df.select(userCol.as("user"), date_trunc("day", tsCol).as("d"))
+      .localCheckpoint() // feeds the first-touch agg AND the join probe
+    val first = ev.groupBy(col("user")).agg(min(col("d")).as("cohort"))
+    ev.join(first, "user")
+      .groupBy(col("cohort"),
+        floor(datediff(col("d"), col("cohort")) / 7).cast("long")
+          .as("week_offset"))
+      .agg(count_distinct(col("user")).as("users"))
+  }
 }

@@ -253,6 +253,40 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Exact shingle CONTAINMENT pairs: inter / min(|A|, |B|) — the
+    * sub-document duplication signal Jaccard misses (a short doc fully
+    * embedded in a long one scores containment 1.0 but Jaccard
+    * |A|/|B| ≈ 0). Same sparse explode-join shape as [[jaccardPairs]]
+    * (8-byte shingle hashes on the wire, never strings); boundary rule is
+    * round(containment, 4) >= threshold. At scale pass LSH `candidates`
+    * to verify proposals instead of scanning all co-shingled pairs —
+    * note MinHash bands recall JACCARD, so for asymmetric-size
+    * containment pairs generate candidates from the short side's bands
+    * or use all co-shingled pairs per block.
+    */
+  def containmentPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, shingleWords: Int = 3,
+      candidates: Option[DataFrame] = None): DataFrame = {
+    val sh = df.select(col(idCol).as("id"),
+      graft.functions.SketchExprs.shingle_hashes(
+        TextFunctions.tokensWs(col(textCol)), shingleWords).as("shingles"))
+    val sizes = sh.select(col("id"), size(col("shingles")).as("n"))
+    val ex = sh.select(col("id"), explode(col("shingles")).as("h"))
+    val inter0 = ex.as("a").join(ex.as("b"),
+        col("a.h") === col("b.h") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    val inter = candidates.fold(inter0)(c => inter0.join(c, Seq("id_a", "id_b")))
+    inter
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n", "n_a"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n", "n_b"), "id_b")
+      .select(col("id_a"), col("id_b"), col("inter"),
+        round(col("inter").cast("double") / least(col("n_a"), col("n_b")), 4)
+          .as("containment"))
+      .filter(col("containment") >= threshold)
+  }
+
   /** LSH-gated exact Jaccard — the 100 TB default path. MinHash banding
     * proposes candidate pairs; each candidate is then verified EXACTLY
     * against the docs' distinct shingle-hash sets with a sorted merge-scan

@@ -110,6 +110,32 @@ object Similarity {
     * still misses top pairs. Use [[topPairsLsh]] when the pairs of
     * interest are in the genuinely-gateable high-similarity regime.
     */
+  /** Exact all-pairs cosine pairs at or above `threshold` — the semantic-
+    * dedup pair generator. The boundary rule is round(cos, 4) >= threshold
+    * (both engines compute the dot/norms left-to-right in double, so the
+    * rounded value is engine-exact and the predicate is reproducible).
+    *
+    * Plan shape matches [[topPairs]]: norms once per row below the join,
+    * the pair loop streams through CartesianProduct tiles and the
+    * threshold filter drops pairs inside the loop — no pair row below the
+    * threshold ever materializes. Exact-by-contract, so O(n²) compares:
+    * at 100 TB gate through [[topPairsLsh]]-style banding first when the
+    * threshold sits in the high-similarity regime, or bound the corpus
+    * (per-partition / per-label blocks) when it does not.
+    */
+  def cosinePairs(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("__va"),
+      vec_l2norm(col(vecCol)).as("__na"))
+    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("__vb"),
+      vec_l2norm(col(vecCol)).as("__nb"))
+    a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(vec_dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")),
+          4).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
   def topPairs(df: DataFrame, idCol: String, vecCol: String, n: Int): DataFrame = {
     val a = df.select(col(idCol).as("id_a"), col(vecCol).as("__va"),
       vec_l2norm(col(vecCol)).as("__na"))

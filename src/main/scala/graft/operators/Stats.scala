@@ -121,4 +121,21 @@ object Stats {
         avg(col("__v")).as("mean"))
       .orderBy(col("group"))
   }
+
+  /** Join/partition-key skew profile: one summary row over the per-key
+    * frequency distribution — key cardinality, max/avg key counts, the
+    * skew ratio (max/avg; 1.0 = perfectly even, the decision input for
+    * salting / AQE skew-join), and the heaviest key's share of all rows.
+    * Two map-side-combinable aggs; the second runs on the per-key
+    * relation (|keys| rows), so nothing corpus-sized is re-shuffled.
+    */
+  def keySkew(df: DataFrame, keyCol: org.apache.spark.sql.Column): DataFrame =
+    df.groupBy(keyCol.as("key")).agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)).as("n_keys"),
+        sum(col("c")).cast("long").as("n_rows"),
+        max(col("c")).as("max_c"),
+        round(avg(col("c")), 4).as("avg_c"),
+        round(max(col("c")) / avg(col("c")), 4).as("skew"),
+        round(max(col("c")).cast("double") / sum(col("c")), 4)
+          .as("top_share"))
 }

@@ -59,4 +59,60 @@ object Vocab {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= topPerDoc)
   }
+
+  /** Per-group (group, token) count relation — the shared first stage of
+    * the distribution analytics below. One explode, one map-side-combined
+    * groupBy; the shuffle carries (group, token, partial count), never
+    * document text.
+    */
+  private def tokenCounts(docs: DataFrame, groupCol: Column,
+      textCol: Column): DataFrame =
+    PlanUtil.widenIfNarrow(docs.select(groupCol.as("group"), textCol.as("__text")))
+      .select(col("group"), explode(TextFunctions.tokensWs(col("__text"))).as("w"))
+      .groupBy(col("group"), col("w"))
+      .agg(count(lit(1)).as("c"))
+
+  /** Token-distribution drift per group: KL(P_group ‖ P_corpus) over
+    * whitespace tokens — the domain-shift diagnostic of a mixture
+    * dashboard (0 = the group's token mix matches the corpus; rises as
+    * the group diverges). Every group token exists in the corpus
+    * distribution by construction, so the log is always finite.
+    *
+    * Scale: all work after the one token explode runs on the (group,
+    * token) count relation (|groups|·|vocab| rows, corpus-independent);
+    * the per-group and corpus-total marginals are broadcast back onto it.
+    */
+  def domainDrift(docs: DataFrame, groupCol: Column,
+      textCol: Column): DataFrame = {
+    // 3 consumers of the count relation (per-group totals, per-token
+    // totals, the scored join) — materialize it once
+    val sc = tokenCounts(docs, groupCol, textCol).localCheckpoint()
+    val sn = sc.groupBy(col("group")).agg(sum(col("c")).as("n"))
+    val tc = sc.groupBy(col("w")).agg(sum(col("c")).as("ct"))
+    val tn = tc.agg(sum(col("ct")).as("nt"))
+    val p = col("c") / col("n")
+    val q = col("ct") / col("nt")
+    sc.join(broadcast(sn), "group")
+      .join(broadcast(tc), "w")
+      .crossJoin(broadcast(tn))
+      .groupBy(col("group"))
+      .agg(max(col("n")).cast("long").as("n_tokens"),
+        round(sum(p * log(p / q)), 4).as("kl"))
+  }
+
+  /** Per-group lexical-diversity profile: token/type counts, type-token
+    * ratio, and hapax (frequency-1 type) rate — the vocabulary-health
+    * stats of a corpus report. One explode → two stacked combinable
+    * groupBys; nothing but (group, token, count) ever shuffles.
+    */
+  def lexicalStats(docs: DataFrame, groupCol: Column,
+      textCol: Column): DataFrame =
+    tokenCounts(docs, groupCol, textCol)
+      .groupBy(col("group"))
+      .agg(sum(col("c")).cast("long").as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        round(count(lit(1)).cast("double") / sum(col("c")), 4).as("ttr"),
+        count(when(col("c") === 1, 1)).as("n_hapax"),
+        round(count(when(col("c") === 1, 1)).cast("double") / count(lit(1)),
+          4).as("hapax_rate"))
 }

@@ -1,0 +1,150 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+import graft.operators.{Bucketing, Curation, Dedup, Similarity, Stats, Vocab}
+
+/** Round-6 operator batch: cosine-threshold pairs, shingle containment,
+  * sliding-window chunking, KL domain drift, lexical stats, token
+  * entropy, key-skew profiling, cohort retention, partitioned layout.
+  */
+class Round6OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cosinePairs: exact pairs at the rounded threshold boundary, i<j once") {
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f)),
+      (2L, Array(0.6f, 0.8f)),
+      (3L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.cosinePairs(df, "vec_id", "embedding", 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // cos(1,2)=0.6 (boundary INCLUDED), cos(2,3)=0.8, cos(1,3)=0 dropped
+    assert(out == Set((1L, 2L, 0.6), (2L, 3L, 0.8)))
+  }
+
+  test("containmentPairs: embedded short doc scores 1.0 where jaccard dilutes") {
+    val docs = Seq(
+      (1L, "w1 w2 w3 w4 w5 w6"), // 4 tri-shingles
+      (2L, "w2 w3 w4 w5"), //        2 tri-shingles, both inside doc 1
+      (3L, "a b")) //                < 3 tokens: no shingles, no pairs
+      .toDF("doc_id", "text")
+    val cont = Dedup.containmentPairs(docs, "doc_id", "text", 0.6, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    assert(cont.toSeq == Seq((1L, 2L, 1.0)))
+    // the same pair under jaccard is 2/4 = 0.5 — below the 0.6 gate
+    val jac = Dedup.jaccardPairs(docs, "doc_id", "text", 0.6, 3).collect()
+    assert(jac.isEmpty)
+  }
+
+  test("chunkDocuments: window/stride tiling covers every token, short tail kept") {
+    val doc = Seq((1L, (0 until 10).map(i => s"t$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = Curation.chunkDocuments(doc, "doc_id", col("text"), 4, 3)
+      .orderBy("chunk_idx")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out.toSeq == Seq(
+      (0L, 4L, "t0 t1 t2 t3"),
+      (1L, 4L, "t3 t4 t5 t6"),
+      (2L, 4L, "t6 t7 t8 t9"),
+      (3L, 1L, "t9")))
+    // empty text still emits exactly one empty chunk (start offset 0)
+    val empty = Curation.chunkDocuments(
+      Seq((1L, "  ")).toDF("doc_id", "text"), "doc_id", col("text"), 4, 3)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(empty.toSeq == Seq((0L, 0L, "")))
+  }
+
+  test("tokenEntropy: uniform=ln k, constant=0, empty=0") {
+    val df = Seq("a b c d", "a a a", " ").toDF("text")
+      .select(TextFunctions.tokenEntropy(col("text")).as("h"))
+    val hs = df.collect().map(_.getDouble(0))
+    assert(math.abs(hs(0) - math.log(4)) < 1e-12)
+    assert(hs(1) == 0.0)
+    assert(hs(2) == 0.0)
+  }
+
+  test("domainDrift: matching mix → 0, disjoint single-token groups → ln 2") {
+    val same = Seq(("g1", "a b"), ("g2", "a b")).toDF("src", "text")
+    val kl0 = Vocab.domainDrift(same, col("src"), col("text"))
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(kl0 == Map("g1" -> 0.0, "g2" -> 0.0))
+    // g1 all-a, g2 all-b over a 50/50 corpus: KL = ln(1/0.5) = ln 2
+    val split = Seq(("g1", "a a a a"), ("g2", "b b b b")).toDF("src", "text")
+    val kl = Vocab.domainDrift(split, col("src"), col("text"))
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val ln2 = BigDecimal(math.log(2)).setScale(4,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(kl == Map("g1" -> ln2, "g2" -> ln2))
+  }
+
+  test("lexicalStats: token/type/hapax arithmetic") {
+    val df = Seq(("s", "a a b c")).toDF("src", "text")
+    val r = Vocab.lexicalStats(df, col("src"), col("text")).collect()(0)
+    assert(r.getLong(1) == 4 && r.getLong(2) == 3) // tokens, types
+    assert(r.getDouble(3) == 0.75) //                 ttr
+    assert(r.getLong(4) == 2 && r.getDouble(5) == 0.6667) // hapax b, c
+  }
+
+  test("keySkew: cardinality, max/avg, skew ratio, top share") {
+    val df = Seq("a", "a", "a", "b").toDF("k")
+    val r = Stats.keySkew(df, col("k")).collect()(0)
+    assert(r.getLong(0) == 2 && r.getLong(1) == 4) // n_keys, n_rows
+    assert(r.getLong(2) == 3 && r.getDouble(3) == 2.0) // max_c, avg_c
+    assert(r.getDouble(4) == 1.5 && r.getDouble(5) == 0.75) // skew, share
+  }
+
+  test("cohortRetention: first-touch day cohorts × week offsets, distinct users") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00")), // u1 cohort Jan 1
+      (1L, ts("2024-01-03 10:00:00")), // same week (offset 0)
+      (1L, ts("2024-01-09 10:00:00")), // offset 1
+      (2L, ts("2024-01-01 23:00:00")), // u2 cohort Jan 1, only week 0
+      (3L, ts("2024-01-02 00:00:00"))) // u3 cohort Jan 2
+      .toDF("user_id", "ts")
+    val out = Curation.cohortRetention(ev, col("user_id"), col("ts"))
+      .collect()
+      .map(r => (r.getTimestamp(0).toString.take(10), r.getLong(1),
+        r.getLong(2))).toSet
+    assert(out == Set(
+      ("2024-01-01", 0L, 2L), ("2024-01-01", 1L, 1L),
+      ("2024-01-02", 0L, 1L)))
+  }
+
+  test("writePartitioned: lang filter prunes to partition directories") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_part_spec")
+    try {
+      val df = Seq((1L, "en", 10L), (2L, "de", 20L), (3L, "en", 30L))
+        .toDF("id", "lang", "n")
+      Bucketing.writePartitioned(df, tmp.toString, Seq("lang"))
+      val back = spark.read.parquet(tmp.toString)
+        .filter(col("lang") === "en")
+      val plan = back.queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters"), plan)
+      // execute `back` itself so the metric below comes from THIS plan
+      assert(back.collect().map(_.getAs[Long]("n")).sum == 40L)
+      // the executed scan opened exactly the files under lang=en — the
+      // de directory was pruned before IO
+      def parquetFiles(p: java.io.File): Int =
+        Option(p.listFiles).toSeq.flatten.map {
+          case d if d.isDirectory => parquetFiles(d)
+          case f if f.getName.endsWith(".parquet") => 1
+          case _ => 0
+        }.sum
+      val enFiles = parquetFiles(new java.io.File(tmp.toFile, "lang=en"))
+      val allFiles = parquetFiles(tmp.toFile)
+      val scan = back.queryExecution.executedPlan.collectLeaves()
+        .collectFirst {
+          case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+        }.get
+      assert(enFiles > 0 && allFiles > enFiles)
+      assert(scan.metrics("numFiles").value == enFiles,
+        (scan.metrics("numFiles").value, enFiles, allFiles))
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(tmp.toFile).deleteRecursively()
+    }
+  }
+}
