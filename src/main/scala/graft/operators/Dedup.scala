@@ -505,8 +505,14 @@ object Dedup {
     // rejoin as their own component at the end. Before this restriction
     // every round joined and checkpointed all |V| labels.
     val vset = vertices.select(col(idCol).as("__vid")).distinct()
-    val e = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+    // materialize the pair relation ONCE before mirroring: the two union
+    // branches are separate plan subtrees, so an un-checkpointed pairs
+    // plan (an LSH verify join, or q92's 2M-row cosine cross join)
+    // would execute twice (measured: q92 6.3 s → 3.4 s at sf0.1)
+    val p0 = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .localCheckpoint()
+    val e = p0
+      .union(p0.select(col("dst").as("src"), col("src").as("dst")))
       .join(vset, col("src") === col("__vid")).drop("__vid")
       .join(vset, col("dst") === col("__vid")).drop("__vid")
       .distinct()
