@@ -1,0 +1,196 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+import graft.operators.{Dedup, Sampling}
+
+/** Seventh query batch: stratified sampling, repetition-quality
+  * filtering, GROUPING SETS, time-weighted event averages, the rank
+  * trio (dense_rank / percent_rank / cume_dist), and incremental
+  * corpus dedup. All DuckDB-oracled.
+  */
+object Queries7 {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  /** exact-proportion stratified sample: ceil(20% of each lang) kept,
+    * chosen by md5(doc_id) rank — deterministic AND exact per stratum.
+    */
+  def q101_stratified_sample(s: SparkSession, dir: String): DataFrame =
+    Sampling.stratifiedSample(t(s, dir, "documents"), col("lang"),
+        col("doc_id"), 0.2)
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
+
+  /** within-doc bigram repetition ratio per source — the Gopher-style
+    * repetition quality gate, per-row column work only.
+    */
+  def q102_repetition(s: SparkSession, dir: String): DataFrame = {
+    val rep = TextFunctions.repetitionRatio(col("text"), 2)
+    t(s, dir, "documents")
+      .select(col("source"), rep.as("r"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("r")), 4).as("avg_rep"),
+        round(max(col("r")), 4).as("max_rep"))
+      .orderBy(col("source"))
+  }
+
+  /** GROUPING SETS over orders: (status, priority), (status), () in ONE
+    * Expand+aggregate pass — the multi-granularity report shape beyond
+    * rollup (q38) and cube (q78).
+    */
+  def q103_grouping_sets(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+          Seq(col("o_orderstatus")), Seq()),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("o_totalprice")), 4).as("tot"),
+        grouping(col("o_orderstatus")).cast("long").as("g_status"),
+        grouping(col("o_orderpriority")).cast("long").as("g_prio"))
+      .select(col("o_orderstatus"), col("o_orderpriority"), col("n"),
+        col("tot"), col("g_status"), col("g_prio"))
+      .orderBy(col("g_status"), col("g_prio"),
+        col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+
+  /** time-weighted average event value per type: each value weighted by
+    * its holding duration (lead − ts within user×type, integer
+    * epoch-micros) — the correct "average state" over irregular
+    * samples, vs the plain per-event average.
+    */
+  def q104_time_weighted(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("us"), col("event_id"))
+    t(s, dir, "events")
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        col("value"), unix_micros(col("ts")).as("us"))
+      .withColumn("gap", lead(col("us"), 1).over(w) - col("us"))
+      .filter(col("gap").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value") * col("gap")) / sum(col("gap")), 4)
+          .as("twa"),
+        round(avg(col("value")), 4).as("plain_avg"))
+      .orderBy(col("event_type"))
+  }
+
+  /** rank trio per language over doc length: dense_rank (ties share,
+    * no gaps), percent_rank, cume_dist — deterministic under ties by
+    * definition, so no tie-break column is needed.
+    */
+  def q105_rank_trio(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("lang")).orderBy(col("n_chars").desc)
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        dense_rank().over(w).cast("long").as("drank"),
+        round(percent_rank().over(w), 4).as("prank"),
+        round(cume_dist().over(w), 4).as("cdist"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** incremental ingestion dedup: the doc_id % 10 == 0 slice arrives as
+    * a new batch; survivors are batch docs whose content fingerprint is
+    * unseen in the rest of the corpus AND first (min id) within the
+    * batch itself.
+    */
+  def q106_incremental_dedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val fp = TextFunctions.fingerprint(col("text"))
+    val batch = docs.filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"), fp.as("fp"))
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0).select(fp.as("fp"))
+    Dedup.incrementalExact(batch, "fp", "doc_id", corpus)
+      .select(col("doc_id"), col("fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q101_stratified_sample" -> q101_stratified_sample _,
+    "q102_repetition" -> q102_repetition _,
+    "q103_grouping_sets" -> q103_grouping_sets _,
+    "q104_time_weighted" -> q104_time_weighted _,
+    "q105_rank_trio" -> q105_rank_trio _,
+    "q106_incremental_dedup" -> q106_incremental_dedup _
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q101_stratified_sample" ->
+      """WITH r AS (
+        |  SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY lang) AS n
+        |  FROM documents
+        |)
+        |SELECT doc_id, lang FROM r WHERE rn <= ceil(0.2 * n)
+        |ORDER BY doc_id""".stripMargin,
+    "q102_repetition" ->
+      """WITH g AS (
+        |  SELECT source,
+        |    len(list_transform(range(1, len(t)),
+        |      i -> array_to_string(t[i:i+1], ' '))) AS n_g,
+        |    len(list_distinct(list_transform(range(1, len(t)),
+        |      i -> array_to_string(t[i:i+1], ' ')))) AS n_d
+        |  FROM (SELECT source, regexp_split_to_array(trim(text), '\s+') t
+        |        FROM documents)
+        |)
+        |SELECT source, count(*) AS n_docs,
+        |  round(avg(CASE WHEN n_g = 0 THEN 0.0
+        |    ELSE 1.0 - n_d / CAST(n_g AS DOUBLE) END), 4) AS avg_rep,
+        |  round(max(CASE WHEN n_g = 0 THEN 0.0
+        |    ELSE 1.0 - n_d / CAST(n_g AS DOUBLE) END), 4) AS max_rep
+        |FROM g GROUP BY source ORDER BY source""".stripMargin,
+    "q103_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |  round(sum(o_totalprice), 4) AS tot,
+        |  CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+        |  CAST(grouping(o_orderpriority) AS BIGINT) AS g_prio
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+        |  (o_orderstatus), ())
+        |ORDER BY g_status, g_prio, o_orderstatus NULLS FIRST,
+        |  o_orderpriority NULLS FIRST""".stripMargin,
+    "q104_time_weighted" ->
+      """WITH g AS (
+        |  SELECT event_type, value,
+        |    lead(epoch_us(ts)) OVER (PARTITION BY user_id, event_type
+        |      ORDER BY epoch_us(ts), event_id) - epoch_us(ts) AS gap
+        |  FROM events
+        |)
+        |SELECT event_type, count(*) AS n,
+        |  round(sum(value * gap) / sum(gap), 4) AS twa,
+        |  round(avg(value), 4) AS plain_avg
+        |FROM g WHERE gap IS NOT NULL
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q105_rank_trio" ->
+      """SELECT doc_id, lang,
+        |  CAST(dense_rank() OVER w AS BIGINT) AS drank,
+        |  round(percent_rank() OVER w, 4) AS prank,
+        |  round(cume_dist() OVER w, 4) AS cdist
+        |FROM documents
+        |WINDOW w AS (PARTITION BY lang ORDER BY n_chars DESC)
+        |ORDER BY doc_id""".stripMargin,
+    "q106_incremental_dedup" ->
+      """WITH fp AS (
+        |  SELECT doc_id,
+        |    md5(trim(regexp_replace(regexp_replace(lower(text),
+        |      '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'))) AS fp
+        |  FROM documents
+        |), batch AS (
+        |  SELECT * FROM fp WHERE doc_id % 10 = 0
+        |), first AS (
+        |  SELECT doc_id, fp FROM batch
+        |  QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1
+        |)
+        |SELECT doc_id, fp FROM first
+        |WHERE fp NOT IN (SELECT fp FROM fp WHERE doc_id % 10 <> 0)
+        |ORDER BY doc_id""".stripMargin
+  )
+}

@@ -157,6 +157,18 @@ object TextFunctions {
           i => concat_ws(" ", slice(toks, i, lit(k))))))
   }
 
+  /** Within-document n-gram repetition ratio:
+    * 1 − distinct(ngrams)/total(ngrams) — the Gopher-style repetition
+    * quality signal (0 = no repeated n-gram, → 1 as the doc degenerates
+    * into a loop). Pure per-row column work; n-gram-less docs → 0.
+    */
+  def repetitionRatio(c: Column, n: Int): Column = {
+    val g = ngrams(c, n)
+    when(size(g) === 0, lit(0.0))
+      .otherwise(lit(1.0) -
+        size(array_distinct(g)).cast("double") / size(g))
+  }
+
   /** Shannon entropy (nats) of the document's whitespace-token
     * distribution — low entropy flags repetitive/boilerplate text, the
     * standard cheap quality signal beside length/punctuation ratios.

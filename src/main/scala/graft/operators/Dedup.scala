@@ -706,6 +706,26 @@ object Dedup {
       .select(col("id"), coalesce(col("__c"), col("id")).as("comp"))
   }
 
+  /** Incremental-ingestion exact dedup: survivors of an arriving batch
+    * against an existing corpus — batch rows are dropped if their dedup
+    * key already exists in the corpus (left ANTI join: only keys cross
+    * the wire, corpus payloads never move), and within the batch only
+    * the smallest-id row per key survives (the batch may carry its own
+    * duplicates). `batch` must already carry `keyCol` (fingerprint,
+    * vocab fingerprint, …); `corpusKeys` needs only that column. Both
+    * shuffles key on the dedup key; at 100 TB the corpus-side distinct
+    * is the pre-built dedup index a real ingestion pipeline maintains.
+    */
+  def incrementalExact(batch: DataFrame, keyCol: String, idCol: String,
+      corpusKeys: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col(idCol))
+    batch.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+      .join(corpusKeys.select(col(keyCol)).distinct(), Seq(keyCol),
+        "left_anti")
+  }
+
   /** Canonical-document selection per near-dup cluster: given component
     * labels `(idCol, compCol)` (e.g. [[connectedComponents]] output) and
     * a per-id quality score, pick each cluster's best-scoring id (ties →

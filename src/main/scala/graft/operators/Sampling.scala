@@ -187,4 +187,24 @@ object Sampling {
       .withColumn(shardCol, ((col(posCol) - 1) % numShards).cast("long"))
       .drop("__key")
   }
+
+  /** Exact-proportion stratified sample: keep ceil(fraction · |stratum|)
+    * rows per stratum, chosen by md5(id) rank — deterministic,
+    * content-keyed (stable under repartitioning), and EXACT per-stratum
+    * counts, unlike Bernoulli sampling whose per-stratum size is only
+    * correct in expectation ([[mixtureSample]]). One window shuffle keyed
+    * on the stratum; strata are assumed executor-sized (salt or
+    * pre-split megastrata at 100 TB).
+    */
+  def stratifiedSample(df: DataFrame, groupCol: Column, idCol: Column,
+      fraction: Double): DataFrame = {
+    require(fraction >= 0 && fraction <= 1, "fraction must be in [0, 1]")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(groupCol)
+      .orderBy(md5(idCol.cast("string")), idCol)
+    val wn = org.apache.spark.sql.expressions.Window.partitionBy(groupCol)
+    df.withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(wn))
+      .filter(col("__rn") <= ceil(lit(fraction) * col("__n")))
+      .drop("__rn", "__n")
+  }
 }

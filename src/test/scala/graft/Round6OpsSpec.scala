@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
-import graft.operators.{Bucketing, Curation, Dedup, Similarity, Stats, Vocab}
+import graft.operators.{Bucketing, Curation, Dedup, Sampling, Similarity, Stats, Vocab}
 
 /** Round-6 operator batch: cosine-threshold pairs, shingle containment,
   * sliding-window chunking, KL domain drift, lexical stats, token
@@ -111,6 +111,43 @@ class Round6OpsSpec extends SparkSpec {
     assert(out == Set(
       ("2024-01-01", 0L, 2L), ("2024-01-01", 1L, 1L),
       ("2024-01-02", 0L, 1L)))
+  }
+
+  test("stratifiedSample: exact ceil(frac·n) per stratum, repartition-stable") {
+    val df = ((0 until 30).map(i => (i.toLong, "a")) ++
+      (100 until 107).map(i => (i.toLong, "b"))).toDF("id", "grp")
+    val out = Sampling.stratifiedSample(df, col("grp"), col("id"), 0.2)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val byGrp = out.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(byGrp == Map("a" -> 6, "b" -> 2)) // ceil(0.2·30), ceil(0.2·7)
+    val again = Sampling.stratifiedSample(df.repartition(5), col("grp"),
+      col("id"), 0.2).collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(out.toSet == again.toSet)
+    // fraction 1 keeps everything, 0 keeps nothing
+    assert(Sampling.stratifiedSample(df, col("grp"), col("id"), 1.0)
+      .count() == 37)
+    assert(Sampling.stratifiedSample(df, col("grp"), col("id"), 0.0)
+      .count() == 0)
+  }
+
+  test("repetitionRatio: repeated bigrams score, short docs 0") {
+    val df = Seq("a a a", "a b c d", "x").toDF("text")
+      .select(TextFunctions.repetitionRatio(col("text"), 2).as("r"))
+    val rs = df.collect().map(_.getDouble(0))
+    assert(rs(0) == 0.5) // bigrams (a a, a a): 1 distinct of 2
+    assert(rs(1) == 0.0) // all distinct
+    assert(rs(2) == 0.0) // no bigram at all
+  }
+
+  test("incrementalExact: corpus hits dropped, within-batch first survives") {
+    val batch = Seq((10L, "k1"), (20L, "k1"), (30L, "k2"), (40L, "k3"))
+      .toDF("id", "fp")
+    val corpus = Seq("k2", "k9").toDF("fp")
+    val out = Dedup.incrementalExact(batch, "fp", "id", corpus)
+      .select("id", "fp").collect().map(r => (r.getLong(0), r.getString(1)))
+    // k1: min id 10 survives (20 is a batch dup); k2 exists in corpus;
+    // k3 is new
+    assert(out.toSet == Set((10L, "k1"), (40L, "k3")))
   }
 
   test("writePartitioned: lang filter prunes to partition directories") {
