@@ -111,13 +111,88 @@ object Queries7 {
       .orderBy(col("doc_id"))
   }
 
+  /** TPC-H Q5-shape 6-way join: region→nation broadcast down onto
+    * customer, the lineitem⨝orders⨝customer chain shuffles on its keys,
+    * supplier broadcast with the same-nation constraint. Catalyst/AQE
+    * pick broadcast sides for every dimension; only the fact-table
+    * chain exchanges.
+    */
+  def q107_local_volume(s: SparkSession, dir: String): DataFrame = {
+    val r = t(s, dir, "region").filter(col("r_name") === "AMERICA")
+    val n = t(s, dir, "nation")
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+    t(s, dir, "lineitem")
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, dir, "supplier")),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("s_nationkey") === col("c_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))),
+        4).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** correlated scalar subquery (orders at >2× their customer's average)
+    * — exercises Catalyst decorrelation into an aggregate + join.
+    */
+  def q108_correlated_subquery(s: SparkSession, dir: String): DataFrame = {
+    GraftSession.init(s)
+    Tables.registerAll(s, dir)
+    s.sql(
+      """SELECT o_orderkey, o_custkey, round(o_totalprice, 4) AS price
+        |FROM orders o
+        |WHERE o_totalprice > 2 * (SELECT avg(o2.o_totalprice)
+        |  FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
+  /** EXISTS + NOT EXISTS predicate subqueries — rewritten by Catalyst
+    * into a semi join and an anti join on the customer key.
+    */
+  def q109_exists_subquery(s: SparkSession, dir: String): DataFrame = {
+    GraftSession.init(s)
+    Tables.registerAll(s, dir)
+    s.sql(
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey
+        |    AND o.o_orderpriority = '1-URGENT')
+        |AND NOT EXISTS (SELECT 1 FROM orders o
+        |  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |  WHERE o.o_custkey = c.c_custkey AND l.l_returnflag = 'R')
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
+  /** TPC-H Q18 shape (large-volume orders): HAVING on the lineitem
+    * aggregate, then join the qualifying keys back — the agg side is
+    * tiny after the HAVING cut, so both joins broadcast under AQE.
+    */
+  def q110_big_orders(s: SparkSession, dir: String): DataFrame = {
+    val big = t(s, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity")).as("__qty"))
+      .filter(col("__qty") > 250)
+    big.join(t(s, dir, "orders"), col("o_orderkey") === col("l_orderkey"))
+      .join(t(s, dir, "customer"), col("c_custkey") === col("o_custkey"))
+      .select(col("c_custkey"), col("o_orderkey"),
+        round(col("__qty"), 4).as("qty"),
+        round(col("o_totalprice"), 4).as("price"))
+      .orderBy(col("qty").desc, col("o_orderkey"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q101_stratified_sample" -> q101_stratified_sample _,
     "q102_repetition" -> q102_repetition _,
     "q103_grouping_sets" -> q103_grouping_sets _,
     "q104_time_weighted" -> q104_time_weighted _,
     "q105_rank_trio" -> q105_rank_trio _,
-    "q106_incremental_dedup" -> q106_incremental_dedup _
+    "q106_incremental_dedup" -> q106_incremental_dedup _,
+    "q107_local_volume" -> q107_local_volume _,
+    "q108_correlated_subquery" -> q108_correlated_subquery _,
+    "q109_exists_subquery" -> q109_exists_subquery _,
+    "q110_big_orders" -> q110_big_orders _
   )
 
   val oracles: Map[String, String] = Map(
@@ -191,6 +266,42 @@ object Queries7 {
         |)
         |SELECT doc_id, fp FROM first
         |WHERE fp NOT IN (SELECT fp FROM fp WHERE doc_id % 10 <> 0)
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+    "q107_local_volume" ->
+      """SELECT n_name,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+        |FROM region JOIN nation ON n_regionkey = r_regionkey
+        |JOIN customer ON c_nationkey = n_nationkey
+        |JOIN orders ON o_custkey = c_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON s_suppkey = l_suppkey
+        |  AND s_nationkey = c_nationkey
+        |WHERE r_name = 'AMERICA'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+    "q108_correlated_subquery" ->
+      """SELECT o_orderkey, o_custkey, round(o_totalprice, 4) AS price
+        |FROM orders o
+        |WHERE o_totalprice > 2 * (SELECT avg(o2.o_totalprice)
+        |  FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+        |ORDER BY o_orderkey""".stripMargin,
+    "q109_exists_subquery" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey
+        |    AND o.o_orderpriority = '1-URGENT')
+        |AND NOT EXISTS (SELECT 1 FROM orders o
+        |  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |  WHERE o.o_custkey = c.c_custkey AND l.l_returnflag = 'R')
+        |ORDER BY c_custkey""".stripMargin,
+    "q110_big_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey, sum(l_quantity) AS qty FROM lineitem
+        |  GROUP BY l_orderkey HAVING sum(l_quantity) > 250
+        |)
+        |SELECT c_custkey, o_orderkey, round(qty, 4) AS qty,
+        |  round(o_totalprice, 4) AS price
+        |FROM big JOIN orders ON o_orderkey = l_orderkey
+        |JOIN customer ON c_custkey = o_custkey
+        |ORDER BY qty DESC, o_orderkey""".stripMargin
   )
 }

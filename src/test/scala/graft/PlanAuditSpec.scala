@@ -75,4 +75,25 @@ class PlanAuditSpec extends SparkSpec {
     val p = planOf("q70_pivot")
     assert("Scan parquet".r.findAllIn(p).length == 1, p.take(600))
   }
+
+  test("q94/q97: chunking and entropy have no data shuffle before output") {
+    // q94: the only exchange is the deterministic output sort
+    val p94 = planOf("q94_doc_chunks")
+    assert("Exchange".r.findAllIn(p94).length == 1, p94.take(600))
+    // q97: per-row HOF entropy — only the tiny per-lang agg shuffles
+    val p97 = planOf("q97_token_entropy")
+    assert(!p97.contains("Generate"), "entropy must not explode tokens")
+  }
+
+  test("q107: six-way star join never nested-loops or cartesians") {
+    val p = planOf("q107_local_volume")
+    assert(!p.contains("BroadcastNestedLoop") && !p.contains("CartesianProduct"),
+      p.take(600))
+  }
+
+  test("q109: EXISTS/NOT EXISTS rewrite to semi and anti joins") {
+    val p = planOf("q109_exists_subquery")
+    assert(p.contains("LeftSemi"), p.take(600))
+    assert(p.contains("LeftAnti"), p.take(600))
+  }
 }
