@@ -125,10 +125,16 @@ object Similarity {
     */
   def cosinePairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {
+    // zero-norm vectors have no direction: their cosine is 0/0 = NaN,
+    // and Spark orders NaN ABOVE every number, so an unguarded filter
+    // would pass every pair containing one (the jaccardPairsLsh NaN
+    // lesson). Drop them before pairing.
     val a = df.select(col(idCol).as("id_a"), col(vecCol).as("__va"),
       vec_l2norm(col(vecCol)).as("__na"))
+      .filter(col("__na") > 0)
     val b = df.select(col(idCol).as("id_b"), col(vecCol).as("__vb"),
       vec_l2norm(col(vecCol)).as("__nb"))
+      .filter(col("__nb") > 0)
     a.crossJoin(b).filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         round(vec_dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")),

@@ -22,6 +22,13 @@ class Round6OpsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     // cos(1,2)=0.6 (boundary INCLUDED), cos(2,3)=0.8, cos(1,3)=0 dropped
     assert(out == Set((1L, 2L, 0.6), (2L, 3L, 0.8)))
+    // a zero-norm vector must not pair (cos would be NaN, and NaN
+    // passes >= threshold under Spark's ordering)
+    val withZero = df.union(Seq((4L, Array(0.0f, 0.0f)))
+      .toDF("vec_id", "embedding"))
+    val z = Similarity.cosinePairs(withZero, "vec_id", "embedding", 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(z == Set((1L, 2L, 0.6), (2L, 3L, 0.8)))
   }
 
   test("containmentPairs: embedded short doc scores 1.0 where jaccard dilutes") {
