@@ -182,6 +182,62 @@ object Queries7 {
       .orderBy(col("qty").desc, col("o_orderkey"))
   }
 
+  /** nearest-centroid classification accuracy per label — the eval loop
+    * of embedding curation: train per-label centroids (posexplode +
+    * per-dim avg, map-side combinable), broadcast the 10-row centroid
+    * table, score every vector with the codegen dot kernel
+    * (argmax of v·c − ½‖c‖² == nearest centroid), report per-label
+    * accuracy. Ties broken by label in both engines.
+    */
+  def q111_centroid_classify(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorExprs.vec_dot
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+    val cvec = e
+      .select(col("label").as("clabel"),
+        posexplode(col("v")).as(Seq("d", "x")))
+      .groupBy(col("clabel"), col("d")).agg(avg(col("x")).as("c"))
+      .groupBy(col("clabel"))
+      .agg(transform(array_sort(collect_list(struct(col("d"), col("c")))),
+        f => f.getField("c")).as("cv"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("s").desc, col("clabel"))
+    e.crossJoin(broadcast(cvec))
+      .select(col("vec_id"), col("label"), col("clabel"),
+        (vec_dot(col("v"), col("cv")) -
+          lit(0.5) * vec_dot(col("cv"), col("cv"))).as("s"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"),
+        count(when(col("clabel") === col("label"), 1)).as("n_correct"),
+        round(count(when(col("clabel") === col("label"), 1)).cast("double")
+          / count(lit(1)), 4).as("acc"))
+      .orderBy(col("label"))
+  }
+
+  /** customer-lifetime-value deciles: spend per customer → ntile(10) →
+    * per-decile totals and revenue share (the Pareto view of a customer
+    * mart). The window runs on the |customers|-row aggregate.
+    */
+  def q112_clv_deciles(s: SparkSession, dir: String): DataFrame = {
+    val clv = t(s, dir, "customer")
+      .join(t(s, dir, "orders"), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_custkey"))
+      .agg(sum(col("o_totalprice")).as("spend"))
+      .localCheckpoint() // feeds the decile window AND the total
+    val tot = clv.agg(sum(col("spend")).as("__tot"))
+    val w = Window.orderBy(col("spend").desc, col("c_custkey"))
+    clv.withColumn("decile", ntile(10).over(w).cast("long"))
+      .crossJoin(broadcast(tot))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("spend")), 4).as("spend"),
+        round(sum(col("spend")) / max(col("__tot")), 4).as("share"))
+      .orderBy(col("decile"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q101_stratified_sample" -> q101_stratified_sample _,
     "q102_repetition" -> q102_repetition _,
@@ -192,7 +248,9 @@ object Queries7 {
     "q107_local_volume" -> q107_local_volume _,
     "q108_correlated_subquery" -> q108_correlated_subquery _,
     "q109_exists_subquery" -> q109_exists_subquery _,
-    "q110_big_orders" -> q110_big_orders _
+    "q110_big_orders" -> q110_big_orders _,
+    "q111_centroid_classify" -> q111_centroid_classify _,
+    "q112_clv_deciles" -> q112_clv_deciles _
   )
 
   val oracles: Map[String, String] = Map(
@@ -302,6 +360,45 @@ object Queries7 {
         |  round(o_totalprice, 4) AS price
         |FROM big JOIN orders ON o_orderkey = l_orderkey
         |JOIN customer ON c_custkey = o_custkey
-        |ORDER BY qty DESC, o_orderkey""".stripMargin
+        |ORDER BY qty DESC, o_orderkey""".stripMargin,
+    "q111_centroid_classify" ->
+      """WITH e AS (
+        |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings
+        |), dims AS (
+        |  SELECT label, generate_subscripts(v, 1) AS d, unnest(v) AS x
+        |  FROM e
+        |), cent AS (
+        |  SELECT label, d, avg(x) AS c FROM dims GROUP BY label, d
+        |), cvec AS (
+        |  SELECT label AS clabel, list(c ORDER BY d) AS cv
+        |  FROM cent GROUP BY label
+        |), scored AS (
+        |  SELECT e.vec_id, e.label, c.clabel,
+        |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |      list_inner_product(e.v, c.cv)
+        |        - 0.5 * list_inner_product(c.cv, c.cv) DESC,
+        |      c.clabel) AS rn
+        |  FROM e CROSS JOIN cvec c
+        |)
+        |SELECT label, count(*) AS n,
+        |  count(CASE WHEN clabel = label THEN 1 END) AS n_correct,
+        |  round(count(CASE WHEN clabel = label THEN 1 END)
+        |    / CAST(count(*) AS DOUBLE), 4) AS acc
+        |FROM scored WHERE rn = 1
+        |GROUP BY label ORDER BY label""".stripMargin,
+    "q112_clv_deciles" ->
+      """WITH clv AS (
+        |  SELECT c_custkey, sum(o_totalprice) AS spend FROM customer
+        |  JOIN orders ON o_custkey = c_custkey GROUP BY c_custkey
+        |), d AS (
+        |  SELECT c_custkey, spend,
+        |    ntile(10) OVER (ORDER BY spend DESC, c_custkey) AS decile
+        |  FROM clv
+        |)
+        |SELECT CAST(decile AS BIGINT) AS decile, count(*) AS n,
+        |  round(sum(spend), 4) AS spend,
+        |  round(sum(spend) / (SELECT sum(spend) FROM clv), 4) AS share
+        |FROM d GROUP BY decile ORDER BY decile""".stripMargin
   )
 }

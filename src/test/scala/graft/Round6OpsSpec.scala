@@ -157,6 +157,35 @@ class Round6OpsSpec extends SparkSpec {
     assert(out.toSet == Set((10L, "k1"), (40L, "k3")))
   }
 
+  test("text-quality kernels compose into a stream == batch on documents") {
+    import graft.streaming.Streams
+    val dir = "/root/testdata/sf0.001"
+    val raw = spark.read.parquet(s"$dir/documents.parquet")
+    val stage = java.nio.file.Files.createTempDirectory("docstream")
+    try {
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/documents.parquet"),
+        stage.resolve("documents.parquet"))
+      // the per-row kernels are pure Column exprs, so they apply to a
+      // streaming relation unchanged — the incremental-curation path
+      def score(df: org.apache.spark.sql.DataFrame) = df.select(
+        col("doc_id"),
+        round(TextFunctions.tokenEntropy(col("text")), 4).as("h"),
+        round(TextFunctions.repetitionRatio(col("text"), 2), 4).as("rep"))
+      val streamed = Streams.runToMemory(
+        score(Streams.parquetStream(spark, stage.toString, raw.schema)),
+        "qstream")
+      val got = streamed.collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSet
+      val exp = score(raw).collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSet
+      assert(got == exp)
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(stage.toFile).deleteRecursively()
+    }
+  }
+
   test("writePartitioned: lang filter prunes to partition directories") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_part_spec")
     try {
