@@ -238,6 +238,44 @@ object Queries7 {
       .orderBy(col("decile"))
   }
 
+  /** snapshot diff summary: two simulated corpus versions (modulo
+    * slices; text uppercased on the %5 slice) classified added / removed
+    * / changed / same in one (key, fingerprint) full-outer join —
+    * the dataset-versioning audit between ingestion runs.
+    */
+  def q113_snapshot_diff(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val old = docs.filter(col("doc_id") % 7 =!= 0)
+    val neu = docs.filter(col("doc_id") % 3 =!= 0)
+      .withColumn("text",
+        when(col("doc_id") % 5 === 0, upper(col("text")))
+          .otherwise(col("text")))
+    graft.operators.Joins
+      .snapshotDiff(old, neu, Seq("doc_id"), md5(col("text")))
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("status"))
+  }
+
+  /** per-language z-score outlier profile of doc length: sample stddev
+    * stats broadcast back onto the corpus, |z| > 2 counted — the
+    * outlier-trim diagnostic beside the percentile band (q85).
+    */
+  def q114_zscore_outliers(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val stats = docs.groupBy(col("lang"))
+      .agg(avg(col("n_chars")).as("__m"), stddev(col("n_chars")).as("__s"))
+    val z = (col("n_chars") - col("__m")) / col("__s")
+    docs.join(broadcast(stats), "lang")
+      .select(col("lang"), z.as("z"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"),
+        count(when(abs(col("z")) > 2, 1)).as("n_out"),
+        round(min(col("z")), 4).as("min_z"),
+        round(max(col("z")), 4).as("max_z"))
+      .orderBy(col("lang"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q101_stratified_sample" -> q101_stratified_sample _,
     "q102_repetition" -> q102_repetition _,
@@ -250,7 +288,9 @@ object Queries7 {
     "q109_exists_subquery" -> q109_exists_subquery _,
     "q110_big_orders" -> q110_big_orders _,
     "q111_centroid_classify" -> q111_centroid_classify _,
-    "q112_clv_deciles" -> q112_clv_deciles _
+    "q112_clv_deciles" -> q112_clv_deciles _,
+    "q113_snapshot_diff" -> q113_snapshot_diff _,
+    "q114_zscore_outliers" -> q114_zscore_outliers _
   )
 
   val oracles: Map[String, String] = Map(
@@ -399,6 +439,35 @@ object Queries7 {
         |SELECT CAST(decile AS BIGINT) AS decile, count(*) AS n,
         |  round(sum(spend), 4) AS spend,
         |  round(sum(spend) / (SELECT sum(spend) FROM clv), 4) AS share
-        |FROM d GROUP BY decile ORDER BY decile""".stripMargin
+        |FROM d GROUP BY decile ORDER BY decile""".stripMargin,
+    "q113_snapshot_diff" ->
+      """WITH old AS (
+        |  SELECT doc_id, md5(text) AS f FROM documents WHERE doc_id % 7 <> 0
+        |), neu AS (
+        |  SELECT doc_id,
+        |    md5(CASE WHEN doc_id % 5 = 0 THEN upper(text) ELSE text END) AS f
+        |  FROM documents WHERE doc_id % 3 <> 0
+        |), j AS (
+        |  SELECT coalesce(old.doc_id, neu.doc_id) AS doc_id, old.f AS fo,
+        |    neu.f AS fn
+        |  FROM old FULL OUTER JOIN neu ON old.doc_id = neu.doc_id
+        |)
+        |SELECT CASE WHEN fo IS NULL THEN 'added'
+        |  WHEN fn IS NULL THEN 'removed'
+        |  WHEN fo <> fn THEN 'changed' ELSE 'same' END AS status,
+        |  count(*) AS n
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q114_zscore_outliers" ->
+      """WITH st AS (
+        |  SELECT lang, avg(n_chars) AS m, stddev(n_chars) AS s
+        |  FROM documents GROUP BY lang
+        |)
+        |SELECT d.lang, count(*) AS n,
+        |  count(CASE WHEN abs((d.n_chars - st.m) / st.s) > 2 THEN 1 END)
+        |    AS n_out,
+        |  round(min((d.n_chars - st.m) / st.s), 4) AS min_z,
+        |  round(max((d.n_chars - st.m) / st.s), 4) AS max_z
+        |FROM documents d JOIN st USING (lang)
+        |GROUP BY d.lang ORDER BY d.lang""".stripMargin
   )
 }

@@ -115,4 +115,26 @@ object Joins {
     require(keys.nonEmpty, "upsert needs at least one key column")
     target.join(delta, keys, "left_anti").unionByName(delta)
   }
+
+  /** Snapshot diff (dataset versioning): classify every key across two
+    * snapshots as added / removed / changed / same, comparing content via
+    * the caller's `fingerprint` expression (evaluated on each side).
+    * One full-outer join keyed on `keys` — only (key, fingerprint) rows
+    * shuffle, payloads stay put; downstream aggregation of the `status`
+    * column gives the change summary a data-versioning audit shows.
+    */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, keys: Seq[String],
+      fingerprint: org.apache.spark.sql.Column): DataFrame = {
+    require(keys.nonEmpty, "snapshotDiff needs at least one key column")
+    import org.apache.spark.sql.functions.{col, when}
+    val o = oldDf.select(keys.map(col) :+ fingerprint.as("__fo"): _*)
+    val n = newDf.select(keys.map(col) :+ fingerprint.as("__fn"): _*)
+    o.join(n, keys, "full_outer")
+      .withColumn("status",
+        when(col("__fo").isNull, "added")
+          .when(col("__fn").isNull, "removed")
+          .when(col("__fo") =!= col("__fn"), "changed")
+          .otherwise("same"))
+      .drop("__fo", "__fn")
+  }
 }

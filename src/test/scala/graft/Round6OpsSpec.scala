@@ -157,6 +157,16 @@ class Round6OpsSpec extends SparkSpec {
     assert(out.toSet == Set((10L, "k1"), (40L, "k3")))
   }
 
+  test("snapshotDiff: added/removed/changed/same classification per key") {
+    import graft.operators.Joins
+    val old = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+    val neu = Seq((2L, "b"), (3L, "C"), (4L, "d")).toDF("id", "v")
+    val out = Joins.snapshotDiff(old, neu, Seq("id"), md5(col("v")))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(out == Map(1L -> "removed", 2L -> "same", 3L -> "changed",
+      4L -> "added"))
+  }
+
   test("text-quality kernels compose into a stream == batch on documents") {
     import graft.streaming.Streams
     val dir = "/root/testdata/sf0.001"
