@@ -89,8 +89,13 @@ object Queries6 {
     * ORIGINAL parquet, so any layout/read corruption breaks the hash.
     */
   def q98_partition_prune(s: SparkSession, dir: String): DataFrame = {
+    // per-process + per-SF path: a concurrent Verify/Bench pair must not
+    // overwrite each other's layout mid-read (the result is lazy; the
+    // directory has to stay intact until the caller executes the plan)
     val tmp = new java.io.File(
-      System.getProperty("java.io.tmpdir"), "graft_part_layout").getPath
+      System.getProperty("java.io.tmpdir"),
+      s"graft_part_layout_${ProcessHandle.current().pid()}_" +
+        s"${Integer.toHexString(dir.hashCode)}").getPath
     Bucketing.writePartitioned(t(s, dir, "documents"), tmp, Seq("lang"))
     s.read.parquet(tmp).filter(col("lang") === "en")
       .groupBy(col("source"))
@@ -172,7 +177,9 @@ object Queries6 {
         |ORDER BY id_a, id_b""".stripMargin,
     "q94_doc_chunks" ->
       """WITH toks AS (
-        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        |  SELECT doc_id,
+        |    CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+        |      ELSE regexp_split_to_array(trim(text), '\s+') END AS t
         |  FROM documents
         |), st AS (
         |  SELECT doc_id, t,

@@ -239,16 +239,18 @@ object Queries7 {
   }
 
   /** snapshot diff summary: two simulated corpus versions (modulo
-    * slices; text uppercased on the %5 slice) classified added / removed
-    * / changed / same in one (key, fingerprint) full-outer join —
-    * the dataset-versioning audit between ingestion runs.
+    * slices; a deterministic edit suffix on the %5 slice — NOT upper(),
+    * whose full-vs-simple case mapping differs between Java and utf8proc
+    * on e.g. 'ß') classified added / removed / changed / same in one
+    * (key, fingerprint) full-outer join — the dataset-versioning audit
+    * between ingestion runs.
     */
   def q113_snapshot_diff(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
     val old = docs.filter(col("doc_id") % 7 =!= 0)
     val neu = docs.filter(col("doc_id") % 3 =!= 0)
       .withColumn("text",
-        when(col("doc_id") % 5 === 0, upper(col("text")))
+        when(col("doc_id") % 5 === 0, concat(col("text"), lit(" v2")))
           .otherwise(col("text")))
     graft.operators.Joins
       .snapshotDiff(old, neu, Seq("doc_id"), md5(col("text")))
@@ -265,14 +267,17 @@ object Queries7 {
     val docs = t(s, dir, "documents")
     val stats = docs.groupBy(col("lang"))
       .agg(avg(col("n_chars")).as("__m"), stddev(col("n_chars")).as("__s"))
-    val z = (col("n_chars") - col("__m")) / col("__s")
+    // boundary predicate on the ROUNDED z (engine-parity rule: avg/stddev
+    // accumulation order differs between engines, so the raw |z| > 2 cut
+    // could flip for a doc sitting within accumulation noise of 2.0)
+    val z = round((col("n_chars") - col("__m")) / col("__s"), 4)
     docs.join(broadcast(stats), "lang")
       .select(col("lang"), z.as("z"))
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n"),
         count(when(abs(col("z")) > 2, 1)).as("n_out"),
-        round(min(col("z")), 4).as("min_z"),
-        round(max(col("z")), 4).as("max_z"))
+        min(col("z")).as("min_z"),
+        max(col("z")).as("max_z"))
       .orderBy(col("lang"))
   }
 
@@ -302,7 +307,7 @@ object Queries7 {
         |    count(*) OVER (PARTITION BY lang) AS n
         |  FROM documents
         |)
-        |SELECT doc_id, lang FROM r WHERE rn <= ceil(0.2 * n)
+        |SELECT doc_id, lang FROM r WHERE rn <= ceil(round(0.2 * n, 9))
         |ORDER BY doc_id""".stripMargin,
     "q102_repetition" ->
       """WITH g AS (
@@ -445,7 +450,8 @@ object Queries7 {
         |  SELECT doc_id, md5(text) AS f FROM documents WHERE doc_id % 7 <> 0
         |), neu AS (
         |  SELECT doc_id,
-        |    md5(CASE WHEN doc_id % 5 = 0 THEN upper(text) ELSE text END) AS f
+        |    md5(CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END)
+        |      AS f
         |  FROM documents WHERE doc_id % 3 <> 0
         |), j AS (
         |  SELECT coalesce(old.doc_id, neu.doc_id) AS doc_id, old.f AS fo,
@@ -461,13 +467,13 @@ object Queries7 {
       """WITH st AS (
         |  SELECT lang, avg(n_chars) AS m, stddev(n_chars) AS s
         |  FROM documents GROUP BY lang
+        |), z AS (
+        |  SELECT d.lang, round((d.n_chars - st.m) / st.s, 4) AS z
+        |  FROM documents d JOIN st USING (lang)
         |)
-        |SELECT d.lang, count(*) AS n,
-        |  count(CASE WHEN abs((d.n_chars - st.m) / st.s) > 2 THEN 1 END)
-        |    AS n_out,
-        |  round(min((d.n_chars - st.m) / st.s), 4) AS min_z,
-        |  round(max((d.n_chars - st.m) / st.s), 4) AS max_z
-        |FROM documents d JOIN st USING (lang)
-        |GROUP BY d.lang ORDER BY d.lang""".stripMargin
+        |SELECT lang, count(*) AS n,
+        |  count(CASE WHEN abs(z) > 2 THEN 1 END) AS n_out,
+        |  min(z) AS min_z, max(z) AS max_z
+        |FROM z GROUP BY lang ORDER BY lang""".stripMargin
   )
 }

@@ -230,10 +230,26 @@ object Dedup {
   def jaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
       threshold: Double, shingleWords: Int = 3,
-      candidates: Option[DataFrame] = None): DataFrame = {
-    // shingle HASHES only (never strings): ShingleHashes combines
-    // per-token hashes per window — the shuffle carries 8-byte keys and no
-    // shingle string is allocated (collision odds ~2^-40+, unobservable).
+      candidates: Option[DataFrame] = None): DataFrame =
+    shinglePairStats(df, idCol, textCol, shingleWords, candidates)
+      .select(col("id_a"), col("id_b"), col("inter"),
+        round(col("inter").cast("double") /
+          (col("n_a") + col("n_b") - col("inter")), 4).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+
+  /** (id_a, id_b, inter, n_a, n_b) for all co-shingled pairs (optionally
+    * restricted to `candidates`) — the shared stats stage under every
+    * exact set-similarity score (Jaccard, containment). Shingle HASHES
+    * only (never strings): ShingleHashes combines per-token hashes per
+    * window, so the shuffle carries 8-byte keys (collision odds ~2^-40+,
+    * unobservable). Note `candidates` filters the OUTPUT after the
+    * co-shingled self-join aggregate — the correctness gate, not a work
+    * reduction; the candidate-proportional scale path is banding + the
+    * sorted-merge verify (see [[jaccardPairsLsh]]).
+    */
+  private def shinglePairStats(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleWords: Int, candidates: Option[DataFrame]): DataFrame = {
     val sh = df.select(col(idCol).as("id"),
       graft.functions.SketchExprs.shingle_hashes(
         TextFunctions.tokensWs(col(textCol)), shingleWords).as("shingles"))
@@ -247,45 +263,26 @@ object Dedup {
     inter
       .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n", "n_a"), "id_a")
       .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n", "n_b"), "id_b")
-      .select(col("id_a"), col("id_b"), col("inter"),
-        round(col("inter").cast("double") /
-          (col("n_a") + col("n_b") - col("inter")), 4).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
   }
 
   /** Exact shingle CONTAINMENT pairs: inter / min(|A|, |B|) — the
     * sub-document duplication signal Jaccard misses (a short doc fully
     * embedded in a long one scores containment 1.0 but Jaccard
-    * |A|/|B| ≈ 0). Same sparse explode-join shape as [[jaccardPairs]]
-    * (8-byte shingle hashes on the wire, never strings); boundary rule is
-    * round(containment, 4) >= threshold. At scale pass LSH `candidates`
-    * to verify proposals instead of scanning all co-shingled pairs —
-    * note MinHash bands recall JACCARD, so for asymmetric-size
-    * containment pairs generate candidates from the short side's bands
-    * or use all co-shingled pairs per block.
+    * |A|/|B| ≈ 0). Same [[shinglePairStats]] stage as [[jaccardPairs]];
+    * boundary rule is round(containment, 4) >= threshold. `candidates`
+    * gates the output, not the self-join work; a candidate-proportional
+    * containment path needs bands generated from the SHORT side (MinHash
+    * bands recall Jaccard, which underestimates asymmetric containment).
     */
   def containmentPairs(
       df: DataFrame, idCol: String, textCol: String,
       threshold: Double, shingleWords: Int = 3,
-      candidates: Option[DataFrame] = None): DataFrame = {
-    val sh = df.select(col(idCol).as("id"),
-      graft.functions.SketchExprs.shingle_hashes(
-        TextFunctions.tokensWs(col(textCol)), shingleWords).as("shingles"))
-    val sizes = sh.select(col("id"), size(col("shingles")).as("n"))
-    val ex = sh.select(col("id"), explode(col("shingles")).as("h"))
-    val inter0 = ex.as("a").join(ex.as("b"),
-        col("a.h") === col("b.h") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .agg(count(lit(1)).as("inter"))
-    val inter = candidates.fold(inter0)(c => inter0.join(c, Seq("id_a", "id_b")))
-    inter
-      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n", "n_a"), "id_a")
-      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n", "n_b"), "id_b")
+      candidates: Option[DataFrame] = None): DataFrame =
+    shinglePairStats(df, idCol, textCol, shingleWords, candidates)
       .select(col("id_a"), col("id_b"), col("inter"),
         round(col("inter").cast("double") / least(col("n_a"), col("n_b")), 4)
           .as("containment"))
       .filter(col("containment") >= threshold)
-  }
 
   /** LSH-gated exact Jaccard — the 100 TB default path. MinHash banding
     * proposes candidate pairs; each candidate is then verified EXACTLY

@@ -126,15 +126,20 @@ object Joins {
   def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, keys: Seq[String],
       fingerprint: org.apache.spark.sql.Column): DataFrame = {
     require(keys.nonEmpty, "snapshotDiff needs at least one key column")
-    import org.apache.spark.sql.functions.{col, when}
-    val o = oldDf.select(keys.map(col) :+ fingerprint.as("__fo"): _*)
-    val n = newDf.select(keys.map(col) :+ fingerprint.as("__fn"): _*)
+    import org.apache.spark.sql.functions.{col, lit, not, when}
+    // presence is tracked by its own marker, NOT by fingerprint nullness
+    // (a nullable fingerprint would otherwise report a key present on
+    // both sides as "added"); changed/same compares null-safely.
+    val o = oldDf.select(
+      keys.map(col) :+ fingerprint.as("__fo") :+ lit(true).as("__po"): _*)
+    val n = newDf.select(
+      keys.map(col) :+ fingerprint.as("__fn") :+ lit(true).as("__pn"): _*)
     o.join(n, keys, "full_outer")
       .withColumn("status",
-        when(col("__fo").isNull, "added")
-          .when(col("__fn").isNull, "removed")
-          .when(col("__fo") =!= col("__fn"), "changed")
+        when(col("__po").isNull, "added")
+          .when(col("__pn").isNull, "removed")
+          .when(not(col("__fo") <=> col("__fn")), "changed")
           .otherwise("same"))
-      .drop("__fo", "__fn")
+      .drop("__fo", "__fn", "__po", "__pn")
   }
 }

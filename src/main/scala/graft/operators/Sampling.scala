@@ -204,7 +204,11 @@ object Sampling {
     val wn = org.apache.spark.sql.expressions.Window.partitionBy(groupCol)
     df.withColumn("__rn", row_number().over(w))
       .withColumn("__n", count(lit(1)).over(wn))
-      .filter(col("__rn") <= ceil(lit(fraction) * col("__n")))
+      // ceil over the 9-dp-rounded product: raw double ceil(0.07·100)
+      // is 8 (0.07·100 = 7.000000000000001), breaking the exact-count
+      // contract and diverging from DECIMAL-typed SQL engines
+      .filter(col("__rn") <=
+        ceil(round(lit(fraction) * col("__n"), 9)))
       .drop("__rn", "__n")
   }
 }

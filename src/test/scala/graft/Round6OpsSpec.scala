@@ -135,6 +135,11 @@ class Round6OpsSpec extends SparkSpec {
       .count() == 37)
     assert(Sampling.stratifiedSample(df, col("grp"), col("id"), 0.0)
       .count() == 0)
+    // exact-count contract survives double rounding: 0.07·100 must keep
+    // 7, not ceil(7.000000000000001) = 8
+    val hundred = (0 until 100).map(i => (i.toLong, "a")).toDF("id", "grp")
+    assert(Sampling.stratifiedSample(hundred, col("grp"), col("id"), 0.07)
+      .count() == 7)
   }
 
   test("repetitionRatio: repeated bigrams score, short docs 0") {
@@ -165,6 +170,14 @@ class Round6OpsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getString(1))).toMap
     assert(out == Map(1L -> "removed", 2L -> "same", 3L -> "changed",
       4L -> "added"))
+    // a NULL fingerprint is a value, not absence: present-on-both-sides
+    // keys with null fingerprints are "same", null vs non-null "changed"
+    val o2 = Seq((1L, null: String), (2L, null: String), (3L, "x"))
+      .toDF("id", "v")
+    val n2 = Seq((1L, null: String), (2L, "y"), (3L, "x")).toDF("id", "v")
+    val out2 = Joins.snapshotDiff(o2, n2, Seq("id"), md5(col("v")))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(out2 == Map(1L -> "same", 2L -> "changed", 3L -> "same"))
   }
 
   test("text-quality kernels compose into a stream == batch on documents") {
