@@ -70,6 +70,49 @@ object Multimodal {
     }
   }
 
+  final case class MediaResized(
+      id: Long, width: Int, height: Int, channels: Int, media: Array[Byte])
+
+  /** Resize to `outW`×`outH` by nearest-neighbor over the stub-decoded
+    * byte grid — the payload-size normalization step of an image
+    * pipeline (real codecs replace [[decodeStub]] + the byte indexing;
+    * the Spark shape — partition-batched map, output payload bounded by
+    * outW·outH·c regardless of input size — is the production one).
+    * Indexing is total for any payload length (modulo wrap), so the stub
+    * stays deterministic on arbitrary bytes.
+    */
+  def resize(ds: Dataset[MediaRow], outW: Int, outH: Int)(
+      implicit spark: SparkSession): Dataset[MediaResized] = {
+    require(outW > 0 && outH > 0, "target dims must be positive")
+    import spark.implicits._
+    ds.mapPartitions { rows =>
+      rows.map { r =>
+        val (w, h, c) = decodeStub(r.media)
+        val out = new Array[Byte](outW * outH * c)
+        val len = r.media.length
+        if (len > 0) {
+          var y = 0
+          while (y < outH) {
+            val srcY = (y.toLong * h / outH).toInt
+            var x = 0
+            while (x < outW) {
+              val srcX = (x.toLong * w / outW).toInt
+              var ch = 0
+              while (ch < c) {
+                out((y * outW + x) * c + ch) =
+                  r.media(((srcY * w + srcX) * c + ch) % len)
+                ch += 1
+              }
+              x += 1
+            }
+            y += 1
+          }
+        }
+        MediaResized(r.id, outW, outH, c, out)
+      }
+    }
+  }
+
   /** Deterministic frame sampling: n evenly-spaced fixed-size slices of the
     * payload (stands in for video frame extraction; 1→N via flatMap).
     */

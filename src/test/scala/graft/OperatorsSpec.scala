@@ -399,5 +399,12 @@ class OperatorsSpec extends SparkSpec {
     val frames = Multimodal.sampleFrames(media, n = 3, frameBytes = 8).collect()
     assert(frames.count(_.id == 1L) == 3)
     assert(frames.forall(_.frame.length <= 8))
+    // resize: output payload is exactly outW*outH*c regardless of input
+    // size, deterministic across runs
+    val resized = Multimodal.resize(media, 4, 5).collect()
+    assert(resized.forall(r => r.width == 4 && r.height == 5 &&
+      r.media.length == 4 * 5 * r.channels))
+    val again = Multimodal.resize(media, 4, 5).collect()
+    assert(resized.map(_.media.toSeq).toSeq == again.map(_.media.toSeq).toSeq)
   }
 }
