@@ -123,12 +123,9 @@ object ExtQueries {
     */
   def q36_csv_roundtrip(s: SparkSession, dir: String): DataFrame = {
     import graft.sources.{CsvReader, CsvWriter}
-    // per-process + per-SF path (see q98): concurrent runs must not
-    // overwrite each other's files while the lazy read-back is pending
-    val tmp = new java.io.File(
-      System.getProperty("java.io.tmpdir"),
-      s"graft_csv_roundtrip_${ProcessHandle.current().pid()}_" +
-        s"${Integer.toHexString(dir.hashCode)}").getPath
+    // per-process + per-SF path (shutdown-cleaned): concurrent runs must
+    // not overwrite each other's files while the lazy read-back is pending
+    val tmp = TmpDirs.perProcess("graft_csv_roundtrip", dir)
     val li = t(s, dir, "lineitem")
       .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
         col("l_returnflag"))

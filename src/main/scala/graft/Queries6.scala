@@ -89,13 +89,11 @@ object Queries6 {
     * ORIGINAL parquet, so any layout/read corruption breaks the hash.
     */
   def q98_partition_prune(s: SparkSession, dir: String): DataFrame = {
-    // per-process + per-SF path: a concurrent Verify/Bench pair must not
-    // overwrite each other's layout mid-read (the result is lazy; the
-    // directory has to stay intact until the caller executes the plan)
-    val tmp = new java.io.File(
-      System.getProperty("java.io.tmpdir"),
-      s"graft_part_layout_${ProcessHandle.current().pid()}_" +
-        s"${Integer.toHexString(dir.hashCode)}").getPath
+    // per-process + per-SF path (shutdown-cleaned): a concurrent
+    // Verify/Bench pair must not overwrite each other's layout mid-read
+    // (the result is lazy; the directory has to stay intact until the
+    // caller executes the plan)
+    val tmp = TmpDirs.perProcess("graft_part_layout", dir)
     Bucketing.writePartitioned(t(s, dir, "documents"), tmp, Seq("lang"))
     s.read.parquet(tmp).filter(col("lang") === "en")
       .groupBy(col("source"))

@@ -454,13 +454,14 @@ object Queries7 {
         |      AS f
         |  FROM documents WHERE doc_id % 3 <> 0
         |), j AS (
-        |  SELECT coalesce(old.doc_id, neu.doc_id) AS doc_id, old.f AS fo,
+        |  SELECT old.doc_id AS od, neu.doc_id AS nd, old.f AS fo,
         |    neu.f AS fn
         |  FROM old FULL OUTER JOIN neu ON old.doc_id = neu.doc_id
         |)
-        |SELECT CASE WHEN fo IS NULL THEN 'added'
-        |  WHEN fn IS NULL THEN 'removed'
-        |  WHEN fo <> fn THEN 'changed' ELSE 'same' END AS status,
+        |SELECT CASE WHEN od IS NULL THEN 'added'
+        |  WHEN nd IS NULL THEN 'removed'
+        |  WHEN fo IS DISTINCT FROM fn THEN 'changed'
+        |  ELSE 'same' END AS status,
         |  count(*) AS n
         |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
     "q114_zscore_outliers" ->

@@ -222,10 +222,10 @@ object Dedup {
   // ------------------------------------------------------------ exact jaccard
 
   /** Exact distinct-word-shingle Jaccard for pairs above a threshold —
-    * the oracle-checkable ground truth. The shingle self-join is quadratic
-    * in bucket size, so at scale use it only to VERIFY LSH candidates
-    * (pass `candidates`); `candidates = None` scans all co-shingled pairs
-    * (fine at test SF, not at 100 TB).
+    * the oracle-checkable ground truth. The shingle self-join is
+    * quadratic in bucket size and `candidates` only gates the OUTPUT
+    * after that aggregate (see [[shinglePairStats]]) — at 100 TB use
+    * [[jaccardPairsLsh]], whose verify work is candidate-proportional.
     */
   def jaccardPairs(
       df: DataFrame, idCol: String, textCol: String,

@@ -55,13 +55,14 @@ object Multimodal {
     ds.mapPartitions { rows =>
       // per-partition setup happens HERE (once), not per row
       rows.map { r =>
-        val (w, h, c) = decodeStub(r.media)
+        val bytes = if (r.media == null) Array.emptyByteArray else r.media
+        val (w, h, c) = decodeStub(bytes)
         // STUB feature vector: deterministic rolling hash per bucket
         val feats = new Array[Float](dim)
         var i = 0
         var acc = 1469598103934665603L // FNV offset basis
-        while (i < r.media.length) {
-          acc = (acc ^ r.media(i)) * 1099511628211L
+        while (i < bytes.length) {
+          acc = (acc ^ bytes(i)) * 1099511628211L
           feats(i % dim) += (acc % 1000L).toFloat / 1000f
           i += 1
         }
@@ -84,12 +85,17 @@ object Multimodal {
   def resize(ds: Dataset[MediaRow], outW: Int, outH: Int)(
       implicit spark: SparkSession): Dataset[MediaResized] = {
     require(outW > 0 && outH > 0, "target dims must be positive")
+    // c is at most 3 (decodeStub); 4 leaves margin so outW*outH*c can
+    // never wrap Int and corrupt the index arithmetic below
+    require(outW.toLong * outH <= Int.MaxValue / 4,
+      s"target payload $outW x $outH exceeds array addressing")
     import spark.implicits._
     ds.mapPartitions { rows =>
       rows.map { r =>
-        val (w, h, c) = decodeStub(r.media)
+        val bytes = if (r.media == null) Array.emptyByteArray else r.media
+        val (w, h, c) = decodeStub(bytes)
         val out = new Array[Byte](outW * outH * c)
-        val len = r.media.length
+        val len = bytes.length
         if (len > 0) {
           var y = 0
           while (y < outH) {
@@ -100,7 +106,7 @@ object Multimodal {
               var ch = 0
               while (ch < c) {
                 out((y * outW + x) * c + ch) =
-                  r.media(((srcY * w + srcX) * c + ch) % len)
+                  bytes(((srcY * w + srcX) * c + ch) % len)
                 ch += 1
               }
               x += 1
@@ -120,7 +126,7 @@ object Multimodal {
       implicit spark: SparkSession): Dataset[MediaFrame] = {
     import spark.implicits._
     ds.flatMap { r =>
-      val len = r.media.length
+      val len = if (r.media == null) 0 else r.media.length
       if (len == 0) Iterator.empty
       else (0 until n).iterator.map { k =>
         val start = ((len.toLong * k) / n).toInt.min(math.max(0, len - 1))

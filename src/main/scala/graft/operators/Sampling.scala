@@ -206,9 +206,13 @@ object Sampling {
       .withColumn("__n", count(lit(1)).over(wn))
       // ceil over the 9-dp-rounded product: raw double ceil(0.07·100)
       // is 8 (0.07·100 = 7.000000000000001), breaking the exact-count
-      // contract and diverging from DECIMAL-typed SQL engines
+      // contract and diverging from DECIMAL-typed SQL engines. The
+      // rounding can also collapse a tiny positive product to 0, so a
+      // positive fraction keeps a floor of one row per stratum
+      // (mathematical ceil of any positive value is >= 1).
       .filter(col("__rn") <=
-        ceil(round(lit(fraction) * col("__n"), 9)))
+        greatest(ceil(round(lit(fraction) * col("__n"), 9)),
+          lit(if (fraction > 0) 1L else 0L)))
       .drop("__rn", "__n")
   }
 }

@@ -140,6 +140,10 @@ class Round6OpsSpec extends SparkSpec {
     val hundred = (0 until 100).map(i => (i.toLong, "a")).toDF("id", "grp")
     assert(Sampling.stratifiedSample(hundred, col("grp"), col("id"), 0.07)
       .count() == 7)
+    // mathematical ceil of any positive product is >= 1: a tiny positive
+    // fraction must not round a stratum down to empty
+    assert(Sampling.stratifiedSample(hundred, col("grp"), col("id"), 1e-10)
+      .count() == 1)
   }
 
   test("repetitionRatio: repeated bigrams score, short docs 0") {
