@@ -55,6 +55,57 @@ class PairsPropertySpec extends SparkSpec {
     }
   }
 
+  test("chunkDocuments == driver sliding windows on random shapes") {
+    import graft.operators.Curation
+    val scenarioGen: Gen[(Int, Int, Int)] = for {
+      nToks <- Gen.choose(0, 50)
+      window <- Gen.choose(1, 8)
+      stride <- Gen.choose(1, 8)
+    } yield (nToks, window, stride)
+    for (((n, w, s), si) <- samples(scenarioGen, 30).zipWithIndex) {
+      val toks = (0 until n).map(i => s"t$i")
+      val df = Seq((1L, toks.mkString(" "))).toDF("doc_id", "text")
+      val got = Curation.chunkDocuments(df, "doc_id", col("text"), w, s)
+        .orderBy("chunk_idx")
+        .collect().map(r => (r.getLong(1), r.getLong(2), r.getString(3)))
+        .toSeq
+      // contract: a start for every k·stride <= max(n-1, 0)
+      val exp = (0 to math.max(n - 1, 0) by s).zipWithIndex.map {
+        case (st, k) =>
+          val chunk = toks.slice(st, math.min(st + w, n))
+          (k.toLong, chunk.length.toLong, chunk.mkString(" "))
+      }
+      assert(got == exp, s"scenario $si (n=$n w=$w s=$s)")
+    }
+  }
+
+  test("cohortRetention == driver brute force on random event sets") {
+    import graft.operators.Curation
+    val evGen: Gen[(Long, Int)] = for {
+      u <- Gen.choose(1L, 5L)
+      day <- Gen.choose(0, 20)
+    } yield (u, day)
+    val setGen: Gen[Seq[(Long, Int)]] =
+      Gen.choose(1, 40).flatMap(n => Gen.listOfN(n, evGen))
+    for ((evs, si) <- samples(setGen, 20).zipWithIndex) {
+      val base = java.time.LocalDate.of(2024, 3, 1)
+      val df = evs.map { case (u, d) =>
+        (u, java.sql.Timestamp.valueOf(base.plusDays(d).atTime(12, 0)))
+      }.toDF("user_id", "ts")
+      val got = Curation.cohortRetention(df, col("user_id"), col("ts"))
+        .collect()
+        .map(r => (r.getTimestamp(0).toLocalDateTime.toLocalDate.toString,
+          r.getLong(1), r.getLong(2))).toSet
+      val firstDay = evs.groupBy(_._1).view.mapValues(_.map(_._2).min)
+      val exp = evs.map { case (u, d) =>
+        (base.plusDays(firstDay(u)).toString, (d - firstDay(u)).toLong / 7, u)
+      }.distinct.groupBy(t => (t._1, t._2)).map { case ((c, o), us) =>
+        (c, o, us.map(_._3).distinct.size.toLong)
+      }.toSet
+      assert(got == exp, s"scenario $si")
+    }
+  }
+
   test("containmentPairs == driver brute force on random docs") {
     val wordGen = Gen.choose('a', 'f').map(_.toString)
     val docGen: Gen[String] =
