@@ -188,8 +188,12 @@ object Curation {
   def chunkDocuments(df: DataFrame, idCol: String, textCol: Column,
       window: Int, stride: Int): DataFrame = {
     require(window > 0 && stride > 0, "window and stride must be positive")
+    // NULL text behaves like empty text (one empty chunk) — without the
+    // coalesce the null row would vanish entirely (null tokens -> null
+    // sequence -> posexplode drops the row) while "" emits a chunk
     df.select(col(idCol),
-        graft.functions.TextFunctions.tokensWs(textCol).as("__t"))
+        graft.functions.TextFunctions.tokensWs(coalesce(textCol, lit("")))
+          .as("__t"))
       .select(col(idCol), col("__t"),
         posexplode(sequence(lit(0),
           greatest(size(col("__t")) - 1, lit(0)), lit(stride)))

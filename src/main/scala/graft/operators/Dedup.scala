@@ -133,6 +133,8 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.7, shingleWords: Int = 3,
       numHashes: Int = 128, bands: Int = 32): DataFrame = {
+    require(bands > 0 && numHashes % bands == 0,
+      s"bands ($bands) must divide numHashes ($numHashes)")
     // The signature relation feeds FOUR plan branches (both band-join
     // sides + both estimate sides); a bare repartition is NOT shared
     // across them — AQE re-plans the broadcast sides under their own
@@ -380,7 +382,10 @@ object Dedup {
     // 1. distributed shingle-hash (distinct per doc by ShingleHashes) and
     //    dictionary-encode. Docs with zero shingles drop out here — they
     //    cannot reach any positive threshold (jaccard would be 0 or 0/0).
-    val ex = df.select(col(idCol).cast("long").as("id"),
+    // id keeps its original type: an ANSI cast would throw on string ids
+    // (and silently normalize numeric-looking ones), breaking the
+    // documented sparse-plan parity
+    val ex = df.select(col(idCol).as("id"),
         explode(graft.functions.SketchExprs.shingle_hashes(
           TextFunctions.tokensWs(col(textCol)), shingleWords)).as("h"))
     val dict = ex.select(col("h")).distinct()

@@ -62,6 +62,13 @@ object FilterLang {
         if (colIsNumeric) col(c).cast("double")
         else graft.functions.Coercions.parseFloatLike(col(c).cast("string"))
       def rhsNum: Column = lit(v.toDouble)
+      // ordering ops accept ONLY numeric literals, like the reference's
+      // `(-?\d+(?:\.\d+)?)` patterns (filter.ts:46-88); anything else
+      // (e.g. `age > height`) falls to the expr() path — the analogue of
+      // the reference's Function-constructor fallback — instead of
+      // NumberFormatException on the driver
+      if (!isNumeric(v) && Set(">", ">=", "<", "<=").contains(op))
+        return expr(s)
       op match {
         case "==" | "=" =>
           if (colIsNumeric && isNumeric(v)) col(c).cast("double") === rhsNum
@@ -82,16 +89,59 @@ object FilterLang {
     * pushdown-eligible.
     */
   def parse(input: String, schema: Option[StructType] = None): Column = {
-    // Split on && / || at top level (no parens in the reference language);
-    // preserve operator order left-to-right like JS evaluation.
-    val orParts = input.split("""\|\||(?i)\s+or\s+""")
-    orParts
-      .map { part =>
-        part
-          .split("""&&|(?i)\s+and\s+""")
-          .map(clause(_, schema))
-          .reduceLeft(_ && _)
-      }
+    // Split on && / || / and / or at top level (no parens in the
+    // reference language), QUOTE-AWARE: separators inside "…"/'…' are
+    // literal text (`title contains "rock and roll"` is one clause).
+    // Left-to-right reduce like JS evaluation.
+    topSplit(input)
+      .map(_.map(clause(_, schema)).reduceLeft(_ && _))
       .reduceLeft(_ || _)
+  }
+
+  /** OR-groups of AND-clauses, honoring quotes. */
+  private def topSplit(s: String): List[List[String]] = {
+    val ors = List.newBuilder[List[String]]
+    var ands = List.newBuilder[String]
+    val cur = new StringBuilder
+    var quote: Char = 0
+    var i = 0
+    def flushClause(): Unit = { ands += cur.toString; cur.clear() }
+    def flushOr(): Unit = { flushClause(); ors += ands.result(); ands = List.newBuilder[String] }
+    // `\s+word\s+` separator at i (i must sit on whitespace); returns the
+    // index just past the trailing whitespace, or -1
+    def wordSep(word: String): Int = {
+      if (!s(i).isWhitespace) return -1
+      var j = i
+      while (j < s.length && s(j).isWhitespace) j += 1
+      if (j + word.length > s.length ||
+          !s.regionMatches(true, j, word, 0, word.length)) return -1
+      val k = j + word.length
+      if (k >= s.length || !s(k).isWhitespace) return -1
+      var m = k
+      while (m < s.length && s(m).isWhitespace) m += 1
+      m
+    }
+    while (i < s.length) {
+      val ch = s(i)
+      if (quote != 0) {
+        cur += ch; if (ch == quote) quote = 0; i += 1
+      } else if (ch == '"' || ch == '\'') {
+        quote = ch; cur += ch; i += 1
+      } else if (s.startsWith("||", i)) {
+        flushOr(); i += 2
+      } else if (s.startsWith("&&", i)) {
+        flushClause(); i += 2
+      } else {
+        val or = wordSep("or")
+        if (or >= 0) { flushOr(); i = or }
+        else {
+          val and = wordSep("and")
+          if (and >= 0) { flushClause(); i = and }
+          else { cur += ch; i += 1 }
+        }
+      }
+    }
+    flushOr()
+    ors.result()
   }
 }

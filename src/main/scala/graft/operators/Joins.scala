@@ -86,13 +86,20 @@ object Joins {
     * AQE's skew-join handling (`spark.sql.adaptive.skewJoin.enabled`, on
     * by default here) covers most cases at runtime; explicit salting is
     * for the pathological keys AQE can't split (e.g. a single key bigger
-    * than an executor). Salt is derived from a hash of the whole left row
-    * — deterministic, no rand() (replayable plans).
+    * than an executor). Salt hashes the whole left row plus its
+    * position — no rand(), and byte-identical duplicate rows still
+    * spread across buckets.
     */
   def saltedJoin(left: DataFrame, right: DataFrame,
       lk: String, rk: String, buckets: Int): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    // the row-content hash alone would give IDENTICAL duplicate rows of
+    // the hot key the same salt (the dup-heavy case salting exists for);
+    // mixing in the row's position spreads them across buckets. Position
+    // is deterministic for a given partitioning, like zipWithIndex.
     val saltedL = left.withColumn("__salt",
-      pmod(xxhash64(left.columns.toSeq.map(c => col(s"`$c`")): _*), lit(buckets)))
+      pmod(xxhash64(monotonically_increasing_id() +:
+        left.columns.toSeq.map(c => col(s"`$c`")): _*), lit(buckets)))
     val replicatedR = right
       .withColumn("__salt", explode(sequence(lit(0), lit(buckets - 1))))
       .withColumn("__salt", col("__salt").cast("long"))

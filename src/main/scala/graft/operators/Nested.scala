@@ -46,6 +46,14 @@ object Nested {
     def build(head: String, members: Seq[String]): Column = {
       if (members == Seq(head)) col(s"`$head`")
       else {
+        // a scalar column equal to another column's struct prefix cannot
+        // coexist with it ("a" vs "a.b" — one name can't be both a value
+        // and a struct); fail with the conflict instead of a stray
+        // ArrayIndexOutOfBounds from the tail split below
+        if (members.contains(head))
+          throw new IllegalArgumentException(
+            s"cannot unflatten: column '$head' conflicts with nested " +
+              s"columns ${members.filterNot(_ == head).mkString(", ")}")
         // members all start with "head."; recurse on the tails
         val tails = members.map(_.split("\\.", 2)(1))
         val sub = scala.collection.mutable.LinkedHashMap
@@ -71,6 +79,10 @@ object Nested {
         sub.getOrElseUpdate(h, scala.collection.mutable.ArrayBuffer.empty) += t
       }
       val fields = sub.map { case (h, ms) =>
+        if (ms.length > 1 && ms.contains(h))
+          throw new IllegalArgumentException(
+            s"cannot unflatten: column '$prefix.$h' conflicts with nested " +
+              s"columns under the same name")
         (if (ms.toSeq == Seq(h)) col(s"`$prefix.$h`")
          else buildNested(s"$prefix.$h", ms.map(m => s"$prefix.$m").toSeq)).as(h)
       }.toSeq

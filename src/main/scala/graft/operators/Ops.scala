@@ -61,6 +61,8 @@ object Ops {
       * break columnar codegen — use only where order semantics are required.
       */
     def withRowIndex(name: String = "row_index"): DataFrame = {
+      require(!df.columns.contains(name),
+        s"input already has a '$name' column — pass a different name")
       val spark = df.sparkSession
       val schema = df.schema
       val indexed = df.rdd.zipWithIndex().map { case (row, idx) =>

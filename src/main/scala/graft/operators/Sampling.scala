@@ -174,6 +174,8 @@ object Sampling {
   def deterministicShuffle(df: DataFrame, idCol: Column, numShards: Int,
       posCol: String = "pos", shardCol: String = "shard"): DataFrame = {
     require(numShards > 0, "numShards must be positive")
+    require(!df.columns.contains(posCol) && !df.columns.contains(shardCol),
+      s"input already has a '$posCol'/'$shardCol' column — pass different names")
     val spark = df.sparkSession
     val keyed = df.withColumn("__key", md5(idCol.cast("string")))
       .orderBy(col("__key"), idCol)

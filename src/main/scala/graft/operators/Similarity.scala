@@ -38,10 +38,16 @@ object Similarity {
   def bruteForceTopK(
       queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int): DataFrame = {
+    // zero-norm vectors have no direction: their cosine is 0/0 = NaN and
+    // Spark ranks NaN ABOVE every number, so one zero embedding would head
+    // every query's top-k (same guard as cosinePairs on both sides here
+    // and in every scoring path below)
     val q = broadcast(queries.select(col(idCol).as("query_id"),
-      col(vecCol).as("__qv"), vec_l2norm(col(vecCol)).as("__qn")))
+      col(vecCol).as("__qv"), vec_l2norm(col(vecCol)).as("__qn"))
+      .filter(col("__qn") > 0))
     val c = corpus.select(col(idCol).as("match_id"),
       col(vecCol).as("__cv"), vec_l2norm(col(vecCol)).as("__cn"))
+      .filter(col("__cn") > 0)
     val scored = c.crossJoin(q)
       .filter(col("match_id") =!= col("query_id"))
       .select(col("query_id"), col("match_id"),
@@ -67,7 +73,8 @@ object Similarity {
     import graft.functions.VectorExprs.{vec_dot_q8, vec_q8}
     val q = broadcast(queries.select(col(idCol).as("query_id"),
       vec_q8(col(vecCol), scale).as("__qq"), col(vecCol).as("__qv"),
-      vec_l2norm(col(vecCol)).as("__qn")))
+      vec_l2norm(col(vecCol)).as("__qn"))
+      .filter(col("__qn") > 0)) // zero-norm guard (see bruteForceTopK)
     val cand = corpus
       .select(col(idCol).as("match_id"), vec_q8(col(vecCol), scale).as("__cq"))
       .crossJoin(q.select(col("query_id"), col("__qq")))
@@ -81,6 +88,7 @@ object Similarity {
       .select("query_id", "match_id")
     val cExact = corpus.select(col(idCol).as("match_id"),
       col(vecCol).as("__cv"), vec_l2norm(col(vecCol)).as("__cn"))
+      .filter(col("__cn") > 0) // zero-norm guard (see bruteForceTopK)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("match_id").asc)
     survivors.join(cExact, "match_id")
@@ -92,24 +100,6 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
-  /** Global top-n most-similar pairs (id_a < id_b), EXACT — the contract
-    * when no similarity floor is known a priori. O(n²) dot products (any
-    * exact dense-vector algorithm is), but each side's norm is precomputed
-    * per row, the pair loop is native codegen, and the sort is a
-    * TakeOrdered(n) — only n rows per partition survive; the planner
-    * tiles the loop (CartesianProduct) when neither side is
-    * broadcast-sized, so no full-corpus broadcast at scale.
-    *
-    * Why this is NOT LSH-gated by default: gating is only sound when the
-    * n-th pair sits far above background similarity. Measured on the
-    * testdata embeddings (sf0.01): the top-25 boundary is cos 0.437
-    * against background σ = 1/√64 = 0.125 — at that separation every
-    * hyperplane-band geometry that reaches ≥99.9% recall keeps ≥65% of
-    * ALL pairs as candidates (16/4 → 23% kept but 68% recall; 24/8 →
-    * 66% kept, 96% recall), i.e. the gate costs more than it prunes and
-    * still misses top pairs. Use [[topPairsLsh]] when the pairs of
-    * interest are in the genuinely-gateable high-similarity regime.
-    */
   /** Exact all-pairs cosine pairs at or above `threshold` — the semantic-
     * dedup pair generator. The boundary rule is round(cos, 4) >= threshold
     * (both engines compute the dot/norms left-to-right in double, so the
@@ -142,11 +132,31 @@ object Similarity {
       .filter(col("cos") >= threshold)
   }
 
+  /** Global top-n most-similar pairs (id_a < id_b), EXACT — the contract
+    * when no similarity floor is known a priori. O(n²) dot products (any
+    * exact dense-vector algorithm is), but each side's norm is precomputed
+    * per row, the pair loop is native codegen, and the sort is a
+    * TakeOrdered(n) — only n rows per partition survive; the planner
+    * tiles the loop (CartesianProduct) when neither side is
+    * broadcast-sized, so no full-corpus broadcast at scale.
+    *
+    * Why this is NOT LSH-gated by default: gating is only sound when the
+    * n-th pair sits far above background similarity. Measured on the
+    * testdata embeddings (sf0.01): the top-25 boundary is cos 0.437
+    * against background σ = 1/√64 = 0.125 — at that separation every
+    * hyperplane-band geometry that reaches ≥99.9% recall keeps ≥65% of
+    * ALL pairs as candidates (16/4 → 23% kept but 68% recall; 24/8 →
+    * 66% kept, 96% recall), i.e. the gate costs more than it prunes and
+    * still misses top pairs. Use [[topPairsLsh]] when the pairs of
+    * interest are in the genuinely-gateable high-similarity regime.
+    */
   def topPairs(df: DataFrame, idCol: String, vecCol: String, n: Int): DataFrame = {
     val a = df.select(col(idCol).as("id_a"), col(vecCol).as("__va"),
       vec_l2norm(col(vecCol)).as("__na"))
+      .filter(col("__na") > 0) // zero-norm guard (see bruteForceTopK)
     val b = df.select(col(idCol).as("id_b"), col(vecCol).as("__vb"),
       vec_l2norm(col(vecCol)).as("__nb"))
+      .filter(col("__nb") > 0)
     a.crossJoin(b).filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         (vec_dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")))
@@ -188,6 +198,7 @@ object Similarity {
       .widenIfNarrow(df.select(col(idCol).as("id"), col(vecCol).as("__v")))
       .select(col("id"), col("__v"), vec_l2norm(col("__v")).as("__nm"),
         lshSignature(col("__v"), dim, planes).as("__sig"))
+      .filter(col("__nm") > 0) // zero-norm guard (see bruteForceTopK)
       .localCheckpoint()
     val banded = base.select(col("id"),
       posexplode(array((0 until bands).map(j =>
@@ -365,10 +376,12 @@ object Similarity {
       col(vecCol).as("__cv"),
       idx.assign(col(vecCol), 1)(0).as("__list"),
       vec_l2norm(col(vecCol)).as("__cn"))
+      .filter(col("__cn") > 0) // zero-norm guard (see bruteForceTopK)
     val probes = queries.select(col(idCol).as("query_id"),
       col(vecCol).as("__qv"),
       explode(idx.assign(col(vecCol), nprobe)).as("__list"),
       vec_l2norm(col(vecCol)).as("__qn"))
+      .filter(col("__qn") > 0)
 
     val scored = bucketedCorpus.join(broadcast(probes), Seq("__list"))
       .filter(col("match_id") =!= col("query_id"))
@@ -390,8 +403,10 @@ object Similarity {
       planes: Int = 12): DataFrame = {
     val sigQ = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
       lshSignature(col(vecCol), dim, planes).as("__bucket"))
+      .filter(vec_l2norm(col("__qv")) > 0) // zero-norm guard (see bruteForceTopK)
     val sigC = corpus.select(col(idCol).as("match_id"), col(vecCol).as("__cv"),
       lshSignature(col(vecCol), dim, planes).as("__bucket"))
+      .filter(vec_l2norm(col("__cv")) > 0)
     val scored = sigC.join(broadcast(sigQ), Seq("__bucket"))
       .filter(col("match_id") =!= col("query_id"))
       .select(col("query_id"), col("match_id"),

@@ -15,20 +15,31 @@ import org.apache.spark.sql.functions._
   */
 object Stats {
 
+  // column names are interpolated into selectExpr strings below: quotes
+  // and backticks in a (legal) column name must be escaped, not injected
+  private def sqlQuote(c: String): String = c.replace("\\", "\\\\").replace("'", "\\'")
+  private def btick(c: String): String = c.replace("`", "``")
+  // col("it`s") PARSES the name (INVALID_ATTRIBUTE_NAME_SYNTAX) — always
+  // reference profiled columns fully quoted
+  private def qcol(c: String) = col(s"`${btick(c)}`")
+
   def profile(df: DataFrame, approx: Boolean = false): DataFrame = {
     val cols = df.columns
     val aggs = cols.flatMap { c =>
       val distinctAgg =
-        if (approx) approx_count_distinct(col(c)) else countDistinct(col(c))
+        if (approx) approx_count_distinct(qcol(c)) else countDistinct(qcol(c))
       Seq(
         count(lit(1)).as(s"${c}__total"),
-        sum(when(col(c).isNull || col(c).cast("string") === "", 1)
+        sum(when(qcol(c).isNull || qcol(c).cast("string") === "", 1)
           .otherwise(0)).cast("long").as(s"${c}__nulls"),
         distinctAgg.cast("long").as(s"${c}__distinct"))
     }
     val onerow = df.agg(aggs.head, aggs.tail.toSeq: _*)
     val stackArgs = cols
-      .map(c => s"'$c', `${c}__total`, `${c}__nulls`, `${c}__distinct`")
+      .map { c =>
+        val q = sqlQuote(c); val b = btick(c)
+        s"'$q', `${b}__total`, `${b}__nulls`, `${b}__distinct`"
+      }
       .mkString(", ")
     onerow.selectExpr(
       s"stack(${cols.length}, $stackArgs) as (col_name, n_total, n_nulls, n_distinct)")
@@ -40,14 +51,16 @@ object Stats {
   def numericProfile(df: DataFrame, numericCols: Seq[String]): DataFrame = {
     val aggs = numericCols.flatMap { c =>
       Seq(
-        min(col(c)).cast("double").as(s"${c}__min"),
-        max(col(c)).cast("double").as(s"${c}__max"),
-        avg(col(c)).as(s"${c}__mean"))
+        min(qcol(c)).cast("double").as(s"${c}__min"),
+        max(qcol(c)).cast("double").as(s"${c}__max"),
+        avg(qcol(c)).as(s"${c}__mean"))
     }
     val onerow = df.agg(aggs.head, aggs.tail.toSeq: _*)
     val stackArgs = numericCols
-      .map(c =>
-        s"'$c', round(`${c}__min`, 4), round(`${c}__max`, 4), round(`${c}__mean`, 4)")
+      .map { c =>
+        val q = sqlQuote(c); val b = btick(c)
+        s"'$q', round(`${b}__min`, 4), round(`${b}__max`, 4), round(`${b}__mean`, 4)"
+      }
       .mkString(", ")
     onerow.selectExpr(
       s"stack(${numericCols.length}, $stackArgs) as (col_name, vmin, vmax, vmean)")

@@ -166,6 +166,80 @@ class Round6OpsSpec extends SparkSpec {
     assert(out.toSet == Set((10L, "k1"), (40L, "k3")))
   }
 
+  test("similarity paths ignore zero-norm vectors instead of ranking NaN first") {
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f)),
+      (2L, Array(0.6f, 0.8f)),
+      (3L, Array(0.0f, 0.0f))) // would head every top-k as NaN unguarded
+      .toDF("vec_id", "embedding")
+    val q = Seq((10L, Array(1.0f, 0.1f))).toDF("vec_id", "embedding")
+    val bf = Similarity.bruteForceTopK(q, corpus, "vec_id", "embedding", 2)
+      .collect().map(r => (r.getLong(1), r.getInt(3)))
+    assert(!bf.map(_._1).contains(3L) && bf.length == 2)
+    val tp = Similarity.topPairs(corpus, "vec_id", "embedding", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(tp.toSet == Set((1L, 2L)))
+    val qt = Similarity.quantizedTopK(q, corpus, "vec_id", "embedding", 2)
+      .collect().map(_.getLong(1))
+    assert(!qt.contains(3L) && qt.length == 2)
+    val ann = Similarity.annTopK(q, corpus, "vec_id", "embedding", 2, 2)
+      .collect().map(_.getLong(1))
+    assert(!ann.contains(3L))
+  }
+
+  test("FilterLang: quoted and/or stay literal; non-numeric ordering literal falls to expr") {
+    import graft.operators.FilterLang
+    val df = Seq(("rock and roll star", 30L), ("jazz", 10L))
+      .toDF("title", "age")
+    val kept = df.filter(FilterLang.parse("title contains \"rock and roll\""))
+      .collect().map(_.getString(0))
+    assert(kept.toSeq == Seq("rock and roll star"))
+    // multi-clause with a quoted separator inside one clause
+    val both = df.filter(FilterLang.parse(
+      "title contains \"rock and roll\" or title == jazz"))
+    assert(both.count() == 2)
+    // `age > height`-style column comparison routes through expr(), like
+    // the reference's Function-constructor fallback (not a driver crash)
+    val colCmp = Seq((3L, 1L), (1L, 5L)).toDF("a", "b")
+      .filter(FilterLang.parse("a > b")).collect().map(_.getLong(0))
+    assert(colCmp.toSeq == Seq(3L))
+  }
+
+  test("unflatten rejects scalar/struct name conflicts with a clear error") {
+    import graft.operators.Nested
+    val df = Seq((1L, "x", "y")).toDF("a", "a.b", "c")
+    val e = intercept[IllegalArgumentException](Nested.unflatten(df))
+    assert(e.getMessage.contains("conflicts"))
+  }
+
+  test("saltedJoin spreads byte-identical hot-key duplicates across buckets") {
+    import graft.operators.Joins
+    val hot = Seq.fill(64)(("k", "payload")).toDF("k", "v").repartition(4)
+    val dim = Seq(("k", 1L)).toDF("k2", "d")
+    val out = Joins.saltedJoin(hot, dim, "k", "k2", buckets = 8)
+    assert(out.count() == 64) // correctness: every row joins exactly once
+    // distribution: identical rows must not all share one salt
+    val salts = hot.withColumn("__salt",
+      pmod(xxhash64(monotonically_increasing_id() +: Seq(col("k"), col("v")): _*),
+        lit(8))).select("__salt").distinct().count()
+    assert(salts > 1, s"identical rows collapsed to $salts salt(s)")
+    intercept[IllegalArgumentException](
+      Joins.saltedJoin(hot, dim, "k", "k2", buckets = 0))
+  }
+
+  test("profile survives quote/backtick column names") {
+    val df = Seq((1L, "x")).toDF("it`s", "o'brien")
+    val rows = Stats.profile(df).collect().map(_.getString(0)).toSet
+    assert(rows == Set("it`s", "o'brien"))
+  }
+
+  test("chunkDocuments treats NULL text like empty text") {
+    val df = Seq((1L, null: String), (2L, "")).toDF("doc_id", "text")
+    val out = Curation.chunkDocuments(df, "doc_id", col("text"), 4, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getString(3)))
+    assert(out.toSet == Set((1L, 0L, ""), (2L, 0L, "")))
+  }
+
   test("snapshotDiff: added/removed/changed/same classification per key") {
     import graft.operators.Joins
     val old = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
