@@ -281,6 +281,33 @@ object Queries7 {
       .orderBy(col("lang"))
   }
 
+  /** daily top-2 trending event types: the rank window runs on the
+    * (day, type) AGGREGATE (|days|·|types| rows), never the event log.
+    */
+  def q115_daily_top_types(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "events")
+      .groupBy(date_trunc("day", col("ts")).as("d"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("d"))
+      .orderBy(col("n").desc, col("event_type"))
+    d.withColumn("rnk", rank().over(w).cast("long"))
+      .filter(col("rnk") <= 2)
+      .orderBy(col("d"), col("rnk"), col("event_type"))
+  }
+
+  /** hour-of-day × type activity heatmap — one aggregation pass. The
+    * value stat is the exact MEDIAN, not the mean: a mean's summation
+    * order differs between engines (1-ulp drift → a round-4 half-boundary
+    * flipped at sf0.001), while the sort-based interpolated percentile is
+    * order-independent and engine-exact (q85 precedent).
+    */
+  def q116_hourly_heatmap(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(hour(col("ts")).cast("long").as("hr"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(percentile(col("value"), lit(0.5)), 4).as("med_value"))
+      .orderBy(col("hr"), col("event_type"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q101_stratified_sample" -> q101_stratified_sample _,
     "q102_repetition" -> q102_repetition _,
@@ -295,7 +322,9 @@ object Queries7 {
     "q111_centroid_classify" -> q111_centroid_classify _,
     "q112_clv_deciles" -> q112_clv_deciles _,
     "q113_snapshot_diff" -> q113_snapshot_diff _,
-    "q114_zscore_outliers" -> q114_zscore_outliers _
+    "q114_zscore_outliers" -> q114_zscore_outliers _,
+    "q115_daily_top_types" -> q115_daily_top_types _,
+    "q116_hourly_heatmap" -> q116_hourly_heatmap _
   )
 
   val oracles: Map[String, String] = Map(
@@ -475,6 +504,19 @@ object Queries7 {
         |SELECT lang, count(*) AS n,
         |  count(CASE WHEN abs(z) > 2 THEN 1 END) AS n_out,
         |  min(z) AS min_z, max(z) AS max_z
-        |FROM z GROUP BY lang ORDER BY lang""".stripMargin
+        |FROM z GROUP BY lang ORDER BY lang""".stripMargin,
+    "q115_daily_top_types" ->
+      """WITH d AS (
+        |  SELECT date_trunc('day', ts) AS d, event_type, count(*) AS n
+        |  FROM events GROUP BY 1, 2
+        |)
+        |SELECT d, event_type, n,
+        |  CAST(rank() OVER (PARTITION BY d
+        |    ORDER BY n DESC, event_type) AS BIGINT) AS rnk
+        |FROM d QUALIFY rnk <= 2 ORDER BY d, rnk, event_type""".stripMargin,
+    "q116_hourly_heatmap" ->
+      """SELECT CAST(extract(hour FROM ts) AS BIGINT) AS hr, event_type,
+        |  count(*) AS n, round(quantile_cont(value, 0.5), 4) AS med_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }
