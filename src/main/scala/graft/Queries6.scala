@@ -19,16 +19,31 @@ object Queries6 {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables(s, dir, name)
 
-  /** semantic dedup over the embedding space: exact cosine pairs at
-    * round(cos,4) >= 0.4 → connected components → keep the min-id
-    * representative per cluster. The full SEMANTIC near-dup pipeline
-    * (pair gen / clustering / survivor selection) on vectors instead of
-    * shingles.
+  /** semantic dedup over the embedding space, through the SCALE path:
+    * hyperplane-banded candidate pairs with exact round(cos,4) >= 0.9
+    * rescore ([[Similarity.cosinePairsLsh]] — NO CartesianProduct in the
+    * plan) → connected components → keep the min-id representative per
+    * cluster. The raw testdata embeddings contain no semantic near-dups
+    * (max background pair cos ≈ 0.51 at every SF — measured round 6), so
+    * the query PLANTS them the way q113 plants corpus versions: every
+    * %10 == 0 vector gets a deterministic low-amplitude jittered copy
+    * (cos ≈ 0.997 to its source, mirrored element-for-element in the
+    * oracle), putting the threshold squarely in the gateable regime —
+    * per-pair band-miss ~1e-7 vs the 0.51 background ceiling.
     */
   def q92_semantic_dedup(s: SparkSession, dir: String): DataFrame = {
-    val e = t(s, dir, "embeddings")
-    val pairs = Similarity.cosinePairs(e, "vec_id", "embedding", 0.4)
-    Dedup.connectedComponents(e.select(col("vec_id")), "vec_id",
+    val base = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    // deterministic jitter: e[i] += 0.005 * (((vec_id*31 + i) % 7) - 3);
+    // pure double arithmetic, identical left-to-right in both engines
+    val jit = base.filter(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + lit(10000000L)).as("vec_id"),
+        transform(col("e"), (x, i) =>
+          x + lit(0.005) *
+            (((col("vec_id") * 31 + i.cast("long")) % 7) - 3)).as("e"))
+    val v = base.unionAll(jit)
+    val pairs = Similarity.cosinePairsLsh(v, "vec_id", "e", 0.9, dim = 64)
+    Dedup.connectedComponents(v.select(col("vec_id")), "vec_id",
         pairs, "id_a", "id_b")
       .select(col("id").as("vec_id"), col("comp"),
         (col("id") === col("comp")).cast("long").as("keep"))
@@ -129,12 +144,22 @@ object Queries6 {
 
   val oracles: Map[String, String] = Map(
     "q92_semantic_dedup" ->
-      """WITH RECURSIVE v AS (
+      """WITH RECURSIVE base AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        |), jit AS (
+        |  SELECT vec_id + 10000000 AS vec_id,
+        |    list(x + 0.005 * (((vec_id * 31 + i - 1) % 7) - 3)
+        |      ORDER BY i) AS e
+        |  FROM (SELECT vec_id, generate_subscripts(e, 1) AS i,
+        |          unnest(e) AS x
+        |        FROM base WHERE vec_id % 10 = 0)
+        |  GROUP BY vec_id
+        |), v AS (
+        |  SELECT * FROM base UNION ALL SELECT * FROM jit
         |), pairs AS (
         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM v a JOIN v b
         |  ON a.vec_id < b.vec_id
-        |  WHERE round(list_cosine_similarity(a.e, b.e), 4) >= 0.4
+        |  WHERE round(list_cosine_similarity(a.e, b.e), 4) >= 0.9
         |), e AS (
         |  SELECT id_a AS a, id_b AS b FROM pairs
         |  UNION SELECT id_b, id_a FROM pairs
@@ -145,7 +170,7 @@ object Queries6 {
         |), cl AS (
         |  SELECT x.vec_id,
         |    least(x.vec_id, coalesce(min(r.b), x.vec_id)) AS comp
-        |  FROM embeddings x LEFT JOIN reach r ON r.a = x.vec_id
+        |  FROM v x LEFT JOIN reach r ON r.a = x.vec_id
         |  GROUP BY x.vec_id
         |)
         |SELECT vec_id, comp,

@@ -203,10 +203,14 @@ object Queries7 {
         f => f.getField("c")).as("cv"))
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("s").desc, col("clabel"))
+    // argmax on the ROUNDED score: the avg() centroids' summation order
+    // differs between engines (and across repartitionings), so a near-tie
+    // within a few ulps could flip the unrounded argmax — same class as
+    // the round(avg,4) half-boundary flake. round(,9) keeps real gaps.
     e.crossJoin(broadcast(cvec))
       .select(col("vec_id"), col("label"), col("clabel"),
-        (vec_dot(col("v"), col("cv")) -
-          lit(0.5) * vec_dot(col("cv"), col("cv"))).as("s"))
+        round(vec_dot(col("v"), col("cv")) -
+          lit(0.5) * vec_dot(col("cv"), col("cv")), 9).as("s"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .groupBy(col("label"))
@@ -217,19 +221,24 @@ object Queries7 {
       .orderBy(col("label"))
   }
 
-  /** customer-lifetime-value deciles: spend per customer → ntile(10) →
+  /** customer-lifetime-value deciles: spend per customer → DISTRIBUTED
+    * ntile ([[graft.operators.Sampling.ntileBuckets]]: range sort +
+    * zipWithIndex + Spark's exact uneven-bucket arithmetic — a global
+    * `ntile(10) OVER (ORDER BY …)` window would put the whole customer
+    * dimension through ONE partition, a scale-killer at 100×) →
     * per-decile totals and revenue share (the Pareto view of a customer
-    * mart). The window runs on the |customers|-row aggregate.
+    * mart). Output is bit-identical to the window form, so the oracle
+    * keeps plain ntile(10).
     */
   def q112_clv_deciles(s: SparkSession, dir: String): DataFrame = {
     val clv = t(s, dir, "customer")
       .join(t(s, dir, "orders"), col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_custkey"))
       .agg(sum(col("o_totalprice")).as("spend"))
-      .localCheckpoint() // feeds the decile window AND the total
+      .localCheckpoint() // feeds the rank count, the sort, AND the total
     val tot = clv.agg(sum(col("spend")).as("__tot"))
-    val w = Window.orderBy(col("spend").desc, col("c_custkey"))
-    clv.withColumn("decile", ntile(10).over(w).cast("long"))
+    graft.operators.Sampling.ntileBuckets(clv, 10,
+        Seq(col("spend").desc, col("c_custkey")), "decile")
       .crossJoin(broadcast(tot))
       .groupBy(col("decile"))
       .agg(count(lit(1)).as("n"),
@@ -396,9 +405,10 @@ object Queries7 {
         |  SELECT doc_id, fp FROM batch
         |  QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1
         |)
-        |SELECT doc_id, fp FROM first
-        |WHERE fp NOT IN (SELECT fp FROM fp WHERE doc_id % 10 <> 0)
-        |ORDER BY doc_id""".stripMargin,
+        |SELECT f.doc_id, f.fp FROM first f
+        |WHERE NOT EXISTS (SELECT 1 FROM fp c
+        |  WHERE c.doc_id % 10 <> 0 AND c.fp = f.fp)
+        |ORDER BY f.doc_id""".stripMargin,
     "q107_local_volume" ->
       """SELECT n_name,
         |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
@@ -450,8 +460,8 @@ object Queries7 {
         |), scored AS (
         |  SELECT e.vec_id, e.label, c.clabel,
         |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
-        |      list_inner_product(e.v, c.cv)
-        |        - 0.5 * list_inner_product(c.cv, c.cv) DESC,
+        |      round(list_inner_product(e.v, c.cv)
+        |        - 0.5 * list_inner_product(c.cv, c.cv), 9) DESC,
         |      c.clabel) AS rn
         |  FROM e CROSS JOIN cvec c
         |)

@@ -14,10 +14,14 @@ object TmpDirs {
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   def perProcess(prefix: String, key: String): String = {
+    // md5 prefix, not String.hashCode: two distinct keys (e.g. sf dirs)
+    // colliding on a 32-bit hash would silently share a layout directory
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(key.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .take(8).map(b => f"$b%02x").mkString
     val p = new java.io.File(
       System.getProperty("java.io.tmpdir"),
-      s"${prefix}_${ProcessHandle.current().pid()}_" +
-        s"${Integer.toHexString(key.hashCode)}").getPath
+      s"${prefix}_${ProcessHandle.current().pid()}_$digest").getPath
     if (registered.add(p)) {
       Runtime.getRuntime.addShutdownHook(
         new Thread(() => deleteRec(new java.io.File(p))))

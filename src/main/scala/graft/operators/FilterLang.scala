@@ -62,12 +62,13 @@ object FilterLang {
         if (colIsNumeric) col(c).cast("double")
         else graft.functions.Coercions.parseFloatLike(col(c).cast("string"))
       def rhsNum: Column = lit(v.toDouble)
-      // ordering ops accept ONLY numeric literals, like the reference's
-      // `(-?\d+(?:\.\d+)?)` patterns (filter.ts:46-88); anything else
-      // (e.g. `age > height`) falls to the expr() path — the analogue of
-      // the reference's Function-constructor fallback — instead of
-      // NumberFormatException on the driver
-      if (!isNumeric(v) && Set(">", ">=", "<", "<=").contains(op))
+      // ordering ops accept ONLY bare numeric literals, like the
+      // reference's `(-?\d+(?:\.\d+)?)` patterns (filter.ts:46-88) — a
+      // QUOTED number (`age > "5"`) is rejected there too, so the guard
+      // runs on rawV (pre-unquote); anything else (e.g. `age > height`)
+      // falls to the expr() path — the analogue of the reference's
+      // Function-constructor fallback — instead of NumberFormatException
+      if (!isNumeric(rawV.trim) && Set(">", ">=", "<", "<=").contains(op))
         return expr(s)
       op match {
         case "==" | "=" =>

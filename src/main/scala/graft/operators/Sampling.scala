@@ -176,18 +176,55 @@ object Sampling {
     require(numShards > 0, "numShards must be positive")
     require(!df.columns.contains(posCol) && !df.columns.contains(shardCol),
       s"input already has a '$posCol'/'$shardCol' column — pass different names")
-    val spark = df.sparkSession
     val keyed = df.withColumn("__key", md5(idCol.cast("string")))
-      .orderBy(col("__key"), idCol)
-    val schema = keyed.schema
-    val indexed = keyed.rdd.zipWithIndex().map { case (row, idx) =>
-      org.apache.spark.sql.Row.fromSeq(row.toSeq :+ (idx + 1L))
-    }
-    spark.createDataFrame(indexed,
-        schema.add(posCol, org.apache.spark.sql.types.LongType,
-          nullable = false))
+    withOrderIndex(keyed, Seq(col("__key"), idCol), posCol)
       .withColumn(shardCol, ((col(posCol) - 1) % numShards).cast("long"))
       .drop("__key")
+  }
+
+  /** Contiguous 1-based global rank in `order`, DISTRIBUTED: `orderBy` is
+    * Spark's range-partitioned sort and the index is `zipWithIndex`
+    * (narrow; one extra job for per-partition counts) — never a
+    * single-partition `row_number()` window. `order` must be total
+    * (tie-break through a unique column) for a deterministic result.
+    */
+  private def withOrderIndex(df: DataFrame, order: Seq[Column],
+      idxCol: String): DataFrame = {
+    val sorted = df.orderBy(order: _*)
+    val schema = sorted.schema
+    val indexed = sorted.rdd.zipWithIndex().map { case (row, idx) =>
+      org.apache.spark.sql.Row.fromSeq(row.toSeq :+ (idx + 1L))
+    }
+    df.sparkSession.createDataFrame(indexed,
+      schema.add(idxCol, org.apache.spark.sql.types.LongType,
+        nullable = false))
+  }
+
+  /** Distributed ntile: `ntile(buckets) OVER (ORDER BY order)` computed
+    * WITHOUT the single-partition window a global ORDER BY window plans
+    * to — rank comes from [[withOrderIndex]]'s range sort + zipWithIndex,
+    * the bucket from Spark ntile's exact uneven-bucket arithmetic (n/k
+    * base size; the first n%k buckets take the remainder), so the output
+    * is bit-identical to the window form at any partitioning. One
+    * count() job for n, one distributed sort — the decile/percentile
+    * bucketing a 100 TB customer mart can actually run.
+    */
+  def ntileBuckets(df: DataFrame, buckets: Int, order: Seq[Column],
+      outCol: String = "bucket"): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    require(order.nonEmpty, "deterministic bucketing needs a total order")
+    require(!df.columns.contains(outCol),
+      s"input already has a '$outCol' column — pass a different name")
+    val n = df.count()
+    val q = n / buckets
+    val r = n % buckets
+    val cut = r * (q + 1) // rows 1..cut live in the (q+1)-sized buckets
+    val bucket = when(col("__rank") <= cut,
+        (col("__rank") - 1) / (q + 1) + 1)
+      .otherwise(lit(r) + (col("__rank") - cut - 1) / math.max(q, 1L) + 1)
+    withOrderIndex(df, order, "__rank")
+      .withColumn(outCol, bucket.cast("long"))
+      .drop("__rank")
   }
 
   /** Exact-proportion stratified sample: keep ceil(fraction · |stratum|)

@@ -187,7 +187,43 @@ object Similarity {
     */
   def topPairsLsh(
       df: DataFrame, idCol: String, vecCol: String, n: Int, dim: Int,
-      planes: Int = 63, bands: Int = 9): DataFrame = {
+      planes: Int = 63, bands: Int = 9): DataFrame =
+    rescoredBandPairs(df, idCol, vecCol, dim, planes, bands)
+      .orderBy(col("cos").desc, col("id_a").asc, col("id_b").asc)
+      .limit(n)
+
+  /** LSH-gated threshold pairs with EXACT rescoring — the 100 TB default
+    * for semantic dedup. Same banded candidate generation as
+    * [[topPairsLsh]] (payload-free band self-join, one exact rescore per
+    * candidate), but the output contract is [[cosinePairs]]'s:
+    * round(cos, 4) >= threshold, engine-exact boundary.
+    *
+    * APPROXIMATE-recall by construction: a qualifying pair not sharing
+    * any band is missed. With the default 7-bit × 9-band geometry the
+    * per-pair miss rate is (1 − p^7)^9 where p = 1 − θ/π — ~1e-7 at
+    * cos 0.997, ~1e-5 at cos 0.99, 2.4% at cos 0.9, and hopeless at
+    * cos ≲ 0.7 (see [[topPairs]] for the measured ungateable regime).
+    * Use this when `threshold` sits in the high-similarity near-dup
+    * band (≥ ~0.9 with the default geometry — raise `bands` for lower
+    * thresholds); use the exact [[cosinePairs]] when it does not and
+    * the corpus is small enough to afford O(n²).
+    */
+  def cosinePairsLsh(
+      df: DataFrame, idCol: String, vecCol: String, threshold: Double,
+      dim: Int, planes: Int = 63, bands: Int = 9): DataFrame =
+    rescoredBandPairs(df, idCol, vecCol, dim, planes, bands)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
+      .filter(col("cos") >= threshold)
+
+  /** Shared LSH-band pair machinery: banded candidate self-join carrying
+    * ONLY (id, band, value) — vector payloads would otherwise be
+    * materialized into every banded pair row (the cross-join-payload
+    * trap) — then ONE exact cosine rescore per deduped candidate pair.
+    * Returns (id_a, id_b, cos) with cos UNROUNDED.
+    */
+  private def rescoredBandPairs(
+      df: DataFrame, idCol: String, vecCol: String, dim: Int,
+      planes: Int, bands: Int): DataFrame = {
     require(planes % bands == 0, s"bands ($bands) must divide planes ($planes)")
     val r = planes / bands
     // 4 consumers (band l/r + rescore a/b); broadcast sides re-plan
@@ -217,8 +253,6 @@ object Similarity {
       .select(col("id_a"), col("id_b"),
         (vec_dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")))
           .as("cos"))
-      .orderBy(col("cos").desc, col("id_a").asc, col("id_b").asc)
-      .limit(n)
   }
 
   /** Deterministic random-hyperplane LSH signature: `planes` sign bits

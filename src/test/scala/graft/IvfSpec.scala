@@ -51,6 +51,35 @@ class IvfSpec extends SparkSpec {
       s"extra ${gated.diff(exact)}")
   }
 
+  test("cosinePairsLsh equals exact cosinePairs in the gateable regime") {
+    import spark.implicits._
+    val rnd = new java.util.SplittableRandom(11L)
+    val dim = 64
+    val base = (0 until 40).map { i =>
+      (i.toLong, Array.fill(dim)((rnd.nextDouble() * 2 - 1).toFloat))
+    }
+    // plant 10 near-dups at cos ≈ 0.9999 vs source; background pairs
+    // stay far below the 0.9 threshold (random 64-dim |cos| ≲ 0.4)
+    val dups = (0 until 10).map { i =>
+      val src = base(i)._2
+      (100L + i, src.map(v => v + (rnd.nextDouble() * 0.02 - 0.01).toFloat))
+    }
+    val df = (base ++ dups).toDF("vec_id", "embedding")
+    def key(d: org.apache.spark.sql.DataFrame) = d
+      .select("id_a", "id_b", "cos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val exact = key(Similarity.cosinePairs(df, "vec_id", "embedding", 0.9))
+    val gatedDf = Similarity.cosinePairsLsh(df, "vec_id", "embedding", 0.9, dim)
+    val gated = key(gatedDf)
+    assert(exact == gated, s"gated missed ${exact.diff(gated)}, " +
+      s"extra ${gated.diff(exact)}")
+    assert(exact.size == 10)
+    // the whole point of the gate: no all-pairs loop in the plan
+    val plan = gatedDf.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoop"), plan.take(600))
+  }
+
   test("streaming dedup drops repeated keys within the watermark") {
     val dir = java.nio.file.Files.createTempDirectory("dds")
     java.nio.file.Files.writeString(dir.resolve("a.csv"),

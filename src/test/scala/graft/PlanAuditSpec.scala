@@ -91,6 +91,17 @@ class PlanAuditSpec extends SparkSpec {
       p.take(600))
   }
 
+  test("q92: semantic-dedup pair generation is banded — no CartesianProduct") {
+    import org.apache.spark.sql.functions.col
+    val emb = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val p = graft.operators.Similarity
+      .cosinePairsLsh(emb, "vec_id", "e", 0.9, dim = 64)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoop"), p.take(600))
+  }
+
   test("q109: EXISTS/NOT EXISTS rewrite to semi and anti joins") {
     val p = planOf("q109_exists_subquery")
     assert(p.contains("LeftSemi"), p.take(600))

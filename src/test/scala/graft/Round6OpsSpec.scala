@@ -31,6 +31,23 @@ class Round6OpsSpec extends SparkSpec {
     assert(z == Set((1L, 2L, 0.6), (2L, 3L, 0.8)))
   }
 
+  test("ntileBuckets matches ntile() window exactly, incl. uneven buckets") {
+    import org.apache.spark.sql.expressions.Window
+    // n = 23, k = 10: buckets of size 3,3,3,2,… — the uneven case; and
+    // n = 20, k = 10: even; and k > n: every row its own bucket
+    for ((n, k) <- Seq((23, 10), (20, 10), (7, 10))) {
+      val df = (0 until n).map(i => ((i * 37 + 11) % 100, i.toLong))
+        .toDF("v", "id")
+      val w = Window.orderBy(col("v").desc, col("id"))
+      val expected = df.withColumn("b", ntile(k).over(w).cast("long"))
+        .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+      val got = Sampling.ntileBuckets(df, k, Seq(col("v").desc, col("id")))
+        .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+      assert(got == expected, s"n=$n k=$k: ${got.diff(expected)} vs " +
+        s"${expected.diff(got)}")
+    }
+  }
+
   test("containmentPairs: embedded short doc scores 1.0 where jaccard dilutes") {
     val docs = Seq(
       (1L, "w1 w2 w3 w4 w5 w6"), // 4 tri-shingles
@@ -203,6 +220,13 @@ class Round6OpsSpec extends SparkSpec {
     val colCmp = Seq((3L, 1L), (1L, 5L)).toDF("a", "b")
       .filter(FilterLang.parse("a > b")).collect().map(_.getLong(0))
     assert(colCmp.toSeq == Seq(3L))
+    // QUOTED numeric ordering literal: the reference's `(-?\d+(?:\.\d+)?)`
+    // patterns reject `age > "5"` (quotes break the regex) and fall to the
+    // JS fallback — we must route through expr(), not the native numeric
+    // compare on the unquoted value
+    val quotedNum = df.filter(FilterLang.parse("age > \"15\""))
+      .collect().map(_.getLong(1))
+    assert(quotedNum.toSeq == Seq(30L))
   }
 
   test("unflatten rejects scalar/struct name conflicts with a clear error") {
