@@ -85,28 +85,32 @@ object Main {
   private def dispatch(cmd: String, a: Args, spark: SparkSession,
       out: java.io.PrintStream): Int = {
     val t0 = System.nanoTime()
+    // rows processed, for the reference's stderr run summary
+    // (src/cli/index.ts:190-204 printSummary)
+    var processed: Option[Long] = None
+    def note(n: Long): Long = { processed = Some(n); n }
     val code = cmd match {
       case "count" =>
-        out.println(scan(spark, a).count()); 0
+        out.println(note(scan(spark, a).count())); 0
       case "head" =>
-        render(scan(spark, a).firstN(a.n), a, out); 0
+        note(render(scan(spark, a).firstN(a.n), a, out)); 0
       case "tail" =>
         val df = scan(spark, a).withRowIndex("__idx")
-        render(df.lastN(a.n, "__idx").drop("__idx"), a, out); 0
+        note(render(df.lastN(a.n, "__idx").drop("__idx"), a, out)); 0
       case "select" =>
         val df = scan(spark, a)
         val cols = a.columns.getOrElse(a.column.getOrElse("")).split(",")
           .map(_.trim).filter(_.nonEmpty)
           .map(c => if (c.forall(_.isDigit)) df.columns(c.toInt) else c)
-        render(df.selectCols(cols.toIndexedSeq: _*), a, out); 0
+        note(render(df.selectCols(cols.toIndexedSeq: _*), a, out)); 0
       case "filter" =>
         val expr = a.filter.getOrElse(
           throw new IllegalArgumentException("filter requires -f <expr>"))
-        render(scan(spark, a).filterExpr(expr), a, out); 0
+        note(render(scan(spark, a).filterExpr(expr), a, out)); 0
       case "sort" =>
         val c = a.column.getOrElse(
           throw new IllegalArgumentException("sort requires -c <column>"))
-        render(scan(spark, a).sorted(c, descending = a.desc), a, out); 0
+        note(render(scan(spark, a).sorted(c, descending = a.desc), a, out)); 0
       case "convert" =>
         val df = scan(spark, a)
         val dest = a.output.getOrElse(a.file + "." + a.to)
@@ -118,12 +122,14 @@ object Main {
           case "csv"   => CsvWriter.write(df, dest)
           case other => throw new IllegalArgumentException(s"unknown format $other")
         }
+        note(df.count())
         System.err.println(s"wrote $dest"); 0
       case "validate" =>
         val s = CsvReader.read(spark, a.file, CsvOptions(
           delimiter = a.delimiter.filter(_ != "auto").orElse(Some(",")),
           header = !a.noHeader))
         val errs = s.errors.limit(10).collect()
+        note(s.df.count())
         if (errs.isEmpty) { out.println("OK"); 0 }
         else {
           errs.foreach(e => out.println(
@@ -132,14 +138,16 @@ object Main {
           1
         }
       case "stats" =>
-        render(Stats.profile(scan(spark, a)), a, out); 0
+        note(render(Stats.profile(scan(spark, a)), a, out)); 0
       case "benchmark" =>
         val bytes = new java.io.File(a.file).length()
+        var rows = 0L
         val times = (0 to a.iterations).map { _ =>
           val s0 = System.nanoTime()
-          scan(spark, a).count()
+          rows = scan(spark, a).count()
           (System.nanoTime() - s0) / 1e9
         }.drop(1) // warmup
+        note(rows)
         val mbps = times.map(t => bytes / 1e6 / t)
         out.println(f"avg ${mbps.sum / mbps.size}%.1f MB/s  " +
           f"best ${mbps.max}%.1f  worst ${mbps.min}%.1f  (${a.iterations} iters)")
@@ -148,15 +156,35 @@ object Main {
         System.err.println(s"unknown command: $other\n$usage"); 1
     }
     val secs = (System.nanoTime() - t0) / 1e9
-    System.err.println(f"✓ done in $secs%.2f s")
+    // reference summary line (src/cli/index.ts:190-204): row count with
+    // thousands separators, elapsed seconds, MB/s when the input is a
+    // real file whose size is knowable
+    val rowsTxt = processed.map(n =>
+      String.format(java.util.Locale.US, "%,d", Long.box(n)))
+    val mb = Option(a.file).filter(f => f.nonEmpty && f != "-")
+      .map(new java.io.File(_)).filter(_.isFile).map(_.length() / 1024.0 / 1024.0)
+    val tput = mb.filter(_ => secs > 0)
+      .map(m => f" (${m / secs}%.1f MB/s)").getOrElse("")
+    rowsTxt match {
+      case Some(r) if code == 0 =>
+        System.err.println(f"✓ Processed $r rows in $secs%.2fs$tput")
+      case _ =>
+        System.err.println(f"✓ done in $secs%.2fs")
+    }
     code
   }
 
   // -------------------------------------------------------------- render
 
-  private def render(df: DataFrame, a: Args, out: java.io.PrintStream): Unit = {
+  /** Returns the number of rows rendered/written (for the run summary). */
+  private def render(df: DataFrame, a: Args, out: java.io.PrintStream): Long = {
     a.output match {
-      case Some(path) => CsvWriter.write(df, path)
+      case Some(path) =>
+        // count for the summary; CLI-scale results, the re-execution is
+        // the reference's own materialize-then-report shape
+        val n = df.count()
+        CsvWriter.write(df, path)
+        n
       case None =>
         val fmt = a.format.getOrElse(
           if (System.console() != null) "table" else "csv")
@@ -179,6 +207,7 @@ object Main {
             out.println(CsvWriter.unparseString(df.limit(1000),
               CsvWriter.WriteOptions(lineEnding = "\n")))
         }
+        rows.length.toLong
     }
   }
 

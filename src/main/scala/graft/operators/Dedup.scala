@@ -228,16 +228,27 @@ object Dedup {
     * quadratic in bucket size and `candidates` only gates the OUTPUT
     * after that aggregate (see [[shinglePairStats]]) — at 100 TB use
     * [[jaccardPairsLsh]], whose verify work is candidate-proportional.
+    * `maxShingleDf` bounds the self-join's per-key bucket (see
+    * [[shinglePairStats]]).
     */
   def jaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
       threshold: Double, shingleWords: Int = 3,
-      candidates: Option[DataFrame] = None): DataFrame =
-    shinglePairStats(df, idCol, textCol, shingleWords, candidates)
+      candidates: Option[DataFrame] = None,
+      maxShingleDf: Int = DefaultMaxShingleDf): DataFrame =
+    shinglePairStats(df, idCol, textCol, shingleWords, candidates, maxShingleDf)
       .select(col("id_a"), col("id_b"), col("inter"),
         round(col("inter").cast("double") /
           (col("n_a") + col("n_b") - col("inter")), 4).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+
+  /** Default document-frequency cap for the exact pair generators: far
+    * above any real shared-content signal (testdata max DF is 25 at
+    * sf0.1), low enough that no shingle key's self-join bucket can go
+    * quadratic unbounded — a boilerplate stop-phrase in millions of docs
+    * would otherwise alone generate ~df²/2 joined rows.
+    */
+  val DefaultMaxShingleDf: Int = 1000
 
   /** (id_a, id_b, inter, n_a, n_b) for all co-shingled pairs (optionally
     * restricted to `candidates`) — the shared stats stage under every
@@ -248,15 +259,42 @@ object Dedup {
     * co-shingled self-join aggregate — the correctness gate, not a work
     * reduction; the candidate-proportional scale path is banding + the
     * sorted-merge verify (see [[jaccardPairsLsh]]).
+    *
+    * `maxShingleDf` (skew guard): shingle hashes whose document
+    * frequency exceeds the cap are removed from EVERY document's set
+    * before the self-join — the distributed-stopword treatment. A hot
+    * shingle's bucket joins quadratically (df² rows for ONE key — the
+    * bucket a stop-phrase shared by half the corpus would produce is the
+    * textbook skew-key blowup), while carrying no dedup signal at that
+    * frequency. Scores are exact Jaccard/containment over the FILTERED
+    * sets (`n_a`/`n_b` count surviving shingles, so the semantics stay
+    * coherent); with the cap above the corpus' true max DF — the default
+    * vs testdata — output is bit-identical to the uncapped plan.
+    * Pass `maxShingleDf = 0` to disable.
     */
   private def shinglePairStats(
       df: DataFrame, idCol: String, textCol: String,
-      shingleWords: Int, candidates: Option[DataFrame]): DataFrame = {
+      shingleWords: Int, candidates: Option[DataFrame],
+      maxShingleDf: Int = DefaultMaxShingleDf): DataFrame = {
     val sh = df.select(col(idCol).as("id"),
       graft.functions.SketchExprs.shingle_hashes(
         TextFunctions.tokensWs(col(textCol)), shingleWords).as("shingles"))
-    val sizes = sh.select(col("id"), size(col("shingles")).as("n"))
-    val ex = sh.select(col("id"), explode(col("shingles")).as("h"))
+    val ex0 = sh.select(col("id"), explode(col("shingles")).as("h"))
+    val ex =
+      if (maxShingleDf <= 0) ex0
+      else {
+        // the hot set is tiny by construction (≤ occurrences/cap keys):
+        // one map-side-combined groupBy over the exploded relation, then
+        // a broadcast anti-join drops hot occurrences
+        val hot = ex0.groupBy(col("h")).agg(count(lit(1)).as("__df"))
+          .filter(col("__df") > maxShingleDf).select(col("h"))
+        ex0.join(broadcast(hot), Seq("h"), "left_anti")
+      }
+    // sizes over SURVIVING shingles (== size(shingles) when nothing is
+    // capped), so capped scores remain exact over the filtered sets
+    val sizes =
+      if (maxShingleDf <= 0) sh.select(col("id"), size(col("shingles")).as("n"))
+      else ex.groupBy(col("id")).agg(count(lit(1)).as("n"))
     val inter0 = ex.as("a").join(ex.as("b"),
         col("a.h") === col("b.h") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
@@ -279,8 +317,9 @@ object Dedup {
   def containmentPairs(
       df: DataFrame, idCol: String, textCol: String,
       threshold: Double, shingleWords: Int = 3,
-      candidates: Option[DataFrame] = None): DataFrame =
-    shinglePairStats(df, idCol, textCol, shingleWords, candidates)
+      candidates: Option[DataFrame] = None,
+      maxShingleDf: Int = DefaultMaxShingleDf): DataFrame =
+    shinglePairStats(df, idCol, textCol, shingleWords, candidates, maxShingleDf)
       .select(col("id_a"), col("id_b"), col("inter"),
         round(col("inter").cast("double") / least(col("n_a"), col("n_b")), 4)
           .as("containment"))

@@ -34,14 +34,174 @@ object Multimodal {
         lit("text/plain").as("mime"),
         length(col(textCol).cast("binary")).as("n_bytes")).as("meta"))
 
-  /** STUB decoder ??? — stands in for a real image/audio decode.
-    * Deterministic fake: "dimensions" derived from byte length, "pixels"
-    * from a rolling hash of the payload. Replace with a codec in prod.
+  /** STUB decoder ??? — stands in for codecs this container lacks (JPEG/
+    * PNG/audio). Deterministic fake: "dimensions" derived from byte
+    * length. Real uncompressed public formats ARE decoded for real — see
+    * [[decode]].
     */
   def decodeStub(bytes: Array[Byte]): (Int, Int, Int) = {
     val w = 16 + (bytes.length % 64)
     val h = 16 + ((bytes.length / 64) % 64)
     (w, h, 3)
+  }
+
+  /** A decoded raster: `pixels` is row-major top-down, `channels`
+    * interleaved (RGB for the real formats). `format` records which
+    * decoder ran: "bmp", "ppm", or "stub".
+    */
+  final case class Decoded(width: Int, height: Int, channels: Int,
+      pixels: Array[Byte], format: String)
+
+  // cap on w*h*channels a header may claim (256 MB) — a corrupt header
+  // must not allocate unbounded memory inside an executor
+  private val MaxPixelBytes = 1 << 28
+
+  /** Decode a payload: real pure-JVM parsing for the uncompressed public
+    * formats (24-bit BI_RGB BMP; binary P6 PPM — both fully specified
+    * public formats needing no codec library), STUB fallback for
+    * everything else (fake grid over the raw bytes, so non-media payloads
+    * keep the exact pre-round-6 deterministic behavior). Malformed or
+    * truncated headers fall back to the stub rather than throwing — a
+    * poison payload must not kill a 100 TB job.
+    */
+  def decode(bytes: Array[Byte]): Decoded = {
+    val real =
+      if (bytes == null) None
+      else decodeBmp24(bytes).orElse(decodePpm(bytes))
+    real.getOrElse {
+      val safe = if (bytes == null) Array.emptyByteArray else bytes
+      val (w, h, c) = decodeStub(safe)
+      Decoded(w, h, c, safe, "stub")
+    }
+  }
+
+  private def u16le(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+
+  private def i32le(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
+      ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+
+  /** 24-bit uncompressed (BI_RGB) Windows BMP → RGB top-down. BMP stores
+    * rows bottom-up (positive height) in BGR order with rows padded to 4
+    * bytes; both are undone here. Returns None unless the magic, bpp,
+    * compression, dimensions and payload length all check out.
+    */
+  def decodeBmp24(bytes: Array[Byte]): Option[Decoded] = {
+    if (bytes.length < 54 || bytes(0) != 'B' || bytes(1) != 'M') return None
+    val dataOffset = i32le(bytes, 10)
+    val w = i32le(bytes, 18)
+    val hRaw = i32le(bytes, 22)
+    val bpp = u16le(bytes, 28)
+    val compression = i32le(bytes, 30)
+    if (bpp != 24 || compression != 0) return None
+    val h = math.abs(hRaw) // negative height = top-down row order
+    if (w <= 0 || h == 0 || w.toLong * h * 3 > MaxPixelBytes) return None
+    val rowBytes = (w * 3 + 3) / 4 * 4
+    if (dataOffset < 54 ||
+        dataOffset.toLong + rowBytes.toLong * h > bytes.length) return None
+    val out = new Array[Byte](w * h * 3)
+    var y = 0
+    while (y < h) {
+      val srcRow = if (hRaw > 0) h - 1 - y else y // un-flip bottom-up
+      var x = 0
+      val src = dataOffset + srcRow * rowBytes
+      val dst = y * w * 3
+      while (x < w) {
+        out(dst + x * 3) = bytes(src + x * 3 + 2) //     R <- B position
+        out(dst + x * 3 + 1) = bytes(src + x * 3 + 1) // G
+        out(dst + x * 3 + 2) = bytes(src + x * 3) //     B <- R position
+        x += 1
+      }
+      y += 1
+    }
+    Some(Decoded(w, h, 3, out, "bmp"))
+  }
+
+  /** Binary PPM (P6, maxval ≤ 255) → RGB top-down (PPM is already RGB
+    * row-major; this is a header parse + payload check). Header tokens
+    * may be separated by any whitespace and `#` comments per the netpbm
+    * spec.
+    */
+  def decodePpm(bytes: Array[Byte]): Option[Decoded] = {
+    if (bytes.length < 2 || bytes(0) != 'P' || bytes(1) != '6') return None
+    var i = 2
+    def nextInt(): Option[Int] = {
+      // skip whitespace and # comments
+      var inComment = false
+      while (i < bytes.length &&
+          (inComment || bytes(i).toChar.isWhitespace || bytes(i) == '#')) {
+        if (bytes(i) == '#') inComment = true
+        else if (bytes(i) == '\n') inComment = false
+        i += 1
+      }
+      val start = i
+      while (i < bytes.length && bytes(i) >= '0' && bytes(i) <= '9') i += 1
+      if (i == start || i - start > 9) None
+      else Some(new String(bytes, start, i - start,
+        java.nio.charset.StandardCharsets.US_ASCII).toInt)
+    }
+    val parsed = for {
+      w <- nextInt(); h <- nextInt(); maxval <- nextInt()
+    } yield (w, h, maxval)
+    parsed.flatMap { case (w, h, maxval) =>
+      // exactly ONE whitespace byte separates maxval from the raster
+      if (i >= bytes.length || !bytes(i).toChar.isWhitespace) None
+      else {
+        i += 1
+        val n = w.toLong * h * 3
+        if (w <= 0 || h <= 0 || maxval <= 0 || maxval > 255 ||
+            n > MaxPixelBytes || i + n > bytes.length) None
+        else Some(Decoded(w, h, 3,
+          java.util.Arrays.copyOfRange(bytes, i, i + n.toInt), "ppm"))
+      }
+    }
+  }
+
+  /** Encode an RGB top-down raster as 24-bit BI_RGB BMP — the matching
+    * sink (and spec fixture generator) for [[decodeBmp24]].
+    */
+  def encodeBmp24(w: Int, h: Int, rgb: Array[Byte]): Array[Byte] = {
+    require(w > 0 && h > 0 && rgb.length == w * h * 3,
+      s"need $w x $h x 3 = ${w * h * 3} bytes, got ${rgb.length}")
+    val rowBytes = (w * 3 + 3) / 4 * 4
+    val size = 54 + rowBytes * h
+    val out = new Array[Byte](size)
+    def put32(o: Int, v: Int): Unit = {
+      out(o) = v.toByte; out(o + 1) = (v >> 8).toByte
+      out(o + 2) = (v >> 16).toByte; out(o + 3) = (v >> 24).toByte
+    }
+    out(0) = 'B'; out(1) = 'M'
+    put32(2, size); put32(10, 54); put32(14, 40)
+    put32(18, w); put32(22, h) // positive height = bottom-up rows
+    out(26) = 1; out(28) = 24 // one plane, 24 bpp; compression 0 = BI_RGB
+    put32(34, rowBytes * h)
+    var y = 0
+    while (y < h) {
+      val srcRow = (h - 1 - y) * w * 3 // flip to bottom-up
+      val dst = 54 + y * rowBytes
+      var x = 0
+      while (x < w) {
+        out(dst + x * 3) = rgb(srcRow + x * 3 + 2) //     B
+        out(dst + x * 3 + 1) = rgb(srcRow + x * 3 + 1) // G
+        out(dst + x * 3 + 2) = rgb(srcRow + x * 3) //     R
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Encode an RGB top-down raster as binary P6 PPM. */
+  def encodePpm(w: Int, h: Int, rgb: Array[Byte]): Array[Byte] = {
+    require(w > 0 && h > 0 && rgb.length == w * h * 3,
+      s"need $w x $h x 3 = ${w * h * 3} bytes, got ${rgb.length}")
+    val header = s"P6\n$w $h\n255\n"
+      .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    val out = new Array[Byte](header.length + rgb.length)
+    System.arraycopy(header, 0, out, 0, header.length)
+    System.arraycopy(rgb, 0, out, header.length, rgb.length)
+    out
   }
 
   /** Partition-batched feature extraction. The per-partition iterator is
@@ -55,18 +215,19 @@ object Multimodal {
     ds.mapPartitions { rows =>
       // per-partition setup happens HERE (once), not per row
       rows.map { r =>
-        val bytes = if (r.media == null) Array.emptyByteArray else r.media
-        val (w, h, c) = decodeStub(bytes)
-        // STUB feature vector: deterministic rolling hash per bucket
+        // real decode for BMP/PPM payloads, stub grid otherwise; the
+        // feature hash runs over the DECODED raster (for the stub path
+        // pixels == raw payload, so non-media behavior is unchanged)
+        val d = decode(r.media)
         val feats = new Array[Float](dim)
         var i = 0
         var acc = 1469598103934665603L // FNV offset basis
-        while (i < bytes.length) {
-          acc = (acc ^ bytes(i)) * 1099511628211L
+        while (i < d.pixels.length) {
+          acc = (acc ^ d.pixels(i)) * 1099511628211L
           feats(i % dim) += (acc % 1000L).toFloat / 1000f
           i += 1
         }
-        MediaFeatures(r.id, w, h, c, feats)
+        MediaFeatures(r.id, d.width, d.height, d.channels, feats)
       }
     }
   }
@@ -74,28 +235,28 @@ object Multimodal {
   final case class MediaResized(
       id: Long, width: Int, height: Int, channels: Int, media: Array[Byte])
 
-  /** Resize to `outW`×`outH` by nearest-neighbor over the stub-decoded
-    * byte grid — the payload-size normalization step of an image
-    * pipeline (real codecs replace [[decodeStub]] + the byte indexing;
-    * the Spark shape — partition-batched map, output payload bounded by
-    * outW·outH·c regardless of input size — is the production one).
-    * Indexing is total for any payload length (modulo wrap), so the stub
-    * stays deterministic on arbitrary bytes.
+  /** Resize to `outW`×`outH` by nearest-neighbor over the decoded raster
+    * — the payload-size normalization step of an image pipeline. BMP/PPM
+    * payloads resize for real (exact nearest-neighbor on the decoded RGB
+    * grid); other payloads run the same arithmetic over the stub grid
+    * (modulo-wrap indexing keeps it total for any payload length). The
+    * Spark shape — partition-batched map, output payload bounded by
+    * outW·outH·c regardless of input size — is the production one.
     */
   def resize(ds: Dataset[MediaRow], outW: Int, outH: Int)(
       implicit spark: SparkSession): Dataset[MediaResized] = {
     require(outW > 0 && outH > 0, "target dims must be positive")
-    // c is at most 3 (decodeStub); 4 leaves margin so outW*outH*c can
+    // c is at most 3 (all decoders); 4 leaves margin so outW*outH*c can
     // never wrap Int and corrupt the index arithmetic below
     require(outW.toLong * outH <= Int.MaxValue / 4,
       s"target payload $outW x $outH exceeds array addressing")
     import spark.implicits._
     ds.mapPartitions { rows =>
       rows.map { r =>
-        val bytes = if (r.media == null) Array.emptyByteArray else r.media
-        val (w, h, c) = decodeStub(bytes)
+        val d = decode(r.media)
+        val (w, h, c) = (d.width, d.height, d.channels)
         val out = new Array[Byte](outW * outH * c)
-        val len = bytes.length
+        val len = d.pixels.length
         if (len > 0) {
           var y = 0
           while (y < outH) {
@@ -106,7 +267,7 @@ object Multimodal {
               var ch = 0
               while (ch < c) {
                 out((y * outW + x) * c + ch) =
-                  bytes(((srcY * w + srcX) * c + ch) % len)
+                  d.pixels(((srcY * w + srcX) * c + ch) % len)
                 ch += 1
               }
               x += 1

@@ -159,6 +159,30 @@ object Sampling {
       .filter(col("cum_tok") <= budget)
   }
 
+  /** Distributed token-budget twin of [[selectTokenBudget]] — the
+    * [[Curation.packSequencesSharded]] contract: rows are hashed into
+    * `shards` and each shard runs the same greedy selection in `order`
+    * against a per-shard budget of `budget / shards` (per-shard window —
+    * parallel across shards, no global exchange bottleneck). Output adds
+    * `shard` beside `n_tok`/`cum_tok`; total selected tokens ≤ `budget`.
+    * The selection differs from the total-order variant only at shard-
+    * budget boundaries (each shard greedily fills its own slice), the
+    * standard price of sharded greedy packing.
+    */
+  def selectTokenBudgetSharded(df: DataFrame, tokens: Column, budget: Long,
+      order: Seq[Column], shards: Int, hashCol: Column): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    require(shards > 0 && budget >= shards,
+      "need at least one token of budget per shard")
+    require(order.nonEmpty, "deterministic selection needs an order")
+    val w = Window.partitionBy(col("shard")).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("shard", pmod(hash(hashCol), lit(shards)).cast("long"))
+      .withColumn("n_tok", tokens)
+      .withColumn("cum_tok", sum(col("n_tok")).over(w))
+      .filter(col("cum_tok") <= budget / shards)
+  }
+
   /** Deterministic global training-order shuffle + round-robin shard
     * dealing: rows order by `md5(id)` (reproducible across runs, engines
     * and partitionings — the same property [[hashSplit]] leans on), get a

@@ -211,13 +211,27 @@ object CsvReader {
     readString(spark, content, opts)
   }
 
-  /** buffer scan — parse CSV held in a string (reference buffer init). */
+  /** buffer scan — parse CSV held in a string (reference buffer init).
+    * multiLine buffers round-trip through a temp file so quoted newlines
+    * go through the file-scan parser (the line split below would cut a
+    * quoted-newline record in two — the reference's buffer parser keeps
+    * quote state across newlines, so must we).
+    */
   def readString(spark: SparkSession, content0: String, opts0: CsvOptions = CsvOptions()): CsvScan = {
     import spark.implicits._
     // buffer-input beforeFirstChunk (reference parser.ts:405-411)
     val content = opts0.beforeFirstChunk
       .map(f => f(content0).getOrElse(content0)).getOrElse(content0)
     val opts = opts0.copy(beforeFirstChunk = None)
+    if (opts.multiLine) {
+      val tmp = java.nio.file.Files.createTempFile("graft-buf", ".csv")
+      tmp.toFile.deleteOnExit() // scan reads lazily at action time
+      java.nio.file.Files.write(tmp,
+        content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      // the buffer is already a decoded string — no encoding re-detection
+      return read(spark, tmp.toString,
+        opts.copy(encoding = None, detectEncoding = false))
+    }
     val lines = content.split("\r\n|\r|\n", -1).toSeq match {
       case init :+ "" => init // trailing newline
       case all        => all

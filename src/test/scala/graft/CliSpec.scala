@@ -107,4 +107,18 @@ class CliSpec extends SparkSpec {
     val (code, _) = runCli("frobnicate", fixture)
     assert(code == 1)
   }
+
+  test("stderr run summary: ✓ Processed N rows in S s (MB/s)") {
+    // reference src/cli/index.ts:190-204 printSummary
+    val errBuf = new java.io.ByteArrayOutputStream()
+    val oldErr = System.err
+    System.setErr(new java.io.PrintStream(errBuf, true, "UTF-8"))
+    try {
+      val (code, out) = runCli("count", fixture)
+      assert(code == 0 && out.trim == "3")
+    } finally System.setErr(oldErr)
+    val err = errBuf.toString("UTF-8")
+    val re = """✓ Processed 3 rows in \d+\.\d{2}s \(\d+(\.\d+)? MB/s\)""".r
+    assert(re.findFirstIn(err).isDefined, s"stderr was: $err")
+  }
 }

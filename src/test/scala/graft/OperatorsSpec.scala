@@ -407,4 +407,61 @@ class OperatorsSpec extends SparkSpec {
     val again = Multimodal.resize(media, 4, 5).collect()
     assert(resized.map(_.media.toSeq).toSeq == again.map(_.media.toSeq).toSeq)
   }
+
+  test("multimodal: real BMP and PPM payloads decode bit-exactly") {
+    import graft.operators.Multimodal
+    // 3×2 RGB raster, distinct byte per (pixel, channel)
+    val rgb = Array.tabulate(3 * 2 * 3)(i => (i * 7 + 1).toByte)
+    for ((enc, fmt) <- Seq(
+        (Multimodal.encodeBmp24(3, 2, rgb), "bmp"),
+        (Multimodal.encodePpm(3, 2, rgb), "ppm"))) {
+      val d = Multimodal.decode(enc)
+      assert(d.format == fmt, s"$fmt: decoded as ${d.format}")
+      assert(d.width == 3 && d.height == 2 && d.channels == 3)
+      assert(d.pixels.toSeq == rgb.toSeq, s"$fmt pixel mismatch")
+    }
+    // PPM with comments + multi-whitespace header, per the netpbm spec
+    val hdr = "P6 # c1\n# full-line comment\n 3\t2 # c2\n255\n".getBytes("US-ASCII")
+    val ppm2 = hdr ++ rgb
+    val d2 = Multimodal.decode(ppm2)
+    assert(d2.format == "ppm" && d2.pixels.toSeq == rgb.toSeq)
+    // truncated/corrupt headers fall back to the stub, never throw
+    for (junk <- Seq("BMx".getBytes, "P6".getBytes,
+        "P6\n999999999 999999999\n255\n".getBytes,
+        Multimodal.encodeBmp24(3, 2, rgb).take(30).toArray)) {
+      assert(Multimodal.decode(junk).format == "stub")
+    }
+    // non-media payloads keep the exact pre-decode stub behavior
+    val text = "not an image".getBytes
+    val s0 = Multimodal.decode(text)
+    val (w, h, c) = Multimodal.decodeStub(text)
+    assert(s0.width == w && s0.height == h && s0.channels == c &&
+      (s0.pixels eq text))
+  }
+
+  test("multimodal: resize runs exact nearest-neighbor on a real BMP") {
+    import graft.operators.Multimodal
+    implicit val s = spark
+    import s.implicits._
+    // 4×4 grid: pixel (x, y) has R = y*4+x, G = 100 + R, B = 200 + R
+    val rgb = new Array[Byte](4 * 4 * 3)
+    for (y <- 0 until 4; x <- 0 until 4) {
+      val v = y * 4 + x
+      rgb(v * 3) = v.toByte
+      rgb(v * 3 + 1) = (100 + v).toByte
+      rgb(v * 3 + 2) = (200 + v).toByte
+    }
+    val ds = Seq(Multimodal.MediaRow(1L, Multimodal.encodeBmp24(4, 4, rgb),
+      "image/bmp")).toDS()
+    val out = Multimodal.resize(ds, 2, 2).collect().head
+    // nearest-neighbor srcX = x*4/2 ∈ {0, 2}, srcY likewise: pixels
+    // (0,0) (2,0) (0,2) (2,2) → v ∈ {0, 2, 8, 10}
+    val expectR = Seq(0, 2, 8, 10).map(_.toByte)
+    assert(out.media.grouped(3).map(_(0)).toSeq == expectR)
+    assert(out.media.grouped(3).map(_(1)).toSeq ==
+      expectR.map(v => (v + 100).toByte))
+    // features on the same fixture see the real decoded dims
+    val f = Multimodal.extractFeatures(ds, dim = 4).collect().head
+    assert(f.width == 4 && f.height == 4 && f.channels == 3)
+  }
 }

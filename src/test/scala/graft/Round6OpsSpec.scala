@@ -48,6 +48,39 @@ class Round6OpsSpec extends SparkSpec {
     }
   }
 
+  test("maxShingleDf bounds the degenerate stop-phrase corpus") {
+    // the adversarial case: one sentence shared by EVERY doc — uncapped,
+    // that one shingle key's self-join bucket is quadratic (435 pairs
+    // from 30 docs); capped, the hot shingles carry no signal and drop
+    val docs = (1L to 30L).map(i => (i, "alpha beta gamma delta epsilon"))
+      .toDF("doc_id", "text")
+    val uncapped = Dedup.jaccardPairs(docs, "doc_id", "text", 0.5,
+      maxShingleDf = 0)
+    assert(uncapped.count() == 435L) // C(30,2), all jaccard 1.0
+    val capped = Dedup.jaccardPairs(docs, "doc_id", "text", 0.5,
+      maxShingleDf = 10)
+    assert(capped.count() == 0L)
+    // signal below the cap survives: a real dup pair with distinctive
+    // shingles keeps its pair while the hot boilerplate is ignored
+    val mixed = docs.union(Seq(
+      (100L, "rare distinctive duplicated payload text here"),
+      (101L, "rare distinctive duplicated payload text here"))
+      .toDF("doc_id", "text"))
+    val got = Dedup.jaccardPairs(mixed, "doc_id", "text", 0.5,
+        maxShingleDf = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((100L, 101L)))
+    // with the cap above the true max DF the output is bit-identical
+    val norm = Seq((1L, "one two three four five"),
+      (2L, "one two three four five"), (3L, "six seven eight nine ten"))
+      .toDF("doc_id", "text")
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(key(Dedup.jaccardPairs(norm, "doc_id", "text", 0.5)) ==
+      key(Dedup.jaccardPairs(norm, "doc_id", "text", 0.5, maxShingleDf = 0)))
+  }
+
   test("containmentPairs: embedded short doc scores 1.0 where jaccard dilutes") {
     val docs = Seq(
       (1L, "w1 w2 w3 w4 w5 w6"), // 4 tri-shingles
