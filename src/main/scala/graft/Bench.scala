@@ -78,7 +78,13 @@ object Bench {
           -1.0
       }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // SPARK_GRAFT_QUERIES: optional comma-separated subset filter (used by
+    // the scale rehearsal to time only the slowest queries at 10×)
+    val subset = sys.env.get("SPARK_GRAFT_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = subset.fold(SparkEntry.queries)(s =>
+      SparkEntry.queries.filter { case (k, _) => s(k) })
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).count(); true }

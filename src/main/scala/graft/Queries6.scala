@@ -42,7 +42,12 @@ object Queries6 {
           x + lit(0.005) *
             (((col("vec_id") * 31 + i.cast("long")) % 7) - 3)).as("e"))
     val v = base.unionAll(jit)
-    val pairs = Similarity.cosinePairsLsh(v, "vec_id", "e", 0.9, dim = 64)
+    // 12-bit × 12-band geometry: the 10× rehearsal measured the 7-bit
+    // default going quadratic in candidates (buckets ~n/128); 2^12 band
+    // values keep buckets ~16 up to ~64k vectors, and 12 bands hold the
+    // planted-pair (cos ≈ 0.9967, p ≈ 0.974) miss rate at ~1.5e-7
+    val pairs = Similarity.cosinePairsLsh(v, "vec_id", "e", 0.9, dim = 64,
+      planesPerBand = 12, bands = 12)
     Dedup.connectedComponents(v.select(col("vec_id")), "vec_id",
         pairs, "id_a", "id_b")
       .select(col("id").as("vec_id"), col("comp"),

@@ -308,6 +308,68 @@ object VectorExprs {
       copy(left = newLeft, right = newRight)
   }
 
+  /** lsh_bands(vec, planesPerBand, bands, dim, seed) → array<long>: ALL
+    * random-hyperplane band keys in ONE pass. Band j's key packs the sign
+    * bits of hyperplanes j·r … j·r+r−1 (bit t = plane j·r+t), hyperplanes
+    * drawn dim-coeffs-at-a-time from SplittableRandom(seed) — the same
+    * sequence as the per-plane Column formulation, so keys are
+    * bit-identical to it. One expression instead of r·b: the Column form
+    * paid a boxed `GenericArrayData.getDouble` per coefficient access
+    * (~500M unboxings for 55k rows × 144 planes — measured 10-12 s);
+    * this primitive-array loop does the same work in well under a
+    * second. Runs once per ROW, so interpreted eval is fine
+    * (CodegenFallback like [[BitsetPack]]).
+    */
+  case class LshBands(child: Expression, planesPerBand: Int, bands: Int,
+      dim: Int, seed: Long)
+      extends UnaryExpression
+      with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    require(planesPerBand > 0 && planesPerBand <= 63,
+      "planesPerBand must fit a long")
+    require(bands > 0 && dim > 0, "bands and dim must be positive")
+    override def prettyName: String = "lsh_bands"
+    override def dataType: DataType =
+      ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+    private def elemType: DataType =
+      child.dataType.asInstanceOf[ArrayType].elementType
+
+    @transient private lazy val coeffs: Array[Double] = {
+      val rnd = new java.util.SplittableRandom(seed)
+      Array.fill(planesPerBand * bands * dim)(rnd.nextDouble() * 2.0 - 1.0)
+    }
+
+    override def nullSafeEval(input: Any): Any = {
+      val x = input.asInstanceOf[ArrayData]
+      val n = math.min(x.numElements(), dim)
+      val v = new Array[Double](n)
+      var i = 0
+      while (i < n) { v(i) = elemEval(x, elemType, i); i += 1 }
+      val out = new Array[Long](bands)
+      val cs = coeffs
+      var p = 0
+      var b = 0
+      while (b < bands) {
+        var word = 0L
+        var t = 0
+        while (t < planesPerBand) {
+          val off = p * dim
+          var s = 0.0
+          var j = 0
+          while (j < n) { s += v(j) * cs(off + j); j += 1 }
+          if (s > 0) word |= (1L << t)
+          t += 1
+          p += 1
+        }
+        out(b) = word
+        b += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   // registered once per session (WeakHashMap so dropped sessions release);
   // the per-call createOrReplaceTempFunction churn spammed "replaced a
   // previously registered function" warnings and re-built FunctionBuilders
@@ -337,6 +399,13 @@ object VectorExprs {
         "vec_q8", exprs => VecQuantize(exprs(0), exprs(1)), "built-in")
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         "vec_dot_q8", exprs => DotQ8(exprs(0), exprs(1)), "built-in")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "lsh_bands", exprs => {
+          def intLit(e: Expression): Int =
+            e.eval().asInstanceOf[Number].intValue()
+          LshBands(exprs(0), intLit(exprs(1)), intLit(exprs(2)),
+            intLit(exprs(3)), exprs(4).eval().asInstanceOf[Number].longValue())
+        }, "built-in")
     }
   }
 
@@ -373,5 +442,13 @@ object VectorExprs {
   def vec_dot_q8(a: Column, b: Column): Column = {
     ensureRegistered()
     call_function("vec_dot_q8", a, b)
+  }
+
+  def lsh_bands(vec: Column, planesPerBand: Int, bands: Int, dim: Int,
+      seed: Long = 42L): Column = {
+    ensureRegistered()
+    import org.apache.spark.sql.functions.lit
+    call_function("lsh_bands", vec, lit(planesPerBand), lit(bands), lit(dim),
+      lit(seed))
   }
 }

@@ -239,6 +239,8 @@ object Sampling {
     require(order.nonEmpty, "deterministic bucketing needs a total order")
     require(!df.columns.contains(outCol),
       s"input already has a '$outCol' column — pass a different name")
+    require(!df.columns.contains("__rank"),
+      "input already has a '__rank' column — rename it first")
     val n = df.count()
     val q = n / buckets
     val r = n % buckets

@@ -187,10 +187,12 @@ object Similarity {
     */
   def topPairsLsh(
       df: DataFrame, idCol: String, vecCol: String, n: Int, dim: Int,
-      planes: Int = 63, bands: Int = 9): DataFrame =
-    rescoredBandPairs(df, idCol, vecCol, dim, planes, bands)
+      planes: Int = 63, bands: Int = 9): DataFrame = {
+    require(planes % bands == 0, s"bands ($bands) must divide planes ($planes)")
+    rescoredBandPairs(df, idCol, vecCol, dim, planes / bands, bands)
       .orderBy(col("cos").desc, col("id_a").asc, col("id_b").asc)
       .limit(n)
+  }
 
   /** LSH-gated threshold pairs with EXACT rescoring — the 100 TB default
     * for semantic dedup. Same banded candidate generation as
@@ -199,19 +201,23 @@ object Similarity {
     * round(cos, 4) >= threshold, engine-exact boundary.
     *
     * APPROXIMATE-recall by construction: a qualifying pair not sharing
-    * any band is missed. With the default 7-bit × 9-band geometry the
-    * per-pair miss rate is (1 − p^7)^9 where p = 1 − θ/π — ~1e-7 at
-    * cos 0.997, ~1e-5 at cos 0.99, 2.4% at cos 0.9, and hopeless at
+    * any band is missed. Per-pair miss rate is (1 − p^r)^b where
+    * p = 1 − θ/π per plane — with the default 7-bit × 9-band geometry
+    * ~1e-7 at cos 0.997, ~1e-5 at cos 0.99, 2.4% at cos 0.9, hopeless at
     * cos ≲ 0.7 (see [[topPairs]] for the measured ungateable regime).
-    * Use this when `threshold` sits in the high-similarity near-dup
-    * band (≥ ~0.9 with the default geometry — raise `bands` for lower
-    * thresholds); use the exact [[cosinePairs]] when it does not and
-    * the corpus is small enough to afford O(n²).
+    *
+    * GEOMETRY MUST SCALE WITH THE CORPUS: a band key has 2^r values, so
+    * at fixed r bucket occupancy grows ~n/2^r and candidate pairs grow
+    * ~n²/2^r — the 10× rehearsal measured the 7-bit default going
+    * super-linear (13× time at 10× rows). Choose
+    * `planesPerBand ≈ log2(n / 16)` (keeps expected bucket size ~16) and
+    * raise `bands` to keep (1 − p^r)^b small for the similarity of the
+    * pairs you must not miss; candidate work then stays ~linear in n.
     */
   def cosinePairsLsh(
       df: DataFrame, idCol: String, vecCol: String, threshold: Double,
-      dim: Int, planes: Int = 63, bands: Int = 9): DataFrame =
-    rescoredBandPairs(df, idCol, vecCol, dim, planes, bands)
+      dim: Int, planesPerBand: Int = 7, bands: Int = 9): DataFrame =
+    rescoredBandPairs(df, idCol, vecCol, dim, planesPerBand, bands)
       .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
       .filter(col("cos") >= threshold)
 
@@ -223,23 +229,24 @@ object Similarity {
     */
   private def rescoredBandPairs(
       df: DataFrame, idCol: String, vecCol: String, dim: Int,
-      planes: Int, bands: Int): DataFrame = {
-    require(planes % bands == 0, s"bands ($bands) must divide planes ($planes)")
-    val r = planes / bands
+      planesPerBand: Int, bands: Int): DataFrame = {
     // 4 consumers (band l/r + rescore a/b); broadcast sides re-plan
     // under BroadcastExchange so a shared repartition is never reused
     // (4 scans in the executed plan) — widen a single-file corpus so the
-    // signature projection runs on every core, then materialize once
+    // hyperplane projections run on every core, then materialize once
+    // band keys via the single-pass LshBands kernel (one expression for
+    // all r·b hyperplane projections — the per-plane Column form paid a
+    // boxed literal access per coefficient and measured 10-12 s for the
+    // 10×-rehearsal corpus; see VectorExprs.LshBands)
     val base = PlanUtil
       .widenIfNarrow(df.select(col(idCol).as("id"), col(vecCol).as("__v")))
       .select(col("id"), col("__v"), vec_l2norm(col("__v")).as("__nm"),
-        lshSignature(col("__v"), dim, planes).as("__sig"))
+        graft.functions.VectorExprs
+          .lsh_bands(col("__v"), planesPerBand, bands, dim).as("__bands"))
       .filter(col("__nm") > 0) // zero-norm guard (see bruteForceTopK)
       .localCheckpoint()
     val banded = base.select(col("id"),
-      posexplode(array((0 until bands).map(j =>
-        shiftright(col("__sig"), j * r).bitwiseAND(lit((1L << r) - 1))): _*))
-        .as(Seq("__band", "__bv")))
+      posexplode(col("__bands")).as(Seq("__band", "__bv")))
     val l = banded.select(col("id").as("id_a"), col("__band"), col("__bv"))
     val rt = banded.select(col("id").as("id_b"), col("__band"), col("__bv"))
     val cand = l.join(rt, Seq("__band", "__bv"))
