@@ -112,25 +112,30 @@ object Main {
           throw new IllegalArgumentException("sort requires -c <column>"))
         note(render(scan(spark, a).sorted(c, descending = a.desc), a, out)); 0
       case "convert" =>
-        val df = scan(spark, a)
-        val dest = a.output.getOrElse(a.file + "." + a.to)
-        a.to match {
-          case "json"  => java.nio.file.Files.writeString(
-            java.nio.file.Paths.get(dest), CsvWriter.toJsonString(df))
-          case "jsonl" => CsvWriter.writeJsonl(df, dest)
-          case "tsv"   => CsvWriter.writeTsv(df, dest)
-          case "csv"   => CsvWriter.write(df, dest)
-          case other => throw new IllegalArgumentException(s"unknown format $other")
-        }
-        note(df.count())
-        System.err.println(s"wrote $dest"); 0
+        // cache: the write and the summary count would otherwise each
+        // re-parse the whole input
+        val df = scan(spark, a).cache()
+        try {
+          val dest = a.output.getOrElse(a.file + "." + a.to)
+          a.to match {
+            case "json"  => java.nio.file.Files.writeString(
+              java.nio.file.Paths.get(dest), CsvWriter.toJsonString(df))
+            case "jsonl" => CsvWriter.writeJsonl(df, dest)
+            case "tsv"   => CsvWriter.writeTsv(df, dest)
+            case "csv"   => CsvWriter.write(df, dest)
+            case other => throw new IllegalArgumentException(s"unknown format $other")
+          }
+          note(df.count())
+          System.err.println(s"wrote $dest"); 0
+        } finally { df.unpersist(); () }
       case "validate" =>
         val s = CsvReader.read(spark, a.file, CsvOptions(
           delimiter = a.delimiter.filter(_ != "auto").orElse(Some(",")),
           header = !a.noHeader))
         val errs = s.errors.limit(10).collect()
-        note(s.df.count())
-        if (errs.isEmpty) { out.println("OK"); 0 }
+        // count only on the OK path — the error path exits 1, whose
+        // summary never prints a row count, so the pass would be wasted
+        if (errs.isEmpty) { note(s.df.count()); out.println("OK"); 0 }
         else {
           errs.foreach(e => out.println(
             s"${e.getString(0)}/${e.getString(1)}: ${e.getString(2)}" +

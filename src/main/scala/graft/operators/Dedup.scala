@@ -283,12 +283,18 @@ object Dedup {
     val ex =
       if (maxShingleDf <= 0) ex0
       else {
-        // the hot set is tiny by construction (≤ occurrences/cap keys):
-        // one map-side-combined groupBy over the exploded relation, then
-        // a broadcast anti-join drops hot occurrences
+        // one map-side-combined groupBy over the exploded relation finds
+        // the hot keys (≤ occurrences/cap of them — usually broadcast-
+        // sized, but the strategy is left to AQE: at a fixed cap the hot
+        // set grows linearly with the corpus, so a forced broadcast would
+        // itself become the 100 TB blowup), then an anti-join drops hot
+        // occurrences. The filtered relation feeds THREE branches (sizes
+        // + both self-join sides) — checkpoint it once or the explode +
+        // hot-DF aggregate + anti-join subtree re-executes per branch
+        // (the round-5 localCheckpoint lesson).
         val hot = ex0.groupBy(col("h")).agg(count(lit(1)).as("__df"))
           .filter(col("__df") > maxShingleDf).select(col("h"))
-        ex0.join(broadcast(hot), Seq("h"), "left_anti")
+        ex0.join(hot, Seq("h"), "left_anti").localCheckpoint()
       }
     // sizes over SURVIVING shingles (== size(shingles) when nothing is
     // capped), so capped scores remain exact over the filtered sets

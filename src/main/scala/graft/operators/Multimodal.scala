@@ -95,8 +95,13 @@ object Multimodal {
     val bpp = u16le(bytes, 28)
     val compression = i32le(bytes, 30)
     if (bpp != 24 || compression != 0) return None
-    val h = math.abs(hRaw) // negative height = top-down row order
-    if (w <= 0 || h == 0 || w.toLong * h * 3 > MaxPixelBytes) return None
+    // negative height = top-down row order; go through Long BEFORE abs —
+    // math.abs(Int.MinValue) is Int.MinValue, and the resulting negative
+    // sizes would slip every bound below and NegativeArraySizeException
+    // an executor (poison payloads must fall back, not kill the task)
+    val hL = math.abs(hRaw.toLong)
+    if (w <= 0 || hL == 0 || w.toLong * hL * 3 > MaxPixelBytes) return None
+    val h = hL.toInt
     val rowBytes = (w * 3 + 3) / 4 * 4
     if (dataOffset < 54 ||
         dataOffset.toLong + rowBytes.toLong * h > bytes.length) return None

@@ -245,9 +245,12 @@ object Sampling {
     val q = n / buckets
     val r = n % buckets
     val cut = r * (q + 1) // rows 1..cut live in the (q+1)-sized buckets
+    // integral `div`, not `/`: Spark's `/` on longs divides in DOUBLE,
+    // which mis-buckets past 2^53 rows — same rule packSequences pins
     val bucket = when(col("__rank") <= cut,
-        (col("__rank") - 1) / (q + 1) + 1)
-      .otherwise(lit(r) + (col("__rank") - cut - 1) / math.max(q, 1L) + 1)
+        expr(s"(`__rank` - 1) div ${q + 1}") + 1)
+      .otherwise(lit(r) +
+        expr(s"(`__rank` - $cut - 1) div ${math.max(q, 1L)}") + 1)
     withOrderIndex(df, order, "__rank")
       .withColumn(outCol, bucket.cast("long"))
       .drop("__rank")

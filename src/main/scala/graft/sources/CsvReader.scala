@@ -123,17 +123,27 @@ object CsvReader {
     val content = f(raw).getOrElse(raw)
     val rest = opts0.copy(beforeFirstChunk = None,
       encoding = None, detectEncoding = false)
-    if (opts0.multiLine) {
-      // quoted newlines need the file-scan parser — round-trip via a temp
-      // file so the modified buffer goes through the multiLine path
-      val tmp = java.nio.file.Files.createTempFile("graft-bfc", ".csv")
-      // the scan reads this lazily at action time — JVM-exit cleanup, not
-      // eager delete
-      tmp.toFile.deleteOnExit()
-      java.nio.file.Files.write(tmp,
-        content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      read(spark, tmp.toString, rest)
-    } else readString(spark, content, rest)
+    if (opts0.multiLine) bufferViaTempFile(spark, content, rest)
+    else readString(spark, content, rest)
+  }
+
+  /** Round-trip a decoded buffer through a temp file so it takes the
+    * file-scan (multiLine-capable) parser — quoted newlines need quote
+    * state kept across lines, which the buffer line-split path cannot do.
+    * deleteOnExit, not eager delete: the scan reads the file lazily at
+    * action time. Buffers are driver-sized by contract (the reference
+    * buffers the whole input too), so accumulation until JVM exit is
+    * bounded by the session's buffer-scan count.
+    */
+  private def bufferViaTempFile(
+      spark: SparkSession, content: String, opts: CsvOptions): CsvScan = {
+    val tmp = java.nio.file.Files.createTempFile("graft-buf", ".csv")
+    tmp.toFile.deleteOnExit()
+    java.nio.file.Files.write(tmp,
+      content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // the buffer is already a decoded string — no encoding re-detection
+    read(spark, tmp.toString,
+      opts.copy(encoding = None, detectEncoding = false))
   }
 
   /** linebreak of a local file's first 8 KB; "\n" when unreadable
@@ -197,6 +207,13 @@ object CsvReader {
     * parse (reference src/ts/parser.ts:447-500). Works for any
     * java.net-resolvable scheme incl. file:// ; at scale prefer mounting
     * the data and using `read` (a URL body is inherently single-stream).
+    *
+    * DOCUMENTED DIVERGENCE — `credentials`: the reference forwards a
+    * browser-fetch `credentials` option (parser.ts:105-118:
+    * omit/same-origin/include cookie policy). Cookie jars and origins are
+    * browser concepts with no JVM equivalent; callers needing
+    * authenticated fetches pass explicit `headers` (e.g. Authorization or
+    * Cookie), which covers every server-visible effect of the option.
     */
   def readUrl(spark: SparkSession, url: String,
       opts: CsvOptions = CsvOptions(),
@@ -223,15 +240,7 @@ object CsvReader {
     val content = opts0.beforeFirstChunk
       .map(f => f(content0).getOrElse(content0)).getOrElse(content0)
     val opts = opts0.copy(beforeFirstChunk = None)
-    if (opts.multiLine) {
-      val tmp = java.nio.file.Files.createTempFile("graft-buf", ".csv")
-      tmp.toFile.deleteOnExit() // scan reads lazily at action time
-      java.nio.file.Files.write(tmp,
-        content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      // the buffer is already a decoded string — no encoding re-detection
-      return read(spark, tmp.toString,
-        opts.copy(encoding = None, detectEncoding = false))
-    }
+    if (opts.multiLine) return bufferViaTempFile(spark, content, opts)
     val lines = content.split("\r\n|\r|\n", -1).toSeq match {
       case init :+ "" => init // trailing newline
       case all        => all

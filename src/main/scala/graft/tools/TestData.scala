@@ -22,8 +22,12 @@ object TestData {
       seed.toDouble / 0x7fffffffL
     }
 
+    // clamped at max: the LCG has full 2^31 period, so state 0x7fffffff
+    // (next() == exactly 1.0) is reachable ~2^-31 per draw — the
+    // reference's JS silently indexes out of bounds there (undefined);
+    // we clamp instead of throwing (documented divergence)
     def nextInt(min: Int, max: Int): Int =
-      (next() * (max - min + 1)).toInt + min
+      math.min((next() * (max - min + 1)).toInt + min, max)
 
     def pick[T](xs: IndexedSeq[T]): T = xs(nextInt(0, xs.length - 1))
   }

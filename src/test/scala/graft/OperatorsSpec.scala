@@ -425,10 +425,16 @@ class OperatorsSpec extends SparkSpec {
     val ppm2 = hdr ++ rgb
     val d2 = Multimodal.decode(ppm2)
     assert(d2.format == "ppm" && d2.pixels.toSeq == rgb.toSeq)
-    // truncated/corrupt headers fall back to the stub, never throw
+    // truncated/corrupt headers fall back to the stub, never throw —
+    // including height = Int.MinValue, where math.abs stays negative and
+    // unguarded size arithmetic would NegativeArraySizeException
+    val minHeightBmp = Multimodal.encodeBmp24(1, 1, Array[Byte](1, 2, 3))
+    minHeightBmp(22) = 0; minHeightBmp(23) = 0
+    minHeightBmp(24) = 0; minHeightBmp(25) = 0x80.toByte
     for (junk <- Seq("BMx".getBytes, "P6".getBytes,
         "P6\n999999999 999999999\n255\n".getBytes,
-        Multimodal.encodeBmp24(3, 2, rgb).take(30).toArray)) {
+        Multimodal.encodeBmp24(3, 2, rgb).take(30).toArray,
+        minHeightBmp)) {
       assert(Multimodal.decode(junk).format == "stub")
     }
     // non-media payloads keep the exact pre-decode stub behavior
