@@ -263,20 +263,16 @@ object Similarity {
   }
 
   /** Deterministic random-hyperplane LSH signature: `planes` sign bits
-    * packed into a long. Hyperplanes are seeded-PRNG literal arrays and the
-    * projection is ONE vec_dot per plane — an earlier element_at
-    * formulation expanded to planes×dim expression subtrees, each
-    * re-deriving the cast array (hundreds of array traversals per row).
+    * packed into a long — one element_at over the single-pass
+    * [[graft.functions.VectorExprs.LshBands]] kernel with bands = 1,
+    * which packs the identical bit layout from the identical hyperplane
+    * draw sequence (the per-plane Column formulation paid a boxed
+    * literal access per coefficient — see the kernel's scaladoc).
     */
   def lshSignature(vec: Column, dim: Int, planes: Int = 16): Column = {
     require(planes <= 63, "planes must fit a long")
-    val rnd = new java.util.SplittableRandom(42L)
-    val bits = (0 until planes).map { p =>
-      val coeffs: Seq[Double] = Seq.fill(dim)(rnd.nextDouble() * 2.0 - 1.0)
-      shiftleft(
-        when(vec_dot(vec, typedlit(coeffs)) > 0, 1L).otherwise(0L), p)
-    }
-    bits.reduce[Column](_ bitwiseOR _)
+    element_at(
+      graft.functions.VectorExprs.lsh_bands(vec, planes, 1, dim), 1)
   }
 
   /** Trained IVF coarse quantizer — the index LIFECYCLE object (FAISS IVF
