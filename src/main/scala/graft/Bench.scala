@@ -112,10 +112,14 @@ object Bench {
     val slowest = results.filter(_._3).sortBy(-_._2).take(10)
     val detail =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":${qmap(results)},"failed":$failed,"parse_mbps":$parseMbps,"sf":"$sfDir"}"""
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_DETAIL.json"), detail + "\n")
-    catch { case e: Throwable =>
-      System.err.println(s"[bench] BENCH_DETAIL.json write failed: ${e.getMessage}")
+    // full runs only: a SPARK_GRAFT_QUERIES spot run must not clobber the
+    // committed full-catalog artifact
+    if (subset.isEmpty) {
+      try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("BENCH_DETAIL.json"), detail + "\n")
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] BENCH_DETAIL.json write failed: ${e.getMessage}")
+      }
     }
     println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":${qmap(slowest)},"failed":$failed,"parse_mbps":$parseMbps,"detail":"BENCH_DETAIL.json","sf":"$sfDir"}""")
     spark.stop()

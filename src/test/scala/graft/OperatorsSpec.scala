@@ -445,6 +445,25 @@ class OperatorsSpec extends SparkSpec {
       (s0.pixels eq text))
   }
 
+  test("multimodal: encode→decode is identity for random rasters (fuzz)") {
+    import graft.operators.Multimodal
+    val rnd = new java.util.SplittableRandom(99L)
+    for (_ <- 1 to 50) {
+      val w = 1 + rnd.nextInt(20)
+      val h = 1 + rnd.nextInt(20)
+      val rgb = new Array[Byte](w * h * 3)
+      var i = 0
+      while (i < rgb.length) { rgb(i) = rnd.nextInt(256).toByte; i += 1 }
+      for ((enc, fmt) <- Seq(
+          (Multimodal.encodeBmp24(w, h, rgb), "bmp"),
+          (Multimodal.encodePpm(w, h, rgb), "ppm"))) {
+        val d = Multimodal.decode(enc)
+        assert(d.format == fmt && d.width == w && d.height == h &&
+          d.pixels.toSeq == rgb.toSeq, s"$fmt ${w}x$h")
+      }
+    }
+  }
+
   test("multimodal: resize runs exact nearest-neighbor on a real BMP") {
     import graft.operators.Multimodal
     implicit val s = spark
