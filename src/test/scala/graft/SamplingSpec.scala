@@ -145,6 +145,29 @@ class SamplingSpec extends SparkSpec {
     assert(tot <= budget)
   }
 
+  test("runningTotal == single-partition window running sum") {
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new java.util.SplittableRandom(3L)
+    val df = (1 to 500).map(i => (i.toLong, rnd.nextLong(1000)))
+      .toDF("id", "w").repartition(7)
+    val order = Seq(col("w").desc, col("id"))
+    val w = Window.orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val expected = df.withColumn("rt", sum(col("w")).over(w))
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val got = Sampling.runningTotal(df, order, "w", "rt")
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(got == expected)
+    // null weights add 0 (window sum skips them identically only when no
+    // leading nulls — pin our contract directly)
+    val withNull = Seq((1L, java.lang.Long.valueOf(5L)),
+      (2L, null.asInstanceOf[java.lang.Long]), (3L, java.lang.Long.valueOf(7L)))
+      .toDF("id", "w")
+    val gotN = Sampling.runningTotal(withNull, Seq(col("id")), "w", "rt")
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(gotN == Set((1L, 5L), (2L, 5L), (3L, 12L)))
+  }
+
   test("redactPii masks emails and phone variants; counts match") {
     val df = Seq(
       ("mail a.b+c@ex-ample.org and bob@x.io now", 2L, 0L),
