@@ -16,22 +16,31 @@ object Curation {
     * `floor(start_off / budget)` — i.e. documents are packed greedily in
     * id order and a bin boundary falls every `budget` tokens.
     *
-    * TOTAL-ORDER variant: the running sum is a global single-partition
-    * window — inherently sequential, use for oracle parity and
-    * driver-scale data. At 100 TB use [[packSequencesSharded]]: identical
-    * semantics per shard, embarrassingly parallel, bins keyed
-    * (shard, bin) — which is how training shards are actually packed.
+    * Long token counts run the DISTRIBUTED [[Sampling.runningTotal]]
+    * prefix sum (no single-partition window; identical values);
+    * non-long token expressions keep the total-order window fallback.
+    * [[packSequencesSharded]] additionally removes even the global SORT
+    * by packing per shard — how training shards are actually packed.
     */
   def packSequences(df: DataFrame, idCol: String, tokens: Column,
       budget: Int): DataFrame = {
     require(budget > 0, "budget must be positive")
-    val w = Window.orderBy(col(idCol))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.select(col(idCol), tokens.as("n_tok"))
-      .withColumn("start_off", sum(col("n_tok")).over(w) - col("n_tok"))
+    val base = df.select(col(idCol), tokens.as("n_tok"))
+    val withCum =
+      if (base.schema("n_tok").dataType ==
+          org.apache.spark.sql.types.LongType)
+        Sampling.runningTotal(base, Seq(col(idCol)), "n_tok", "__cum")
+      else {
+        val w = Window.orderBy(col(idCol))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        base.withColumn("__cum", sum(col("n_tok")).over(w))
+      }
+    withCum
+      .withColumn("start_off", col("__cum") - col("n_tok"))
       // integer `div`, not floor(double /): exact at any offset (a double
       // round-trip can mis-bin at ~2^43+ token offsets)
       .withColumn("bin", expr(s"start_off div $budget").cast("long"))
+      .drop("__cum")
   }
 
   /** Distributed packing twin: documents are hashed into `shards`, each

@@ -143,20 +143,27 @@ object Sampling {
     * running token total stays within `budget` — the "best docs until the
     * token budget is spent" curation step.
     *
-    * TOTAL-ORDER variant (global single-partition window) for oracle
-    * parity and driver-scale candidate sets; at 100 TB pre-filter with a
-    * cheap quality threshold first, or budget per shard the way
-    * [[Curation.packSequencesSharded]] shards packing.
+    * Long token counts (the normal case) run the DISTRIBUTED
+    * [[runningTotal]] prefix sum — no single-partition window; identical
+    * values. Non-long token expressions keep the total-order window
+    * (documented fallback: exact prefix sums need integral arithmetic).
+    * [[selectTokenBudgetSharded]] is the per-shard-budget twin.
     */
   def selectTokenBudget(df: DataFrame, tokens: Column, budget: Long,
       order: Seq[Column]): DataFrame = {
     require(budget > 0, "budget must be positive")
     require(order.nonEmpty, "deterministic selection needs an order")
-    val w = Window.orderBy(order: _*)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.withColumn("n_tok", tokens)
-      .withColumn("cum_tok", sum(col("n_tok")).over(w))
-      .filter(col("cum_tok") <= budget)
+    val base = df.withColumn("n_tok", tokens)
+    if (base.schema("n_tok").dataType ==
+        org.apache.spark.sql.types.LongType)
+      runningTotal(base, order, "n_tok", "cum_tok")
+        .filter(col("cum_tok") <= budget)
+    else {
+      val w = Window.orderBy(order: _*)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      base.withColumn("cum_tok", sum(col("n_tok")).over(w))
+        .filter(col("cum_tok") <= budget)
+    }
   }
 
   /** Distributed token-budget twin of [[selectTokenBudget]] — the
