@@ -35,13 +35,20 @@ object Queries3 {
       .select(col("doc_id"), col("lang"))
       .orderBy(col("doc_id"))
 
-  /** token-budget selection: best-quality docs first until 10k tokens. */
+  /** token-budget selection: best-quality docs first until 10k tokens.
+    * The narrow kernel projection is localCheckpointed so tokenCount and
+    * qualityScore run ONCE, not once per prefix-sum pass — the documented
+    * [[graft.operators.Sampling.selectTokenBudget]] pattern for
+    * expensive derived sort keys.
+    */
   def q56_token_budget(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents").select(col("doc_id"),
       TextFunctions.tokenCountWs(col("text")).cast("long").as("__nt"),
       TextFunctions.qualityScore(col("text")).as("__q"))
+      .localCheckpoint(false) // lazy: materializes inside the first pass
     Sampling.selectTokenBudget(d, col("__nt"), 10000L,
-        Seq(col("__q").desc, col("doc_id")))
+        Seq(graft.operators.SortKey.desc(col("__q")),
+          graft.operators.SortKey(col("doc_id"))))
       .select(col("doc_id"), col("n_tok"), col("cum_tok"))
       .orderBy(col("doc_id"))
   }

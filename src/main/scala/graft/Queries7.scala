@@ -238,7 +238,8 @@ object Queries7 {
       .localCheckpoint() // feeds the rank count, the sort, AND the total
     val tot = clv.agg(sum(col("spend")).as("__tot"))
     graft.operators.Sampling.ntileBuckets(clv, 10,
-        Seq(col("spend").desc, col("c_custkey")), "decile")
+        Seq(graft.operators.SortKey.desc(col("spend")),
+          graft.operators.SortKey(col("c_custkey"))), "decile")
       .crossJoin(broadcast(tot))
       .groupBy(col("decile"))
       .agg(count(lit(1)).as("n"),

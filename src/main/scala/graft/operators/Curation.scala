@@ -19,17 +19,26 @@ object Curation {
     * Long token counts run the DISTRIBUTED [[Sampling.runningTotal]]
     * prefix sum (no single-partition window; identical values);
     * non-long token expressions keep the total-order window fallback.
-    * [[packSequencesSharded]] additionally removes even the global SORT
-    * by packing per shard — how training shards are actually packed.
+    * The narrow (id, n_tok) projection — 16 bytes/doc, NOT the corpus —
+    * is localCheckpointed first: the prefix sum's passes (boundary
+    * sample, offsets, final) then read two materialized longs per doc
+    * instead of re-running the token-count kernel over 100 TB of text
+    * per pass. [[packSequencesSharded]] additionally removes even the
+    * global SORT by packing per shard — how training shards are
+    * actually packed.
     */
   def packSequences(df: DataFrame, idCol: String, tokens: Column,
       budget: Int): DataFrame = {
     require(budget > 0, "budget must be positive")
-    val base = df.select(col(idCol), tokens.as("n_tok"))
+    val base0 = df.select(col(idCol), tokens.as("n_tok"))
+    val longTok = base0.schema("n_tok").dataType ==
+      org.apache.spark.sql.types.LongType
+    // lazy: the kernel pass materializes inside the boundary-sample job
+    val base = if (longTok) base0.localCheckpoint(false) else base0
     val withCum =
-      if (base.schema("n_tok").dataType ==
-          org.apache.spark.sql.types.LongType)
-        Sampling.runningTotal(base, Seq(col(idCol)), "n_tok", "__cum")
+      if (longTok)
+        Sampling.runningTotal(base, Seq(SortKey(col(idCol))), "n_tok",
+          "__cum")
       else {
         val w = Window.orderBy(col(idCol))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -174,13 +183,14 @@ object Curation {
     // per consumer
     val s = df.groupBy(groupCol.as("group"))
       .agg(sum(weight).cast("long").as("w"))
-      .localCheckpoint()
+      .localCheckpoint(false) // lazy: materializes inside the first pass
     // distributed prefix sum + broadcast total — the former global
     // running-sum window put |groups| rows through ONE partition, which
     // round 5's verdict flagged as the q112-class scale hole (benign
     // until groups explode; a domain/url group key at 100 TB does)
     val tot = s.agg(sum(col("w")).as("__tot"))
-    Sampling.runningTotal(s, Seq(col("w").desc, col("group")), "w", "cum")
+    Sampling.runningTotal(s,
+        Seq(SortKey.desc(col("w")), SortKey(col("group"))), "w", "cum")
       .crossJoin(broadcast(tot))
       .select(col("group"), col("w"),
         round(col("cum").cast("double") / col("__tot"), 4).as("cum_share"),

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -143,27 +143,32 @@ object Sampling {
     * running token total stays within `budget` — the "best docs until the
     * token budget is spent" curation step.
     *
-    * Long token counts (the normal case) run the DISTRIBUTED
-    * [[runningTotal]] prefix sum — no single-partition window; identical
-    * values. Non-long token expressions keep the total-order window
-    * (documented fallback: exact prefix sums need integral arithmetic).
-    * [[selectTokenBudgetSharded]] is the per-shard-budget twin.
+    * Runs the DISTRIBUTED [[runningTotal]] prefix sum — no
+    * single-partition window, no RDD hop; identical values to the
+    * total-order window form. The token expression must be an integral
+    * type (widened losslessly to long — exact prefix sums need integral
+    * arithmetic; round fractional weights upstream). When `tokens` is
+    * derived from an expensive kernel (quality score, token count over
+    * full text), `localCheckpoint()` the narrow (id, keys, tokens)
+    * projection first so the kernel is evaluated once, not once per
+    * prefix-sum pass. [[selectTokenBudgetSharded]] is the
+    * per-shard-budget twin.
     */
   def selectTokenBudget(df: DataFrame, tokens: Column, budget: Long,
-      order: Seq[Column]): DataFrame = {
+      order: Seq[SortKey]): DataFrame = {
     require(budget > 0, "budget must be positive")
     require(order.nonEmpty, "deterministic selection needs an order")
     val base = df.withColumn("n_tok", tokens)
-    if (base.schema("n_tok").dataType ==
-        org.apache.spark.sql.types.LongType)
-      runningTotal(base, order, "n_tok", "cum_tok")
-        .filter(col("cum_tok") <= budget)
-    else {
-      val w = Window.orderBy(order: _*)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      base.withColumn("cum_tok", sum(col("n_tok")).over(w))
-        .filter(col("cum_tok") <= budget)
-    }
+    val t = base.schema("n_tok").dataType
+    require(Seq(org.apache.spark.sql.types.ByteType,
+        org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.LongType).contains(t),
+      s"token counts must be integral (got $t) — exact prefix sums need " +
+        "integral arithmetic; round or cast upstream")
+    runningTotal(base.withColumn("n_tok", col("n_tok").cast("long")),
+        order, "n_tok", "cum_tok")
+      .filter(col("cum_tok") <= budget)
   }
 
   /** Distributed token-budget twin of [[selectTokenBudget]] — the
@@ -177,12 +182,12 @@ object Sampling {
     * standard price of sharded greedy packing.
     */
   def selectTokenBudgetSharded(df: DataFrame, tokens: Column, budget: Long,
-      order: Seq[Column], shards: Int, hashCol: Column): DataFrame = {
+      order: Seq[SortKey], shards: Int, hashCol: Column): DataFrame = {
     require(budget > 0, "budget must be positive")
     require(shards > 0 && budget >= shards,
       "need at least one token of budget per shard")
     require(order.nonEmpty, "deterministic selection needs an order")
-    val w = Window.partitionBy(col("shard")).orderBy(order: _*)
+    val w = Window.partitionBy(col("shard")).orderBy(order.map(_.order): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.withColumn("shard", pmod(hash(hashCol), lit(shards)).cast("long"))
       .withColumn("n_tok", tokens)
@@ -198,9 +203,9 @@ object Sampling {
     * a training run. Round-robin on the hash order makes every shard an
     * interleaved, equal-size (±1 row) slice: no hash-modulo skew.
     *
-    * Scale: `orderBy` is Spark's range-partitioned distributed sort and
-    * the contiguous index is `zipWithIndex` (narrow; one extra job for
-    * per-partition counts) — no single-partition window anywhere.
+    * Scale: the rank is [[runningTotal]]'s bucketed prefix sum — one hash
+    * shuffle plus parallel per-bucket windows, no single-partition
+    * structure anywhere.
     */
   def deterministicShuffle(df: DataFrame, idCol: Column, numShards: Int,
       posCol: String = "pos", shardCol: String = "shard"): DataFrame = {
@@ -208,39 +213,66 @@ object Sampling {
     require(!df.columns.contains(posCol) && !df.columns.contains(shardCol),
       s"input already has a '$posCol'/'$shardCol' column — pass different names")
     val keyed = df.withColumn("__key", md5(idCol.cast("string")))
-    withOrderIndex(keyed, Seq(col("__key"), idCol), posCol)
+    withOrderIndex(keyed, Seq(SortKey(col("__key")), SortKey(idCol)), posCol)
       .withColumn(shardCol, ((col(posCol) - 1) % numShards).cast("long"))
       .drop("__key")
   }
 
-  /** Contiguous 1-based global rank in `order`, DISTRIBUTED: `orderBy` is
-    * Spark's range-partitioned sort and the index is `zipWithIndex`
-    * (narrow; one extra job for per-partition counts) — never a
-    * single-partition `row_number()` window. `order` must be total
-    * (tie-break through a unique column) for a deterministic result.
+  /** Contiguous 1-based global rank in `order`, DISTRIBUTED: a
+    * [[runningTotal]] of ones — content-bucketed parallel windows, never
+    * a single-partition `row_number()`. `order` must be total (tie-break
+    * through a unique column) for a deterministic result.
     */
-  private def withOrderIndex(df: DataFrame, order: Seq[Column],
+  private[operators] def withOrderIndex(df: DataFrame, order: Seq[SortKey],
       idxCol: String): DataFrame = {
-    val sorted = df.orderBy(order: _*)
-    val schema = sorted.schema
-    val indexed = sorted.rdd.zipWithIndex().map { case (row, idx) =>
-      org.apache.spark.sql.Row.fromSeq(row.toSeq :+ (idx + 1L))
-    }
-    df.sparkSession.createDataFrame(indexed,
-      schema.add(idxCol, org.apache.spark.sql.types.LongType,
-        nullable = false))
+    require(!df.columns.contains("__one"),
+      "input already has a '__one' column — rename it first")
+    runningTotal(df.withColumn("__one", lit(1L)), order, "__one", idxCol)
+      .drop("__one")
   }
 
   /** Global running (prefix) sum of long column `valueCol` in `order`,
     * DISTRIBUTED — the scale twin of
     * `sum(v) OVER (ORDER BY … ROWS UNBOUNDED PRECEDING)`, which Spark
-    * plans as a single-partition window. Here: range-partitioned sort,
-    * one pass for per-partition partial sums (one long per partition to
-    * the driver — bounded by partition count, not rows), prefix offsets,
-    * then a narrow second pass adds each partition's offset. NULL values
-    * add 0. `order` must be total for a deterministic result.
+    * plans as a single-partition window. NULL values add 0; the output
+    * column is a non-null long. `order` must be total (tie-break through
+    * a unique key) for a deterministic result; sums must fit in a long
+    * (ANSI mode surfaces overflow as an error instead of wrapping).
+    *
+    * How: range-bucket rows by CONTENT, then run a parallel
+    * `PARTITION BY bucket` window and add per-bucket offsets.
+    *  1. Boundary sample: one narrow job takes ~32·B rows in xxhash64
+    *     order (a TakeOrdered heap — uniform-ish sample, no RNG, no
+    *     count job); the driver sorts them under Spark's own interpreted
+    *     orderings (binary UTF-8 strings, NaN greatest, ±0.0 normalized)
+    *     and keeps every 32nd tuple as a bucket boundary.
+    *  2. Bucket id = [[graft.functions.RangeBucketExpr]]'s `range_bucket`
+    *     — an O(log B) binary search over the boundary literals with
+    *     constant-size codegen (an unrolled `when`-chain at B=64 is
+    *     ~700 expression nodes and seconds of Janino compilation, paid
+    *     once per plan branch).
+    *  3. Offsets: `groupBy(bucket).sum(value)` collects ≤ B longs; the
+    *     driver prefix-sums them into a literal offset array.
+    *  4. One hash shuffle on the bucket id, per-bucket sorted windows in
+    *     parallel, plus `offset[bucket]` — no RDD hop, no persist, no
+    *     single-partition exchange.
+    *
+    * Why content bucketing instead of `repartitionByRange` +
+    * `spark_partition_id()`: range-shuffle boundaries come from a sample
+    * seeded by the physical RDD id, so two plan branches (or an AQE
+    * re-planned broadcast side — see the round-4 multi-branch finding)
+    * can disagree on partition ids and silently mis-offset rows at
+    * scale. A bucket computed from row values is identical under ANY
+    * re-execution, so the offsets branch can never drift from the main
+    * branch. Boundary PLACEMENT may vary run-to-run (it only shapes
+    * balance); the output never does.
+    *
+    * The input plan is evaluated once per pass (boundary sample, offsets,
+    * final) with column pruning — if the order/value columns are
+    * expensive kernel outputs, `localCheckpoint()` the narrow projection
+    * first (see [[selectTokenBudget]]).
     */
-  def runningTotal(df: DataFrame, order: Seq[Column], valueCol: String,
+  def runningTotal(df: DataFrame, order: Seq[SortKey], valueCol: String,
       outCol: String = "running_total"): DataFrame = {
     require(order.nonEmpty, "deterministic running sum needs a total order")
     require(!df.columns.contains(outCol),
@@ -248,40 +280,114 @@ object Sampling {
     require(df.schema(valueCol).dataType ==
       org.apache.spark.sql.types.LongType,
       s"runningTotal needs a LongType '$valueCol' (exact prefix sums)")
-    val sorted = df.orderBy(order: _*)
-    val vIdx = sorted.schema.fieldIndex(valueCol)
-    // two passes over the sorted RDD (partials, then the indexed map) —
-    // persist so the sort runs once, like zipWithIndex's own two jobs
-    val rdd = sorted.rdd.persist(
-      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val partials = rdd.mapPartitionsWithIndex { (i, it) =>
-      var s = 0L
-      it.foreach(r => if (!r.isNullAt(vIdx)) s += r.getLong(vIdx))
-      Iterator((i, s))
-    }.collect().sortBy(_._1).map(_._2)
-    val offsets = partials.scanLeft(0L)(_ + _)
-    val out = rdd.mapPartitionsWithIndex { (i, it) =>
-      var s = offsets(i)
-      it.map { r =>
-        if (!r.isNullAt(vIdx)) s += r.getLong(vIdx)
-        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ s)
+    val kNames = order.indices.map(i => s"__rt_k$i")
+    val bkt = "__rt_bkt"
+    require(!(kNames :+ bkt).exists(df.columns.contains),
+      "input already has a '__rt_*' column — rename it first")
+
+    // 1. boundary sample (narrow job: key columns only, pruned scan)
+    val spark = df.sparkSession
+    val buckets = math.max(2, math.min(256,
+      spark.conf.get("spark.sql.shuffle.partitions", "200").toInt * 2))
+    val sampleN = buckets * 32
+    val keyProj = order.zip(kNames).map { case (sk, n) => sk.key.as(n) }
+    val kCols = kNames.map(col)
+    val sample = df.select(keyProj: _*)
+      .orderBy(xxhash64(kCols: _*).asc)
+      .limit(sampleN)
+      .collect()
+    val keyTypes = order.indices
+      .map(i => df.select(keyProj(i)).schema.head.dataType)
+
+    // driver-side sort under Spark's exact sort semantics: compare the
+    // CATALYST values (binary UTF-8 strings, NaN greatest) with the same
+    // interpreted orderings range_bucket uses, so boundary order and
+    // bucket assignment can never disagree
+    val toCatalyst = keyTypes.map(t => org.apache.spark.sql.catalyst
+      .CatalystTypeConverters.createToCatalystConverter(t)).toArray
+    val orderings = keyTypes.map(t => org.apache.spark.sql.catalyst.util
+      .TypeUtils.getInterpretedOrdering(t)).toArray
+    def cmp(a: Row, b: Row): Int = {
+      var i = 0
+      while (i < order.length) {
+        val x = graft.functions.RangeBucket.normalize(toCatalyst(i)(a.get(i)))
+        val y = graft.functions.RangeBucket.normalize(toCatalyst(i)(b.get(i)))
+        val c =
+          if (x == null && y == null) 0
+          else if (x == null) { if (order(i).asc) -1 else 1 }
+          else if (y == null) { if (order(i).asc) 1 else -1 }
+          else {
+            val r = orderings(i).compare(x, y)
+            if (order(i).asc) r else -r
+          }
+        if (c != 0) return c
+        i += 1
       }
+      0
     }
-    df.sparkSession.createDataFrame(out,
-      sorted.schema.add(outCol, org.apache.spark.sql.types.LongType,
-        nullable = false))
+    java.util.Arrays.sort(sample, (a: Row, b: Row) => cmp(a, b))
+    val step = math.max(1, sample.length / buckets)
+    val bounds = (step until sample.length by step).map(sample(_))
+      .foldLeft(Vector.empty[Row]) { (acc, r) => // drop order-equal repeats
+        if (acc.nonEmpty && cmp(acc.last, r) == 0) acc else acc :+ r
+      }
+
+    // 2. bucket id — monotone in `order` by construction; keys are
+    //    materialized once so kernel-derived keys aren't re-evaluated.
+    //    bounds is empty ⟺ the sample saw ≤ 1 row (buckets ≥ 2): any
+    //    partitioning is then correct — partition by the keys
+    //    themselves rather than a foldable constant the optimizer
+    //    would strip back to an unpartitioned window
+    val keyed = df.select(col("*") +: keyProj: _*)
+    val bucketExpr =
+      if (bounds.isEmpty) lit(0)
+      else graft.functions.RangeBucketExpr.rangeBucket(
+        kCols, order.map(_.asc), bounds.map(b => order.indices.map(b.get)))
+    val bucketed = keyed.withColumn(bkt, bucketExpr)
+    val partSpec = if (bounds.isEmpty) kCols else Seq(col(bkt))
+
+    // 3. per-bucket totals → driver prefix → literal offset array (≤ B+1
+    //    longs; this branch prunes to keys + value and cannot disagree
+    //    with the final pass — the bucket is a pure function of content)
+    val offsets: Seq[Long] =
+      if (bounds.isEmpty) Seq(0L)
+      else {
+        val totals = bucketed.groupBy(col(bkt))
+          .agg(sum(col(valueCol)).as("__t")).collect()
+          .map(r => r.getInt(0) ->
+            (if (r.isNullAt(1)) 0L else r.getLong(1)))
+          .toMap
+        (0 to bounds.length)
+          .scanLeft(0L)((acc, i) => acc + totals.getOrElse(i, 0L))
+          .dropRight(1)
+      }
+
+    // 4. parallel per-bucket prefix window + offset
+    val w = Window.partitionBy(partSpec: _*)
+      .orderBy(order.zip(kNames).map { case (sk, n) =>
+        if (sk.asc) col(n).asc else col(n).desc }: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bucketed.withColumn(outCol,
+        (coalesce(sum(col(valueCol)).over(w), lit(0L)) +
+          element_at(typedlit(offsets), col(bkt) + 1)).cast("long"))
+      .drop(kNames :+ bkt: _*)
   }
 
   /** Distributed ntile: `ntile(buckets) OVER (ORDER BY order)` computed
     * WITHOUT the single-partition window a global ORDER BY window plans
-    * to — rank comes from [[withOrderIndex]]'s range sort + zipWithIndex,
-    * the bucket from Spark ntile's exact uneven-bucket arithmetic (n/k
-    * base size; the first n%k buckets take the remainder), so the output
-    * is bit-identical to the window form at any partitioning. One
-    * count() job for n, one distributed sort — the decile/percentile
+    * to — rank comes from [[withOrderIndex]]'s bucketed prefix sum, the
+    * bucket from Spark ntile's exact uneven-bucket arithmetic (n/k base
+    * size; the first n%k buckets take the remainder), so the output is
+    * bit-identical to the window form at any partitioning. One count()
+    * job for n plus the prefix-sum passes — the decile/percentile
     * bucketing a 100 TB customer mart can actually run.
+    *
+    * The input must be DETERMINISTIC across jobs (the count and the rank
+    * pass each execute `df`): a nondeterministic source (sample(),
+    * changing files) can disagree between passes — `localCheckpoint()`
+    * such inputs first.
     */
-  def ntileBuckets(df: DataFrame, buckets: Int, order: Seq[Column],
+  def ntileBuckets(df: DataFrame, buckets: Int, order: Seq[SortKey],
       outCol: String = "bucket"): DataFrame = {
     require(buckets > 0, "buckets must be positive")
     require(order.nonEmpty, "deterministic bucketing needs a total order")

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
-import graft.operators.{Bucketing, Curation, Dedup, Sampling, Similarity, Stats, Vocab}
+import graft.operators.{Bucketing, Curation, Dedup, Sampling, Similarity, SortKey, Stats, Vocab}
 
 /** Round-6 operator batch: cosine-threshold pairs, shingle containment,
   * sliding-window chunking, KL domain drift, lexical stats, token
@@ -41,7 +41,8 @@ class Round6OpsSpec extends SparkSpec {
       val w = Window.orderBy(col("v").desc, col("id"))
       val expected = df.withColumn("b", ntile(k).over(w).cast("long"))
         .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
-      val got = Sampling.ntileBuckets(df, k, Seq(col("v").desc, col("id")))
+      val got = Sampling.ntileBuckets(df, k,
+          Seq(SortKey.desc(col("v")), SortKey(col("id"))))
         .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
       assert(got == expected, s"n=$n k=$k: ${got.diff(expected)} vs " +
         s"${expected.diff(got)}")

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
-import graft.operators.{Curation, Sampling}
+import graft.operators.{Curation, Sampling, SortKey}
 
 class SamplingSpec extends SparkSpec {
   import spark.implicits._
@@ -105,12 +105,12 @@ class SamplingSpec extends SparkSpec {
       .toDF("id", "tok", "q")
     // order: q desc → ids 1,2,3,4; cum 40,90,120,130; budget 100 → ids 1,2
     val got = Sampling.selectTokenBudget(df, col("tok"), 100L,
-        Seq(col("q").desc, col("id")))
+        Seq(SortKey.desc(col("q")), SortKey(col("id"))))
       .select("id").as[Int].collect().sorted
     assert(got.toSeq == Seq(1, 2))
     // a later smaller row does NOT backfill (greedy prefix, not knapsack)
     val got2 = Sampling.selectTokenBudget(df, col("tok"), 95L,
-        Seq(col("q").desc, col("id")))
+        Seq(SortKey.desc(col("q")), SortKey(col("id"))))
       .select("id").as[Int].collect().sorted
     assert(got2.toSeq == Seq(1, 2))
   }
@@ -122,7 +122,7 @@ class SamplingSpec extends SparkSpec {
     val df = rows.toDF("id", "tok", "q")
     val shards = 4
     val budget = 4000L
-    val order = Seq(col("q").desc, col("id"))
+    val order = Seq(SortKey.desc(col("q")), SortKey(col("id")))
     val got = Sampling.selectTokenBudgetSharded(df, col("tok"), budget,
       order, shards, col("id"))
     // contract: every row lands in pmod(hash(id), shards), and within
@@ -150,8 +150,8 @@ class SamplingSpec extends SparkSpec {
     val rnd = new java.util.SplittableRandom(3L)
     val df = (1 to 500).map(i => (i.toLong, rnd.nextLong(1000)))
       .toDF("id", "w").repartition(7)
-    val order = Seq(col("w").desc, col("id"))
-    val w = Window.orderBy(order: _*)
+    val order = Seq(SortKey.desc(col("w")), SortKey(col("id")))
+    val w = Window.orderBy(order.map(_.order): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val expected = df.withColumn("rt", sum(col("w")).over(w))
       .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
@@ -163,7 +163,8 @@ class SamplingSpec extends SparkSpec {
     val withNull = Seq((1L, java.lang.Long.valueOf(5L)),
       (2L, null.asInstanceOf[java.lang.Long]), (3L, java.lang.Long.valueOf(7L)))
       .toDF("id", "w")
-    val gotN = Sampling.runningTotal(withNull, Seq(col("id")), "w", "rt")
+    val gotN = Sampling.runningTotal(withNull, Seq(SortKey(col("id"))), "w",
+      "rt")
       .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
     assert(gotN == Set((1L, 5L), (2L, 5L), (3L, 12L)))
   }
