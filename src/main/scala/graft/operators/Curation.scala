@@ -16,34 +16,34 @@ object Curation {
     * `floor(start_off / budget)` — i.e. documents are packed greedily in
     * id order and a bin boundary falls every `budget` tokens.
     *
-    * Long token counts run the DISTRIBUTED [[Sampling.runningTotal]]
-    * prefix sum (no single-partition window; identical values);
-    * non-long token expressions keep the total-order window fallback.
-    * The narrow (id, n_tok) projection — 16 bytes/doc, NOT the corpus —
-    * is localCheckpointed first: the prefix sum's passes (boundary
-    * sample, offsets, final) then read two materialized longs per doc
-    * instead of re-running the token-count kernel over 100 TB of text
-    * per pass. [[packSequencesSharded]] additionally removes even the
-    * global SORT by packing per shard — how training shards are
-    * actually packed.
+    * Token counts must be integral (widened losslessly to long — exact
+    * prefix sums and exact binning need integral arithmetic); the offset
+    * runs the DISTRIBUTED [[Sampling.runningTotal]] prefix sum — no
+    * single-partition window. The narrow (id, n_tok) projection —
+    * 16 bytes/doc, NOT the corpus — is localCheckpointed first: the
+    * prefix sum's passes (boundary sample, offsets, final) then read two
+    * materialized longs per doc instead of re-running the token-count
+    * kernel over 100 TB of text per pass. [[packSequencesSharded]]
+    * additionally removes even the global SORT by packing per shard —
+    * how training shards are actually packed.
     */
   def packSequences(df: DataFrame, idCol: String, tokens: Column,
       budget: Int): DataFrame = {
     require(budget > 0, "budget must be positive")
     val base0 = df.select(col(idCol), tokens.as("n_tok"))
-    val longTok = base0.schema("n_tok").dataType ==
-      org.apache.spark.sql.types.LongType
+    val t = base0.schema("n_tok").dataType
+    require(Seq(org.apache.spark.sql.types.ByteType,
+        org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.LongType).contains(t),
+      s"token counts must be integral (got $t) — exact packing needs " +
+        "integral arithmetic; round or cast upstream")
     // lazy: the kernel pass materializes inside the boundary-sample job
-    val base = if (longTok) base0.localCheckpoint(false) else base0
+    val base = base0.withColumn("n_tok", col("n_tok").cast("long"))
+      .localCheckpoint(false)
     val withCum =
-      if (longTok)
-        Sampling.runningTotal(base, Seq(SortKey(col(idCol))), "n_tok",
-          "__cum")
-      else {
-        val w = Window.orderBy(col(idCol))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        base.withColumn("__cum", sum(col("n_tok")).over(w))
-      }
+      Sampling.runningTotal(base, Seq(SortKey(col(idCol))), "n_tok",
+        "__cum")
     withCum
       .withColumn("start_off", col("__cum") - col("n_tok"))
       // integer `div`, not floor(double /): exact at any offset (a double

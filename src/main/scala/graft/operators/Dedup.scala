@@ -433,10 +433,24 @@ object Dedup {
     val ex = df.select(col(idCol).as("id"),
         explode(graft.functions.SketchExprs.shingle_hashes(
           TextFunctions.tokensWs(col(textCol)), shingleWords)).as("h"))
-    val dict = ex.select(col("h")).distinct()
-      .withColumn("idx", (row_number().over(
-        org.apache.spark.sql.expressions.Window.orderBy(col("h"))) - 1)
-        .cast("int"))
+    // dictionary-encode via zipWithIndex: ANY bijection hash→[0,vocab)
+    // packs correctly, so no ordered window is needed — the former
+    // row_number() OVER (ORDER BY h) pulled the whole distinct-hash
+    // dictionary (corpus-scale vocab) through ONE partition. The two
+    // zipWithIndex jobs reuse the distinct's shuffle files (same RDD
+    // lineage), and the broadcast below collects the result exactly
+    // once, so all docs see one consistent dictionary.
+    val dict = {
+      val distinctH = ex.select(col("h")).distinct()
+      val indexed = distinctH.rdd.zipWithIndex().map { case (r, i) =>
+        org.apache.spark.sql.Row(r.getLong(0), i.toInt)
+      }
+      spark.createDataFrame(indexed, org.apache.spark.sql.types.StructType(
+        Seq(org.apache.spark.sql.types.StructField("h",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("idx",
+            org.apache.spark.sql.types.IntegerType, nullable = false))))
+    }
 
     // 2. bitmap pack: one broadcast hash join + one hash aggregation.
     //    localCheckpoint materializes it ONCE — it feeds both the streamed

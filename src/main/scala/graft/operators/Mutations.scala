@@ -74,11 +74,12 @@ final case class WritableFrame(
     // 2. deletes
     if (deletes.nonEmpty) df = df.filter(!col(indexCol).isin(deletes.toSeq: _*))
 
-    // 3. survivors ranked to contiguous output positions
-    val w = Window.orderBy(col(indexCol))
-    val ranked = df
-      .withColumn("__ord", (row_number().over(w) - 1).cast(DoubleType))
-      .drop(indexCol)
+    // 3. survivors ranked to contiguous output positions — distributed
+    //    rank (bucketed prefix sum), not a global-ORDER-BY window
+    val ranked = Sampling
+      .withOrderIndex(df, Seq(SortKey(col(indexCol))), "__rank")
+      .withColumn("__ord", (col("__rank") - 1).cast(DoubleType))
+      .drop(indexCol, "__rank")
 
     // 4. inserts at fractional positions (k-th insert at pos p sorts just
     //    before the survivor currently at p; stable across multiple inserts)

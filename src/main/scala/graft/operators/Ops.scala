@@ -47,13 +47,16 @@ object Ops {
     def lastN(n: Int, orderCol: String): DataFrame =
       df.orderBy(col(orderCol).desc).limit(n).orderBy(col(orderCol).asc)
 
-    /** point access by position under an explicit order — dataframe.ts:222-227. */
-    def at(i: Long, orderCol: String): DataFrame = {
-      val w = Window.orderBy(col(orderCol))
-      df.withColumn("__rn", row_number().over(w))
+    /** point access by position under an explicit order — dataframe.ts:222-227.
+      * Rank comes from [[Sampling.withOrderIndex]]'s bucketed prefix sum,
+      * not a global-ORDER-BY window (which plans every row through ONE
+      * partition — the round-6 bench still logged the WindowExec warning
+      * for this op).
+      */
+    def at(i: Long, orderCol: String): DataFrame =
+      Sampling.withOrderIndex(df, Seq(SortKey(col(orderCol))), "__rn")
         .filter(col("__rn") === (i + 1))
         .drop("__rn")
-    }
 
     /** Contiguous 0-based row index in current row order. The reference
       * exposes `CSVRow.index` (row.ts:88-89); distributed equivalent is
@@ -73,14 +76,13 @@ object Ops {
     }
 
     /** 1-based inclusive line window over an order column
-      * (reference fromLine/toLine, parser.ts:170-181).
+      * (reference fromLine/toLine, parser.ts:170-181). Distributed rank —
+      * see [[at]].
       */
-    def lineRange(from: Long, to: Long, orderCol: String): DataFrame = {
-      val w = Window.orderBy(col(orderCol))
-      df.withColumn("__ln", row_number().over(w))
+    def lineRange(from: Long, to: Long, orderCol: String): DataFrame =
+      Sampling.withOrderIndex(df, Seq(SortKey(col(orderCol))), "__ln")
         .filter(col("__ln") >= from && col("__ln") <= to)
         .drop("__ln")
-    }
 
     /** Apply a value transform to each (or selected) column — the
       * reference's `transform` parse hook (parser.ts:95-98).

@@ -146,6 +146,21 @@ class Round7OpsSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("file-order ops and prefix-sum queries plan ZERO unpartitioned " +
+      "windows (q18/q19/q74/q52/q56/q84/q112)") {
+    val dir = "/root/testdata/sf0.001"
+    for (q <- Seq("q18_at", "q19_line_range", "q74_cow_mutations",
+        "q52_seq_pack", "q56_token_budget", "q84_token_pareto",
+        "q112_clv_deciles")) {
+      val df = SparkEntry.queries(q)(spark, dir)
+      val windows = df.queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+      }
+      windows.foreach(w => assert(w.partitionSpec.nonEmpty,
+        s"$q plans an unpartitioned window:\n$w"))
+    }
+  }
+
   test("selectTokenBudget rejects fractional token types with a clear error") {
     val df = Seq((1L, 1.5)).toDF("id", "tok")
     val e = intercept[IllegalArgumentException] {
