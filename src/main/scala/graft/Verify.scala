@@ -44,6 +44,25 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // hard checks for the five rows-only queries (no DuckDB oracle) —
+    // recall/subset/exact-rescore, recorded beside the parquet dumps so
+    // the correctness artifact is not silent on them
+    if (only.isEmpty) {
+      try {
+        val checks = VerifyAssertions.run(spark, sfDir)
+        val cj = checks.map { c =>
+          s"""${q(c.query)}: {"check": ${q(c.name)}, "pass": ${c.pass}, """ +
+            s""""detail": ${q(c.detail)}}"""
+        }.mkString("{", ",", "}")
+        Files.writeString(
+          Paths.get(s"$outDir/rows_only_assertions.json"), cj)
+        checks.foreach(c => System.err.println(
+          s"[verify-assert] ${c.query} ${c.name}: " +
+            s"${if (c.pass) "PASS" else "FAIL"} (${c.detail})"))
+      } catch { case e: Throwable =>
+        System.err.println(s"[verify-assert] failed to run: ${e.getMessage}")
+      }
+    }
     spark.stop()
   }
 }

@@ -1,0 +1,155 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Similarity}
+
+/** Hard driver-side checks for the five rows-only (sketch/ANN) queries —
+  * q31/q32/q44/q46/q49 have no DuckDB-expressible oracle (banding, KMeans
+  * and hyperplane signatures aren't reproducible there), so [[Verify]]
+  * runs these instead and records them in
+  * `<outDir>/rows_only_assertions.json`: the correctness artifact is no
+  * longer silent on them.
+  *
+  * Every floor below is data-grounded, validated at sf0.001 / sf0.01 /
+  * sf0.1 (see the per-check comments): recall floors sit well under the
+  * measured values, subset checks were measured exact, and score checks
+  * recompute cosine from the raw vectors.
+  */
+object VerifyAssertions {
+
+  final case class Check(name: String, query: String, pass: Boolean,
+      detail: String)
+
+  def run(spark: SparkSession, sfDir: String): Seq[Check] = {
+    val docs = Tables(spark, sfDir, "documents")
+    val emb = Tables(spark, sfDir, "embeddings")
+
+    def pairSet(df: DataFrame): Set[(Long, Long)] =
+      df.select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    // q31 — MinHash+LSH banding must recover every strong exact pair:
+    // measured exact(0.8) == minhash(0.7) at all three SFs (25/28/256
+    // pairs, 0 missed, 0 extra); asserted as superset so borderline
+    // estimate noise can only add pairs, never silently drop dups.
+    val q31 = {
+      val exact = pairSet(Dedup.jaccardPairs(docs, "doc_id", "text", 0.8))
+      val sketch = pairSet(
+        Dedup.minhashNearDupPairs(docs, "doc_id", "text", 0.7))
+      Check("minhash_recovers_strong_exact_pairs", "q31_minhash_neardup",
+        exact.nonEmpty && exact.subsetOf(sketch),
+        s"exact(j>=0.8)=${exact.size} minhash=${sketch.size} " +
+          s"missed=${exact.diff(sketch).size}")
+    }
+
+    // q32 — identical documents hash to identical 64-bit signatures
+    // (hamming 0), so every exact-duplicate pair MUST appear. Jaccard
+    // precision is deliberately NOT asserted: SimHash weights features
+    // cosine-style and legitimately pairs texts below any fixed
+    // shingle-jaccard bar (measured at sf0.1: 336 of 525 pairs sit
+    // under j=0.3 — that is the operator's contract, not a bug).
+    val q32 = {
+      val dups = pairSet(Dedup.jaccardPairs(docs, "doc_id", "text", 0.9999))
+      val sh = pairSet(Dedup.simhashNearDupPairs(docs, "doc_id", "text", 3))
+      Check("simhash_recovers_exact_duplicates", "q32_simhash_neardup",
+        dups.subsetOf(sh),
+        s"exact_dups=${dups.size} simhash=${sh.size} " +
+          s"missed=${dups.diff(sh).size}")
+    }
+
+    // q44 — the LSH gate is approximate BY DESIGN (random noise-floor
+    // embeddings: same-bucket is not top-k, measured recall@5 vs brute
+    // force ~0), so the hard check is end-to-end consistency: the query
+    // output must EQUAL the exact top-k over its own candidate set
+    // (same-signature pairs), with cosines recomputed from raw vectors
+    // and ranked on the driver — an independent formulation of
+    // everything downstream of the gate.
+    val q44 = {
+      val queries = emb.filter(col("vec_id") % 50 === 0)
+      val sigQ = queries.select(col("vec_id").as("query_id"),
+          col("embedding").as("__qv"),
+          Similarity.lshSignature(col("embedding"), 64, 8).as("__b"))
+        .filter(Similarity.l2Norm(col("__qv")) > 0)
+      val sigC = emb.select(col("vec_id").as("match_id"),
+          col("embedding").as("__cv"),
+          Similarity.lshSignature(col("embedding"), 64, 8).as("__b"))
+        .filter(Similarity.l2Norm(col("__cv")) > 0)
+      val cand = sigC.join(broadcast(sigQ), Seq("__b"))
+        .filter(col("match_id") =!= col("query_id"))
+        .select(col("query_id"), col("match_id"),
+          round(Similarity.cosine(col("__qv"), col("__cv")), 6).as("cos"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      val expected = cand.groupBy(_._1).toSeq.flatMap { case (_, ms) =>
+        ms.sortBy(m => (-m._3, m._2)).take(5).zipWithIndex
+          .map { case ((q, m, c), i) => (q, m, c, i + 1) }
+      }.toSet
+      val got = SparkEntry.queries("q44_ann_topk")(spark, sfDir)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+        .toSet
+      Check("ann_equals_exact_topk_over_candidates", "q44_ann_topk",
+        got == expected && got.nonEmpty,
+        s"got=${got.size} expected=${expected.size} " +
+          s"diff=${got.diff(expected).size + expected.diff(got).size}")
+    }
+
+    // q46 — IVF at nprobe=2/8: measured recall@5 vs brute force 0.38 /
+    // 0.56 / 0.53 at sf0.001/0.01/0.1 (floor 0.25), plus exact-rescore:
+    // every emitted cosine must equal the value recomputed from the raw
+    // vectors (the quantized/q64 path proved rescoring is checkable).
+    val q46 = {
+      val queries = emb.filter(col("vec_id") % 50 === 0)
+      val brute = Similarity.bruteForceTopK(queries, emb,
+          "vec_id", "embedding", 5)
+        .select("query_id", "match_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val out = SparkEntry.queries("q46_ivf_topk")(spark, sfDir)
+      val got = out.select("query_id", "match_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val recall = (got & brute).size.toDouble / math.max(1, brute.size)
+      val badScores = scoreMismatches(spark, out, emb)
+      Check("ivf_recall_and_exact_rescore", "q46_ivf_topk",
+        recall >= 0.25 && badScores == 0,
+        f"recall@5=$recall%.3f (floor 0.25) score_mismatches=$badScores")
+    }
+
+    // q49 — LSH-gated global top pairs: measured recall vs the exact
+    // all-pairs top-20 is 0.30 / 0.35 / 0.55 (floor 0.2) — the
+    // ungateable 0.40-0.51 background regime caps it (CLAUDE.md round-6)
+    // — plus the same exact-rescore check on every emitted pair.
+    val q49 = {
+      val exact = pairSet(Similarity.topPairs(emb, "vec_id", "embedding", 20))
+      val out = SparkEntry.queries("q49_top_pairs_lsh")(spark, sfDir)
+      val got = pairSet(out)
+      val recall = (got & exact).size.toDouble / math.max(1, exact.size)
+      val badScores = scoreMismatches(spark,
+        out.withColumnRenamed("id_a", "query_id")
+          .withColumnRenamed("id_b", "match_id"), emb)
+      Check("lsh_top_pairs_recall_and_exact_rescore", "q49_top_pairs_lsh",
+        recall >= 0.2 && badScores == 0,
+        f"recall@20=$recall%.3f (floor 0.2) score_mismatches=$badScores")
+    }
+
+    Seq(q31, q32, q44, q46, q49)
+  }
+
+  /** Rows of (query_id, match_id, cos) whose cos does NOT equal the
+    * cosine recomputed from the raw embedding vectors (both rounded to
+    * 6 dp — the queries' own output rounding).
+    */
+  private def scoreMismatches(spark: SparkSession, out: DataFrame,
+      emb: DataFrame): Long = {
+    val a = emb.select(col("vec_id").as("query_id"),
+      col("embedding").as("__va"))
+    val b = emb.select(col("vec_id").as("match_id"),
+      col("embedding").as("__vb"))
+    out.select("query_id", "match_id", "cos")
+      .join(broadcast(a), Seq("query_id"))
+      .join(broadcast(b), Seq("match_id"))
+      .filter(col("cos") =!=
+        round(Similarity.cosine(col("__va"), col("__vb")), 6))
+      .count()
+  }
+}

@@ -1,0 +1,41 @@
+package graft.tools
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Similarity}
+object ProbeRecall {
+  def main(args: Array[String]): Unit = {
+    val dir = args(0)
+    val spark = SparkSession.builder().master("local[16]")
+      .config("spark.sql.shuffle.partitions", "16")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = graft.Tables(spark, dir, "documents")
+    val emb = graft.Tables(spark, dir, "embeddings")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact08 = pairs(Dedup.jaccardPairs(docs, "doc_id", "text", 0.8))
+    val mh = pairs(Dedup.minhashNearDupPairs(docs, "doc_id", "text", 0.7))
+    println(s"PROBE q31: exact08=${exact08.size} mh=${mh.size} missed=${exact08.diff(mh).size} extra=${mh.diff(exact08).size}")
+    val sh = pairs(Dedup.simhashNearDupPairs(docs, "doc_id", "text", 3))
+    val exact09 = pairs(Dedup.jaccardPairs(docs, "doc_id", "text", 0.9))
+    val exact10 = pairs(Dedup.jaccardPairs(docs, "doc_id", "text", 0.9999))
+    val exact03 = pairs(Dedup.jaccardPairs(docs, "doc_id", "text", 0.3))
+    println(s"PROBE q32: exact09=${exact09.size} exact10=${exact10.size} sh=${sh.size} missed09=${exact09.diff(sh).size} missed10=${exact10.diff(sh).size} precisionLoose=${sh.diff(exact03).size}")
+    def topk(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "match_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val q = emb.filter(col("vec_id") % 50 === 0)
+    val bf5 = topk(Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", 5))
+    val bf20 = topk(Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", 20))
+    val ann = topk(Similarity.annTopK(q, emb, "vec_id", "embedding", k = 5, dim = 64, planes = 8))
+    println(s"PROBE q44: ann=${ann.size} recall5=${(ann & bf5).size.toDouble / bf5.size} subset20=${ann.subsetOf(bf20)} outside=${ann.diff(bf20).size}")
+    val idx = Similarity.IvfIndex.trainCached(s"$dir:embeddings", emb, "embedding", nlist = 8)
+    val ivf = topk(Similarity.ivfTopK(q, emb, "vec_id", "embedding", k = 5, nlist = 8, nprobe = 2, index = Some(idx)))
+    println(s"PROBE q46: ivf=${ivf.size} recall5=${(ivf & bf5).size.toDouble / bf5.size} subset20=${ivf.subsetOf(bf20)} outside=${ivf.diff(bf20).size}")
+    val exTop = pairs(Similarity.topPairs(emb, "vec_id", "embedding", 80))
+    val exTop20 = pairs(Similarity.topPairs(emb, "vec_id", "embedding", 20))
+    val lsh = pairs(Similarity.topPairsLsh(emb, "vec_id", "embedding", n = 20, dim = 64))
+    println(s"PROBE q49: lsh=${lsh.size} recall20=${(lsh & exTop20).size.toDouble / exTop20.size} subset80=${lsh.subsetOf(exTop)} outside=${lsh.diff(exTop).size}")
+    spark.stop()
+  }
+}

@@ -161,6 +161,13 @@ class Round7OpsSpec extends SparkSpec {
     }
   }
 
+  test("rows-only assertions (q31/q32/q44/q46/q49) all pass at sf0.001") {
+    val checks = VerifyAssertions.run(spark, "/root/testdata/sf0.001")
+    assert(checks.size == 5)
+    checks.foreach(c =>
+      assert(c.pass, s"${c.query} ${c.name}: ${c.detail}"))
+  }
+
   test("selectTokenBudget rejects fractional token types with a clear error") {
     val df = Seq((1L, 1.5)).toDF("id", "tok")
     val e = intercept[IllegalArgumentException] {

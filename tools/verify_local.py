@@ -76,6 +76,13 @@ def main(sf_dir, out_dir):
         else:
             print(f"PASS {name} ({len(mine)} rows)")
             n_pass += 1
+    ra = f"{out_dir}/rows_only_assertions.json"
+    if os.path.exists(ra):
+        for q, c in sorted(json.load(open(ra)).items()):
+            tag = "PASS" if c["pass"] else "FAIL"
+            if not c["pass"]: n_fail += 1
+            else: n_pass += 1
+            print(f"{tag} {q} [{c['check']}] {c['detail']}")
     print(f"\n{n_pass} pass / {n_fail} fail")
     return 1 if n_fail else 0
 
