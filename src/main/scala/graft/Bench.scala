@@ -36,12 +36,14 @@ object Bench {
 
     // single-file CSV parse throughput: the FULL lineitem at this SF as
     // one CSV file (~39 MB at sf0.1 — the round-1 methodology) through
-    // CsvReader; 6 runs, first discarded as warmup, BEST of the remaining
-    // 5 (capability, not box noise:
+    // CsvReader; 6 runs, first discarded as warmup. Reports BOTH a
+    // trimmed mean (drop the fastest and slowest of the 5 — robust to a
+    // co-tenant spike in either direction) and the best run (capability:
     // the driver's round-3 run averaged 64 MB/s for the same build that
-    // sustains ~270 on an idle box — co-tenant load in 2 of 3 samples
-    // poisons a mean, not a max). Runs AFTER the query suite on purpose:
-    // measured 271 MB/s fully JIT-warm at the end vs 137 when first.
+    // sustains ~270 on an idle box; round-6's artifact-of-record logged
+    // 122 where the same build measured 330-384 locally). Runs AFTER the
+    // query suite on purpose: measured 271 MB/s fully JIT-warm at the
+    // end vs 137 when first.
     def parseMbps0() =
       try {
         val dir = java.nio.file.Files.createTempDirectory("graft_bench_csv")
@@ -71,11 +73,13 @@ object Bench {
             }
             rm(dir.toFile)
           }
-        times.map(t => bytes / 1e6 / t).max
+        val rates = times.map(t => bytes / 1e6 / t).sorted
+        val trimmed = rates.drop(1).dropRight(1)
+        (trimmed.sum / trimmed.size, rates.last)
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] parse_mbps FAILED: ${e.getMessage}")
-          -1.0
+          (-1.0, -1.0)
       }
 
     // SPARK_GRAFT_QUERIES: optional comma-separated subset filter (used by
@@ -96,7 +100,7 @@ object Bench {
       (name, (System.nanoTime() - t0) / 1e9, ok)
     }
 
-    val parseMbps = parseMbps0()
+    val (parseMbps, parseMbpsBest) = parseMbps0()
 
     def qmap(rs: Seq[(String, Double, Boolean)]): String = rs.map {
       case (k, v, ok) => "\"" + k + "\":" + (if (ok) v else -1.0)
@@ -111,7 +115,7 @@ object Bench {
     // map goes to BENCH_DETAIL.json beside the repo for the judge.
     val slowest = results.filter(_._3).sortBy(-_._2).take(10)
     val detail =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${qmap(results)},"failed":$failed,"parse_mbps":$parseMbps,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${qmap(results)},"failed":$failed,"parse_mbps":$parseMbps,"parse_mbps_best":$parseMbpsBest,"sf":"$sfDir"}"""
     // full runs only: a SPARK_GRAFT_QUERIES spot run must not clobber the
     // committed full-catalog artifact
     if (subset.isEmpty) {
@@ -121,7 +125,7 @@ object Bench {
         System.err.println(s"[bench] BENCH_DETAIL.json write failed: ${e.getMessage}")
       }
     }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":${qmap(slowest)},"failed":$failed,"parse_mbps":$parseMbps,"detail":"BENCH_DETAIL.json","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":${qmap(slowest)},"failed":$failed,"parse_mbps":$parseMbps,"parse_mbps_best":$parseMbpsBest,"detail":"BENCH_DETAIL.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }

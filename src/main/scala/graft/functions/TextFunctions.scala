@@ -56,13 +56,7 @@ object TextFunctions {
     * punctuation sanity, and stopword presence (the usual pretraining
     * quality-filter shape; weights are documented constants, not learned).
     */
-  def qualityScore(c: Column): Column = {
-    val lenScore = when(length(c) >= 200 && length(c) <= 20000, 1.0d)
-      .when(length(c) >= 50, 0.5d).otherwise(0.0d)
-    val punctOk = when(punctRatio(c) <= 0.2d, 1.0d).otherwise(0.0d)
-    val stopOk = when(stopwordRatio(c) >= 0.05d, 1.0d).otherwise(0.0d)
-    round(lenScore * 0.4d + punctOk * 0.3d + stopOk * 0.3d, 4)
-  }
+  def qualityScore(c: Column): Column = TextExprs.quality_score(c)
 
   /** language-ID by stopword voting (n-gram-free heuristic; deterministic
     * argmax with fixed priority en > de > fr > es on ties).
@@ -102,8 +96,7 @@ object TextFunctions {
   /** canonical text normalization for fingerprinting/dedup: lowercase,
     * collapse whitespace, strip non-alphanumeric (keeps spaces).
     */
-  def normalizeText(c: Column): Column =
-    trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9\\s]", ""), "\\s+", " "))
+  def normalizeText(c: Column): Column = TextExprs.normalize_text(c)
 
   /** document fingerprint: md5 of the normalized text — reproducible in
     * any engine (the rolling-hash variant is in Dedup.simhash64).

@@ -45,6 +45,12 @@ object AsOfJoin {
 
   val StrategyConfKey = "spark.graft.asof.strategy"
 
+  /** Row cap for the pinned-broadcast build side (default 5M) — over it,
+    * [[AsOfBroadcastExec]] fails fast with a pointer at
+    * `strategy=sortmerge` instead of OOMing the driver.
+    */
+  val BroadcastMaxRowsKey = "spark.graft.asof.broadcastMaxRows"
+
   /** Boolean marker that carries the as-of spec through analysis inside an
     * ordinary join condition; rewritten before planning, never evaluated.
     * children = leftKey, rightKey, leftTime, rightTime, modeLiteral,
@@ -192,7 +198,20 @@ object AsOfJoin {
       copy(left = newLeft, right = newRight)
 
     override protected def doExecute(): RDD[InternalRow] = {
-      val rightRows = right.executeCollect() // copied rows
+      // the pinned-broadcast contract is build-side-must-fit (the sf1
+      // rehearsal measured it growing 14.8x at 10x data): cap it with an
+      // actionable error instead of letting the driver OOM silently.
+      // executeTake(cap + 1) never holds more than cap+1 rows.
+      val cap = java.lang.Long.parseLong(org.apache.spark.sql.internal
+        .SQLConf.get.getConfString(BroadcastMaxRowsKey, "5000000"))
+      require(cap > 0, s"$BroadcastMaxRowsKey must be positive")
+      val capped = math.min(cap, Int.MaxValue - 2L).toInt
+      val rightRows = right.executeTake(capped + 1) // copied rows
+      if (rightRows.length > capped) throw new IllegalStateException(
+        s"as-of broadcast build side exceeds $capped rows — broadcast " +
+          s"collects the whole right side to the driver. Use " +
+          s"strategy=sortmerge for a build side this large, or raise " +
+          s"$BroadcastMaxRowsKey.")
       val boundRk = BindReferences.bindReference(rightKey, right.output)
       val boundRt = BindReferences.bindReference(rightTime, right.output)
       val boundTb = tieBreak.map(BindReferences.bindReference(_, right.output))

@@ -166,6 +166,30 @@ class AsOfJoinSpec extends SparkSpec {
     assert(smj.select(col("px")).collect()(0).getDouble(0) == 100.0)
   }
 
+  test("broadcast build side over the row cap fails fast, actionably") {
+    val trades = Seq((1L, ts("2024-01-01 10:00:05"), "t1"))
+      .toDF("sym", "t_ts", "trade")
+    val quotes = (1 to 10).map(i =>
+        (1L, ts(f"2024-01-01 10:00:0${i % 10}"), i.toDouble))
+      .toDF("q_sym", "q_ts", "px")
+    val key = graft.plans.AsOfJoin.BroadcastMaxRowsKey
+    spark.conf.set(key, "3")
+    try {
+      val e = intercept[Exception] {
+        AsOfJoin.asofJoin(trades, quotes, "sym", "q_sym", "t_ts", "q_ts",
+          strategy = "broadcast").collect()
+      }
+      val msg = Option(e.getMessage).getOrElse("") +
+        Option(e.getCause).map(_.getMessage).getOrElse("")
+      assert(msg.contains("sortmerge") && msg.contains(key), msg)
+      // under the cap it still runs
+      spark.conf.set(key, "1000")
+      val ok = AsOfJoin.asofJoin(trades, quotes, "sym", "q_sym",
+        "t_ts", "q_ts", strategy = "broadcast").collect()
+      assert(ok.nonEmpty)
+    } finally spark.conf.unset(key)
+  }
+
   test("broadcast path: null tieBreak values don't NPE and lose ties") {
     val trades = Seq((1L, ts("2024-01-01 10:00:05"), "t1"))
       .toDF("sym", "t_ts", "trade")

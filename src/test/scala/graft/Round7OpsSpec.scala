@@ -168,6 +168,60 @@ class Round7OpsSpec extends SparkSpec {
       assert(c.pass, s"${c.query} ${c.name}: ${c.detail}"))
   }
 
+  test("quality_score / normalize_text kernels are bit-identical to the " +
+      "Column compositions they replaced") {
+    import graft.functions.{TextExprs, TextFunctions}
+    val rnd = new java.util.SplittableRandom(13L)
+    val alphabet =
+      "abzAZ09 .!?\t\n\r\f,;:~`|{}[]()'\"@#$%^&*-_=+/\\<>éß漢😀K "
+    val words = Seq("the", "The", "THE", "a", "an", "and", "of", "to",
+      "in", "is", "xyz", "The.", "a,b", "", "İn", "ın")
+    val fuzz = (1 to 400).map { i =>
+      if (i % 4 == 0)
+        (1 to rnd.nextInt(30)).map(_ => words(rnd.nextInt(words.length)))
+          .mkString(rnd.nextInt(3) match {
+            case 0 => " "
+            case 1 => "  "
+            case _ => "\t"
+          })
+      else (1 to rnd.nextInt(120))
+        .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    } ++ Seq("", " ", "  ", "\t", "\n \t", "a", " a ", "\ta\t", "...",
+      "the the the", "x".toString * 300, ("w " * 150).trim,
+      null.asInstanceOf[String])
+    val df = fuzz.toDF("t")
+    // the pre-kernel formulations, inlined as ground truth
+    val lenScore = when(length(col("t")) >= 200 && length(col("t")) <= 20000, 1.0d)
+      .when(length(col("t")) >= 50, 0.5d).otherwise(0.0d)
+    val nP = length(col("t")) -
+      length(regexp_replace(col("t"), "[!-/:-@\\[-`{-~]", ""))
+    val punctR = when(length(col("t")) === 0, 0.0d)
+      .otherwise(nP.cast("double") / length(col("t")))
+    val toks = when(length(trim(lower(col("t")))) === 0,
+        array().cast("array<string>"))
+      .otherwise(split(trim(lower(col("t"))), "\\s+"))
+    val nStop = size(filter(toks,
+      t => t.isin(TextFunctions.StopwordsEn.map(x => x: Any): _*)))
+    val stopR = when(size(toks) === 0, 0.0d)
+      .otherwise(nStop.cast("double") / size(toks))
+    val oldScore = round(lenScore * 0.4d +
+      when(punctR <= 0.2d, 1.0d).otherwise(0.0d) * 0.3d +
+      when(stopR >= 0.05d, 1.0d).otherwise(0.0d) * 0.3d, 4)
+    val oldNorm = trim(regexp_replace(
+      regexp_replace(lower(col("t")), "[^a-z0-9\\s]", ""), "\\s+", " "))
+    val rows = df.select(col("t"), oldScore.as("eq"),
+        TextExprs.quality_score(col("t")).as("gq"),
+        oldNorm.as("en"), TextExprs.normalize_text(col("t")).as("gn"))
+      .collect()
+    rows.foreach { r =>
+      assert(Option(r.get(1)) == Option(r.get(2)),
+        s"quality mismatch on ${Option(r.get(0))}: ${r.get(1)} vs ${r.get(2)}")
+      assert(Option(r.get(3)) == Option(r.get(4)),
+        s"normalize mismatch on ${Option(r.get(0))}: " +
+          s"'${r.get(3)}' vs '${r.get(4)}'")
+    }
+  }
+
   test("selectTokenBudget rejects fractional token types with a clear error") {
     val df = Seq((1L, 1.5)).toDF("id", "tok")
     val e = intercept[IllegalArgumentException] {
