@@ -178,13 +178,26 @@ object Queries2 {
   }
 
   /** LSH-gated global top-pairs (the 100 TB near-dup path; rows-only —
-    * approximate by design at this data's similarity floor, exact-regime
-    * equality asserted in IvfSpec; q34 remains the exact oracled twin).
+    * Verify asserts recall ≥ 0.9 vs the exact all-pairs top-20 plus an
+    * exact rescore of every emitted score; exact-regime equality is also
+    * asserted in IvfSpec; q34 remains the exact oracled twin on the raw
+    * corpus).
+    *
+    * Round 7: the corpus gets [[QueryFixtures.plantedEmbeddings]]'
+    * near-dups (the raw data's top pairs sit at cos 0.40–0.51 — the
+    * measured UNGATEABLE regime, where recall came only from accidental
+    * band collisions), and the geometry is
+    * [[Similarity.scaledLshGeometry]]-derived: the 30× rehearsal
+    * measured the fixed 7-bit default going quadratic (1.5 s → 273 s
+    * at 30× rows) exactly as PLANS.md's band-width rule predicts.
     */
-  def q49_top_pairs_lsh(s: SparkSession, dir: String): DataFrame =
-    Similarity.topPairsLsh(t(s, dir, "embeddings"), "vec_id", "embedding",
-        n = 20, dim = 64)
+  def q49_top_pairs_lsh(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    Similarity.topPairsLshScaled(QueryFixtures.plantedEmbeddings(base),
+        "vec_id", "e", n = 20, dim = 64)
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+  }
 
   /** Dedup clustering: LSH-gated exact-Jaccard pairs → connected
     * components → canonical selection (`keep` = cluster minimum). The

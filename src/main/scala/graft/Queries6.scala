@@ -34,14 +34,11 @@ object Queries6 {
   def q92_semantic_dedup(s: SparkSession, dir: String): DataFrame = {
     val base = t(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
-    // deterministic jitter: e[i] += 0.005 * (((vec_id*31 + i) % 7) - 3);
-    // pure double arithmetic, identical left-to-right in both engines
-    val jit = base.filter(col("vec_id") % 10 === 0)
-      .select((col("vec_id") + lit(10000000L)).as("vec_id"),
-        transform(col("e"), (x, i) =>
-          x + lit(0.005) *
-            (((col("vec_id") * 31 + i.cast("long")) % 7) - 3)).as("e"))
-    val v = base.unionAll(jit)
+    // deterministic jitter (QueryFixtures.plantedEmbeddings): e[i] +=
+    // 0.005 * (((vec_id*31 + i) % 7) - 3); pure double arithmetic,
+    // identical left-to-right in both engines — the oracle SQL below
+    // mirrors it element-for-element
+    val v = QueryFixtures.plantedEmbeddings(base)
     // 12-bit × 12-band geometry: the 10× rehearsal measured the 7-bit
     // default going quadratic in candidates (buckets ~n/128); 2^12 band
     // values keep buckets ~16 up to ~64k vectors, and 12 bands hold the

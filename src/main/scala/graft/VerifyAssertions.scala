@@ -115,21 +115,29 @@ object VerifyAssertions {
         f"recall@5=$recall%.3f (floor 0.25) score_mismatches=$badScores")
     }
 
-    // q49 — LSH-gated global top pairs: measured recall vs the exact
-    // all-pairs top-20 is 0.30 / 0.35 / 0.55 (floor 0.2) — the
-    // ungateable 0.40-0.51 background regime caps it (CLAUDE.md round-6)
-    // — plus the same exact-rescore check on every emitted pair.
+    // q49 — LSH-gated global top pairs over the PLANTED corpus (round 7:
+    // the raw data's top pairs sit at cos 0.40-0.51, the ungateable
+    // regime where recall came only from accidental band collisions and
+    // measured 0.30/0.35/0.55; the planted near-dups at cos ≈ 0.9967 put
+    // the top-20 in the regime the gate guarantees — per-pair band-miss
+    // ≤ ~1e-4 under scaledLshGeometry, measured recall 1.0 at all three
+    // SFs, floor 0.9) — plus the exact-rescore check on every emitted
+    // pair, against the same planted vectors.
     val q49 = {
-      val exact = pairSet(Similarity.topPairs(emb, "vec_id", "embedding", 20))
+      val planted = QueryFixtures.plantedEmbeddings(
+        emb.select(col("vec_id"),
+          col("embedding").cast("array<double>").as("e")))
+      val exact = pairSet(Similarity.topPairs(planted, "vec_id", "e", 20))
       val out = SparkEntry.queries("q49_top_pairs_lsh")(spark, sfDir)
       val got = pairSet(out)
       val recall = (got & exact).size.toDouble / math.max(1, exact.size)
       val badScores = scoreMismatches(spark,
         out.withColumnRenamed("id_a", "query_id")
-          .withColumnRenamed("id_b", "match_id"), emb)
+          .withColumnRenamed("id_b", "match_id"),
+        planted.select(col("vec_id"), col("e").as("embedding")))
       Check("lsh_top_pairs_recall_and_exact_rescore", "q49_top_pairs_lsh",
-        recall >= 0.2 && badScores == 0,
-        f"recall@20=$recall%.3f (floor 0.2) score_mismatches=$badScores")
+        recall >= 0.9 && badScores == 0,
+        f"recall@20=$recall%.3f (floor 0.9) score_mismatches=$badScores")
     }
 
     Seq(q31, q32, q44, q46, q49)

@@ -168,13 +168,18 @@ object Main {
       String.format(java.util.Locale.US, "%,d", Long.box(n)))
     val mb = Option(a.file).filter(f => f.nonEmpty && f != "-")
       .map(new java.io.File(_)).filter(_.isFile).map(_.length() / 1024.0 / 1024.0)
+    // Locale.US throughout: the f"" interpolator uses the default locale,
+    // which prints '0,12s' under comma-decimal locales and breaks parsers
+    def us(fmt: String, v: Double) =
+      String.format(java.util.Locale.US, fmt, Double.box(v))
+    val secsTxt = us("%.2f", secs)
     val tput = mb.filter(_ => secs > 0)
-      .map(m => f" (${m / secs}%.1f MB/s)").getOrElse("")
+      .map(m => s" (${us("%.1f", m / secs)} MB/s)").getOrElse("")
     rowsTxt match {
       case Some(r) if code == 0 =>
-        System.err.println(f"✓ Processed $r rows in $secs%.2fs$tput")
+        System.err.println(s"✓ Processed $r rows in ${secsTxt}s$tput")
       case _ =>
-        System.err.println(f"✓ done in $secs%.2fs")
+        System.err.println(s"✓ done in ${secsTxt}s")
     }
     code
   }

@@ -194,6 +194,56 @@ object Similarity {
       .limit(n)
   }
 
+  /** Corpus-scaled LSH geometry — the rule the 10×/30× rehearsals forced
+    * (PLANS.md): a FIXED band width scales quadratically (bucket
+    * occupancy ~n/2^r, candidate pairs ~n·occupancy per band), so band
+    * bits must grow with the corpus and band count with the recall
+    * target.
+    *
+    *  - `planesPerBand r = clamp(7, 20, ceil(log2(n / targetBucket)))`
+    *    keeps expected bucket occupancy ~targetBucket, so candidate work
+    *    stays ~`bands · targetBucket/2 · n` — linear in n. The 20-bit
+    *    cap bounds signature cost (r·b·dim multiply-adds per row); the
+    *    kernel itself accepts up to 63 bits, so corpora beyond
+    *    2^20·targetBucket ≈ 16M vectors can raise the cap instead of
+    *    letting occupancy grow.
+    *  - `bands b = clamp(9, 24, ceil(ln(maxMiss) / ln(1 − p^r)))` holds
+    *    the per-pair miss rate `(1 − p^r)^b ≤ maxMiss` at `targetCos`,
+    *    where `p = 1 − acos(targetCos)/π` is the per-bit agreement
+    *    probability.
+    *
+    * Defaults guarantee the NEAR-DUP regime (`targetCos` 0.99, miss ≤
+    * 1%); pairs far below that are missed by design — the measured
+    * ungateable regime ([[topPairs]]).
+    */
+  def scaledLshGeometry(n: Long, targetCos: Double = 0.99,
+      maxMiss: Double = 0.01, targetBucket: Int = 16): (Int, Int) = {
+    require(targetCos > 0 && targetCos < 1, "targetCos must be in (0,1)")
+    require(maxMiss > 0 && maxMiss < 1, "maxMiss must be in (0,1)")
+    val r = math.max(7, math.min(20, math.ceil(
+      math.log(math.max(1.0, n.toDouble / targetBucket)) / math.log(2.0))
+      .toInt))
+    val p = 1.0 - math.acos(targetCos) / math.Pi
+    val b = math.max(9, math.min(24, math.ceil(
+      math.log(maxMiss) / math.log1p(-math.pow(p, r))).toInt))
+    (r, b)
+  }
+
+  /** [[topPairsLsh]] with [[scaledLshGeometry]] derived from a count of
+    * the input — the form to reach for when the corpus size isn't known
+    * up front. The count is one narrow job over `df`; `localCheckpoint()`
+    * first if the input plan is expensive (the pair machinery evaluates
+    * it again for signatures).
+    */
+  def topPairsLshScaled(
+      df: DataFrame, idCol: String, vecCol: String, n: Int, dim: Int,
+      targetCos: Double = 0.99, maxMiss: Double = 0.01): DataFrame = {
+    val (r, b) = scaledLshGeometry(df.count(), targetCos, maxMiss)
+    rescoredBandPairs(df, idCol, vecCol, dim, r, b)
+      .orderBy(col("cos").desc, col("id_a").asc, col("id_b").asc)
+      .limit(n)
+  }
+
   /** LSH-gated threshold pairs with EXACT rescoring — the 100 TB default
     * for semantic dedup. Same banded candidate generation as
     * [[topPairsLsh]] (payload-free band self-join, one exact rescore per

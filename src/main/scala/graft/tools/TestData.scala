@@ -12,18 +12,24 @@ package graft.tools
 object TestData {
 
   /** The reference's LCG (src/ts/testing.ts:21-39): 31-bit
-    * `seed = (seed * 1103515245 + 12345) & 0x7fffffff`.
+    * `seed = (seed * 1103515245 + 12345) & 0x7fffffff` — computed the
+    * way JS actually computes it: the multiply/add happen in DOUBLE
+    * precision, so for any state above ~2^23 the product exceeds 2^53
+    * and low bits are rounded away BEFORE the `&` mask. The product is
+    * an integer-valued double < 2^63, so `.toLong` is lossless and
+    * `ToInt32 & 0x7fffffff` reduces to masking the low 31 bits — this
+    * byte-matches the reference's sequence for any seed.
     */
   final class SeededRandom(seed0: Long) {
     private var seed: Long = seed0
 
     def next(): Double = {
-      seed = (seed * 1103515245L + 12345L) & 0x7fffffffL
+      seed = (seed.toDouble * 1103515245.0 + 12345.0).toLong & 0x7fffffffL
       seed.toDouble / 0x7fffffffL
     }
 
-    // clamped at max: the LCG has full 2^31 period, so state 0x7fffffff
-    // (next() == exactly 1.0) is reachable ~2^-31 per draw — the
+    // clamped at max: state 0x7fffffff (next() == exactly 1.0) is
+    // reachable ~2^-31 per draw — the
     // reference's JS silently indexes out of bounds there (undefined);
     // we clamp instead of throwing (documented divergence)
     def nextInt(min: Int, max: Int): Int =

@@ -230,4 +230,23 @@ class Round7OpsSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("integral"))
   }
+
+  test("scaledLshGeometry: bits track corpus size, miss rate held at target") {
+    import graft.operators.Similarity
+    // floor regime (tiny corpora keep the 7x9 default)
+    assert(Similarity.scaledLshGeometry(600) == ((7, 9)))
+    // bucket rule: r = ceil(log2(n/16))
+    assert(Similarity.scaledLshGeometry(60000)._1 == 12)
+    assert(Similarity.scaledLshGeometry(1815000)._1 == 17)
+    // the promised guarantee holds at every size: (1-p^r)^b <= maxMiss
+    val p = 1.0 - math.acos(0.99) / math.Pi
+    for (n <- Seq(100L, 10000L, 1000000L, 100000000L)) {
+      val (r, b) = Similarity.scaledLshGeometry(n)
+      assert(math.pow(1.0 - math.pow(p, r), b) <= 0.01, s"miss at n=$n")
+    }
+    // bits never shrink as the corpus grows
+    val rs = Seq(1000L, 100000L, 10000000L)
+      .map(Similarity.scaledLshGeometry(_)._1)
+    assert(rs == rs.sorted)
+  }
 }
