@@ -42,7 +42,14 @@ object Queries6 {
     // 12-bit × 12-band geometry: the 10× rehearsal measured the 7-bit
     // default going quadratic in candidates (buckets ~n/128); 2^12 band
     // values keep buckets ~16 up to ~64k vectors, and 12 bands hold the
-    // planted-pair (cos ≈ 0.9967, p ≈ 0.974) miss rate at ~1.5e-7
+    // planted-pair (cos ≈ 0.9967, p ≈ 0.974) miss rate at ~1.5e-7.
+    // Round 7 MEASURED cosinePairsLshScaled here (r=13..17, b=15..18 by
+    // corpus) and it LOST at every scale (sf0.1 cold 1.9→5.3 s, sf3
+    // 27→36 s): a tight maxMiss at cos 0.9967 needs ~1.5× the bands, so
+    // signature+explode cost grows faster than the candidate savings
+    // until well past the 12-bit occupancy knee (~0.5M vectors). Fixed
+    // geometry is the measured right call at the gate's scales; the
+    // scaled form is for top-pairs-style candidate-dominated work (q49).
     val pairs = Similarity.cosinePairsLsh(v, "vec_id", "e", 0.9, dim = 64,
       planesPerBand = 12, bands = 12)
     Dedup.connectedComponents(v.select(col("vec_id")), "vec_id",

@@ -214,7 +214,12 @@ object Similarity {
     *
     * Defaults guarantee the NEAR-DUP regime (`targetCos` 0.99, miss ≤
     * 1%); pairs far below that are missed by design — the measured
-    * ungateable regime ([[topPairs]]).
+    * ungateable regime ([[topPairs]]). The 24-band cap is a cost guard:
+    * a (targetCos, maxMiss) pair demanding more bands gets 24 and the
+    * realized rate `(1 − p^r)^24` instead — asking for tiny miss at
+    * moderate cos is the ungateable regime wearing a different hat, and
+    * unbounded band count is the quadratic trap's twin (candidate work
+    * scales with `bands · targetBucket`).
     */
   def scaledLshGeometry(n: Long, targetCos: Double = 0.99,
       maxMiss: Double = 0.01, targetBucket: Int = 16): (Int, Int) = {
@@ -270,6 +275,38 @@ object Similarity {
     rescoredBandPairs(df, idCol, vecCol, dim, planesPerBand, bands)
       .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
       .filter(col("cos") >= threshold)
+
+  /** [[cosinePairsLsh]] with [[scaledLshGeometry]] derived from a count
+    * of the input — for corpora whose size outruns a hand-picked band
+    * width (the 30× rehearsal in PLANS.md: a fixed width crosses its
+    * quadratic knee once occupancy ~n/2^r grows).
+    *
+    * `targetCos` here is the similarity of the pairs that MUST be
+    * recalled (e.g. the known near-dup similarity of a planted or
+    * measured dup population) — NOT the rescore `threshold`, which can
+    * sit well below it; the default `maxMiss` 1e-8 makes the expected
+    * number of missed must-recall pairs negligible even over millions
+    * of dup pairs. The count is one narrow job over `df`;
+    * `localCheckpoint()` first if the input plan is expensive.
+    *
+    * MEASURED TRADEOFF (round 7): a tight `maxMiss` needs ~1.5× the
+    * bands of a hand-tuned geometry, so signature+explode cost rises
+    * before candidate savings pay off — q92's fixed 12×12 beat the
+    * scaled form at every rehearsed scale up to 1.8M vectors (cold
+    * 1.9 s vs 5.3 s at 66k; 27 s vs 36 s at 1.8M). Reach for this form
+    * when candidates dominate ([[topPairsLshScaled]]'s regime — its
+    * looser default `maxMiss` won 273 s → 14 s at 30×) or the corpus
+    * is past the hand-tuned width's knee; keep explicit geometry when
+    * a domain expert has measured one at the deployment scale.
+    */
+  def cosinePairsLshScaled(
+      df: DataFrame, idCol: String, vecCol: String, threshold: Double,
+      dim: Int, targetCos: Double, maxMiss: Double = 1e-8): DataFrame = {
+    val (r, b) = scaledLshGeometry(df.count(), targetCos, maxMiss)
+    rescoredBandPairs(df, idCol, vecCol, dim, r, b)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
 
   /** Shared LSH-band pair machinery: banded candidate self-join carrying
     * ONLY (id, band, value) — vector payloads would otherwise be
