@@ -38,5 +38,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   // managed-table tests (bucketing) must not drop spark-warehouse/ in cwd
   "-Dspark.sql.warehouse.dir=/tmp/graft_warehouse",
+  // pin the JVM locale: java.lang.String.toLowerCase() (Spark's
+  // non-ASCII lower() fallback) and %f formatting are locale-sensitive
+  // (tr-TR dotless-i, comma decimals) — results must not depend on the
+  // box's default locale
+  "-Duser.language=en", "-Duser.country=US",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

@@ -22,6 +22,11 @@ private[graft] object QueryFixtures {
     * one jittered copy per `%10 == 0` row, ids offset by 10,000,000.
     * Jitter: `e[i] += 0.005 * (((vec_id*31 + i) % 7) - 3)` — pure double
     * arithmetic, identical left-to-right in any engine.
+    *
+    * TESTDATA FIXTURE, not a production operator: the fixed offset is
+    * mirrored literally in q92's oracle SQL, so input ids must stay
+    * below 10,000,000 (testdata max is ~1.8M at the 30× rehearsal
+    * scale). A production planting would offset by `max(id)+1`.
     */
   def plantedEmbeddings(base: DataFrame): DataFrame = {
     val jit = base.filter(col("vec_id") % 10 === 0)

@@ -48,6 +48,9 @@ object Verify {
     // recall/subset/exact-rescore, recorded beside the parquet dumps so
     // the correctness artifact is not silent on them
     if (only.isEmpty) {
+      // never leave a STALE artifact: if this run dies before writing,
+      // a previous run's green file must not be read as current
+      Files.deleteIfExists(Paths.get(s"$outDir/rows_only_assertions.json"))
       try {
         val checks = VerifyAssertions.run(spark, sfDir)
         val cj = checks.map { c =>
@@ -61,6 +64,12 @@ object Verify {
             s"${if (c.pass) "PASS" else "FAIL"} (${c.detail})"))
       } catch { case e: Throwable =>
         System.err.println(s"[verify-assert] failed to run: ${e.getMessage}")
+        // a missing artifact reads as "nothing to check" downstream —
+        // record the failure itself so the gate shows red, not silence
+        Files.writeString(
+          Paths.get(s"$outDir/rows_only_assertions.json"),
+          s"""{"__assertions__": {"check": "assertions_ran", """ +
+            s""""pass": false, "detail": ${q(e.toString.take(500))}}}""")
       }
     }
     spark.stop()

@@ -76,14 +76,22 @@ object VerifyAssertions {
           col("embedding").as("__cv"),
           Similarity.lshSignature(col("embedding"), 64, 8).as("__b"))
         .filter(Similarity.l2Norm(col("__cv")) > 0)
+      // rank on the UNROUNDED cosine exactly as annTopK's window does
+      // (round only the compared output) — ranking on the 6dp-rounded
+      // value can invert a rounding-collided pair and flag correct
+      // output as a mismatch (CLAUDE.md round-4: rank on UNROUNDED
+      // scores in both engines)
       val cand = sigC.join(broadcast(sigQ), Seq("__b"))
         .filter(col("match_id") =!= col("query_id"))
         .select(col("query_id"), col("match_id"),
-          round(Similarity.cosine(col("__qv"), col("__cv")), 6).as("cos"))
+          Similarity.cosine(col("__qv"), col("__cv")).as("cos"))
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
       val expected = cand.groupBy(_._1).toSeq.flatMap { case (_, ms) =>
         ms.sortBy(m => (-m._3, m._2)).take(5).zipWithIndex
-          .map { case ((q, m, c), i) => (q, m, c, i + 1) }
+          .map { case ((q, m, c), i) =>
+            // HALF_UP to match Spark's round(col, 6) in the query output
+            (q, m, BigDecimal(c).setScale(6,
+              scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble, i + 1) }
       }.toSet
       val got = SparkEntry.queries("q44_ann_topk")(spark, sfDir)
         .collect()

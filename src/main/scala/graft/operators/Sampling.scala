@@ -221,7 +221,8 @@ object Sampling {
   /** Contiguous 1-based global rank in `order`, DISTRIBUTED: a
     * [[runningTotal]] of ones — content-bucketed parallel windows, never
     * a single-partition `row_number()`. `order` must be total (tie-break
-    * through a unique column) for a deterministic result.
+    * through a unique column) and the input deterministic across the
+    * passes ([[runningTotal]]'s caveat) for a deterministic result.
     */
   private[operators] def withOrderIndex(df: DataFrame, order: Seq[SortKey],
       idxCol: String): DataFrame = {
@@ -270,7 +271,11 @@ object Sampling {
     * The input plan is evaluated once per pass (boundary sample, offsets,
     * final) with column pruning — if the order/value columns are
     * expensive kernel outputs, `localCheckpoint()` the narrow projection
-    * first (see [[selectTokenBudget]]).
+    * first (see [[selectTokenBudget]]). Like [[ntileBuckets]], the input
+    * must be DETERMINISTIC across those passes: a nondeterministic
+    * source (`sample()`, changing files, `rand()`-derived keys) can put
+    * different rows in the offsets pass than the final pass —
+    * `localCheckpoint()` such inputs first.
     */
   def runningTotal(df: DataFrame, order: Seq[SortKey], valueCol: String,
       outCol: String = "running_total"): DataFrame = {
@@ -296,8 +301,7 @@ object Sampling {
       .orderBy(xxhash64(kCols: _*).asc)
       .limit(sampleN)
       .collect()
-    val keyTypes = order.indices
-      .map(i => df.select(keyProj(i)).schema.head.dataType)
+    val keyTypes = df.select(keyProj: _*).schema.map(_.dataType)
 
     // driver-side sort under Spark's exact sort semantics: compare the
     // CATALYST values (binary UTF-8 strings, NaN greatest) with the same

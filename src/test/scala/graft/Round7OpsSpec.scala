@@ -15,9 +15,8 @@ class Round7OpsSpec extends SparkSpec {
   import spark.implicits._
 
   // test session: shuffle.partitions=4 → 8 buckets → sample cap 256;
-  // inputs above that exercise the bucketed path, below it the
-  // constant-partition fast path
-  private val bucketedMin = 300
+  // the 500/1000-row inputs below exercise the bucketed path, the
+  // tiny/empty ones the constant-partition fast path
 
   test("runningTotal bucketed path == window (string desc + nulls, long asc)") {
     val rnd = new java.util.SplittableRandom(7L)
@@ -248,5 +247,26 @@ class Round7OpsSpec extends SparkSpec {
     val rs = Seq(1000L, 100000L, 10000000L)
       .map(Similarity.scaledLshGeometry(_)._1)
     assert(rs == rs.sorted)
+  }
+
+  test("cosinePairsLshScaled finds exactly the threshold pairs (planted)") {
+    import graft.operators.Similarity
+    val dim = 16
+    val rnd = new java.util.SplittableRandom(11L)
+    val base = (0L until 300L).map { id =>
+      (id, Array.fill(dim)(rnd.nextDouble() * 2 - 1)) }
+    // plant a near-identical twin (tiny jitter) for every 10th vector
+    val planted = base.filter(_._1 % 10 == 0).map { case (id, v) =>
+      (id + 1000L, v.map(_ + 0.001)) }
+    val df = (base ++ planted).toDF("id", "vec")
+      .select(col("id"), col("vec").cast("array<double>").as("vec"))
+    val got = Similarity.cosinePairsLshScaled(df, "id", "vec",
+        threshold = 0.95, dim = dim, targetCos = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Similarity.cosinePairs(df, "id", "vec", threshold = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "fixture must plant qualifying pairs")
+    assert(got == exact,
+      s"missed=${(exact -- got).size} extra=${(got -- exact).size}")
   }
 }

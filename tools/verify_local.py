@@ -83,6 +83,11 @@ def main(sf_dir, out_dir):
             if not c["pass"]: n_fail += 1
             else: n_pass += 1
             print(f"{tag} {q} [{c['check']}] {c['detail']}")
+    else:
+        # Verify always writes this on a full run (even on assertion
+        # failure) — absence means the run died before the checks ran
+        print(f"FAIL rows_only_assertions.json missing from {out_dir}")
+        n_fail += 1
     print(f"\n{n_pass} pass / {n_fail} fail")
     return 1 if n_fail else 0
 
