@@ -53,12 +53,31 @@ object CsvReader {
     */
   final case class CsvStats(rowsEmitted: Long, errorCount: Long)
 
+  /** Source-file identity captured when a file scan is opened
+    * (reference `checkFileModified`, src/zig/parser.zig:407-414: the
+    * stat's mtime + size vs the values captured at open). JVM mtime
+    * resolution is filesystem-dependent (often millis) vs the
+    * reference's nanos — same contract, coarser tick, which the size
+    * comparison usually covers.
+    */
+  final case class FileSnapshot(path: String, mtimeMillis: Long,
+      size: Long)
+
+  object FileSnapshot {
+    def capture(path: String): Option[FileSnapshot] = {
+      val f = new java.io.File(path)
+      if (f.isFile) Some(FileSnapshot(path, f.lastModified(), f.length()))
+      else None
+    }
+  }
+
   /** A scan result: the data frame, a lazily-computed error frame
     * (errType, code, message, row), the resolved header names, and the
     * parse metadata.
     */
   final case class CsvScan(df: DataFrame, errors: DataFrame,
-      headers: Seq[String], meta: CsvMeta = CsvMeta()) {
+      headers: Seq[String], meta: CsvMeta = CsvMeta(),
+      source: Option[FileSnapshot] = None) {
     /** Count rows + errors (two actions — call after the scan is set up,
       * like the reference reads `parser.stats` after iterating). NOTE:
       * `errorCount` covers the WHOLE input — under preview/toLine
@@ -66,12 +85,35 @@ object CsvReader {
       * stops counting where parsing stopped.
       */
     def stats(): CsvStats = CsvStats(df.count(), errors.count())
+
+    /** Reference parser.zig:407-414 `checkFileModified`: true when the
+      * source file's mtime or size changed since the scan was opened —
+      * or the file can no longer be statted (the reference also returns
+      * true on stat failure); always false for buffer/stream scans (no
+      * file handle). Spark scans are LAZY — they re-read the file on
+      * every action — so a true here means later actions may see
+      * different data than already-consumed ones: re-run `read` (or use
+      * the structured-streaming file source, which tails changes as a
+      * first-class contract).
+      */
+    def fileModified: Boolean = source.exists { s =>
+      val f = new java.io.File(s.path)
+      !f.isFile || f.lastModified() != s.mtimeMillis || f.length() != s.size
+    }
   }
 
   private val Corrupt = "_corrupt_record"
   private val LineNo = "__lineno"
 
   def read(spark: SparkSession, path: String, opts0: CsvOptions = CsvOptions()): CsvScan = {
+    // stat the source at open (reference parser.zig captures mtime/size
+    // when the file handle is acquired) so fileModified has a baseline
+    val snap = FileSnapshot.capture(stripScheme(path))
+    readImpl(spark, path, opts0).copy(source = snap)
+  }
+
+  private def readImpl(spark: SparkSession, path: String,
+      opts0: CsvOptions): CsvScan = {
     // beforeFirstChunk re-inits from the (possibly modified) buffer, exactly
     // like the reference (parser.ts:350-360): whole content in, re-parse.
     if (opts0.beforeFirstChunk.isDefined)

@@ -412,4 +412,20 @@ class CsvReaderSpec extends SparkSpec {
       org.apache.spark.sql.types.DoubleType)
     assert(rows(scan).map(_(1)) == Seq(200.0, 14.0))
   }
+
+  test("fileModified tracks mtime/size changes (ref parser.zig:407-414)") {
+    val p = writeTmp("modcheck.csv", "a,b\n1,2\n")
+    val scan = CsvReader.read(spark, p)
+    assert(!scan.fileModified, "fresh scan must not report modified")
+    // size change always trips the check (mtime tick can be coarse)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(p),
+      "a,b\n1,2\n3,4\n")
+    assert(scan.fileModified, "appended file must report modified")
+    // stat failure reports modified, like the reference
+    java.nio.file.Files.delete(java.nio.file.Paths.get(p))
+    assert(scan.fileModified, "deleted file must report modified")
+    // buffer scans have no file handle → never modified
+    val buf = CsvReader.readString(spark, "x,y\n1,2\n")
+    assert(!buf.fileModified)
+  }
 }
