@@ -21,14 +21,20 @@ object Tables {
 
   private def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS), which Spark's TimestampType
-      // (µs) rejects outright. Read the raw int64 nanos and truncate to µs
-      // with INTEGER division (a double division would lose precision above
-      // 2^53 ns) — matching DuckDB's own ns→µs truncation so oracle
-      // comparisons agree.
+      // events.ts in the driver testdata is parquet TIMESTAMP(NANOS),
+      // which Spark's TimestampType (µs) rejects outright. Read the raw
+      // int64 nanos and truncate to µs with INTEGER division (a double
+      // division would lose precision above 2^53 ns) — matching DuckDB's
+      // own ns→µs truncation so oracle comparisons agree. ScaleUp
+      // rehearsal data writes ts as a µs TIMESTAMP directly (so DuckDB
+      // can bind date functions at scale too) — pass that through.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$sfDir/$name.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val raw = spark.read.parquet(s"$sfDir/$name.parquet")
+      raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case _ => raw
+      }
     } else spark.read.parquet(s"$sfDir/$name.parquet")
 
   def registerAll(spark: SparkSession, sfDir: String): Unit =

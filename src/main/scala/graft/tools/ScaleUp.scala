@@ -21,10 +21,12 @@ import org.apache.spark.sql.functions._
   *    preserves the original's internal dup structure and exact lengths
   *    (n_chars stays valid);
   *  - events keep their timestamps (densification: 10× events/day — how
-  *    traffic actually grows) with ts written as raw int64 nanos, the
-  *    layout `graft.Tables` expects;
-  *  - embeddings keep their vectors (replica copies are exact ties broken
-  *    by id; noted in PLANS.md where it matters).
+  *    traffic actually grows) with ts written as a µs TIMESTAMP (the
+  *    Tables ns→µs truncation applied up front, so the DuckDB oracle
+  *    binds date functions on the scaled data too);
+  *  - embeddings get hash-decorrelated per-(vector, replica) noise so
+  *    replica copies are neither exact ties nor near-dups (details at
+  *    the replicate block below).
   */
 object ScaleUp {
 
@@ -80,11 +82,15 @@ object ScaleUp {
         col("l_extendedprice"), col("l_discount"), col("l_tax"),
         col("l_returnflag"), col("l_linestatus"), col("l_shipdate"))
     }
-    // events: raw int64 nanos (TIMESTAMP(NANOS) source; Tables does the
-    // ns→µs truncation on read)
+    // events: write ts as a µs TIMESTAMP (the Tables ns→µs truncation
+    // applied at synthesis time). Raw int64 output (round 6) broke the
+    // DuckDB oracle at scale — date_trunc/epoch_us can't bind a BIGINT —
+    // so the 10× gate silently skipped every events query. Tables
+    // passes a TimestampType ts through unchanged.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     replicate(spark.read.parquet(s"$src/events.parquet"), "events") {
-      (d, k) => d.select(off("event_id", k), col("ts"), off("user_id", k),
+      (d, k) => d.select(off("event_id", k),
+        timestamp_micros(expr("ts div 1000")).as("ts"), off("user_id", k),
         col("event_type"), col("value"), col("props"))
     }
     val lower = "abcdefghijklmnopqrstuvwxyz"
@@ -104,11 +110,18 @@ object ScaleUp {
         // noise on unit vectors puts cos(same vec, two replicas) ≈ 0.67,
         // far below every gate threshold, while within-replica structure
         // is preserved up to a uniform ~1/1.5 cosine shrink.
+        // HASH-mixed noise (round 7): the round-6 modular form
+        // ((vec_id*7 + i*13 + k*31) % 17) was the SAME cyclic pattern
+        // per replica, shifted — shift-aligned replica pairs correlated
+        // at ρ high enough to lift cos(same vec, two replicas) above
+        // 0.9, which the exact all-pairs q92 oracle sees and a
+        // 0.9967-tuned LSH gate legitimately misses. xxhash64 per
+        // (vec, element, replica) decorrelates replicas completely.
         val emb =
           if (k == 0) col("embedding")
           else transform(col("embedding"), (x, i) =>
             (x.cast("double") + lit(0.018) *
-              (((col("vec_id") * 7 + i.cast("long") * 13 + k * 31) % 17) - 8))
+              (pmod(xxhash64(col("vec_id"), i, lit(k)), lit(17)) - 8))
               .cast("float"))
         d.select(off("vec_id", k), emb.as("embedding"), col("label"))
     }

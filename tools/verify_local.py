@@ -23,10 +23,13 @@ def norm(v):
     return v
 
 def main(sf_dir, out_dir):
+    float_rtol = float(os.environ.get("FLOAT_RTOL", "0"))
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
-        if os.path.exists(p):
+        if os.path.isdir(p):  # Spark-written table = directory of parts
+            p = f"{p}/*.parquet"
+        if os.path.exists(f"{sf_dir}/{t}.parquet"):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
@@ -59,7 +62,13 @@ def main(sf_dir, out_dir):
             for i, (x, y) in enumerate(zip(a, b)):
                 x, y = norm(x), norm(y)
                 if isinstance(x, float) and isinstance(y, float):
-                    if x != y:
+                    # FLOAT_RTOL (scale rehearsals only): double-sum
+                    # accumulation order drifts past the round(4) guard
+                    # once magnitudes reach ~1e10 (10x+ data); default 0
+                    # keeps driver-parity exactness
+                    if x != y and (float_rtol == 0.0 or
+                                   abs(x - y) > float_rtol *
+                                   max(abs(x), abs(y), 1.0)):
                         max_float_delta = max(max_float_delta, abs(x - y))
                         bad += 1
                         if first_diff is None: first_diff = (c, i, x, y)
