@@ -64,6 +64,12 @@ object CsvReader {
       size: Long)
 
   object FileSnapshot {
+    /** Single local files only (the reference's file handle is one fd):
+      * a directory/glob/non-local input returns None, so its scan has no
+      * file handle and `fileModified` stays false — track a changing
+      * DIRECTORY with the structured-streaming file source, whose whole
+      * contract is new-file discovery.
+      */
     def capture(path: String): Option[FileSnapshot] = {
       val f = new java.io.File(path)
       if (f.isFile) Some(FileSnapshot(path, f.lastModified(), f.length()))
@@ -183,9 +189,14 @@ object CsvReader {
     tmp.toFile.deleteOnExit()
     java.nio.file.Files.write(tmp,
       content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    // the buffer is already a decoded string — no encoding re-detection
+    // the buffer is already a decoded string — no encoding re-detection.
+    // Drop the snapshot read() captures: this is a BUFFER scan (the temp
+    // file is an internal vehicle, not the caller's source) and
+    // fileModified must stay false for it — monitoring the temp file
+    // would flip true when a tmp cleaner removes it
     read(spark, tmp.toString,
       opts.copy(encoding = None, detectEncoding = false))
+      .copy(source = None)
   }
 
   /** linebreak of a local file's first 8 KB; "\n" when unreadable

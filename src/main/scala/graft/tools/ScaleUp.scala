@@ -88,10 +88,18 @@ object ScaleUp {
     // so the 10× gate silently skipped every events query. Tables
     // passes a TimestampType ts through unchanged.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    replicate(spark.read.parquet(s"$src/events.parquet"), "events") {
-      (d, k) => d.select(off("event_id", k),
-        timestamp_micros(expr("ts div 1000")).as("ts"), off("user_id", k),
-        col("event_type"), col("value"), col("props"))
+    val ev = spark.read.parquet(s"$src/events.parquet")
+    // schema-adaptive like Tables.load: driver testdata is raw int64
+    // nanos (truncate), a previous ScaleUp output is already a µs
+    // TIMESTAMP (pass through) — so rehearsal data can be re-scaled
+    val evTs = ev.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        timestamp_micros(expr("ts div 1000"))
+      case _ => col("ts")
+    }
+    replicate(ev, "events") {
+      (d, k) => d.select(off("event_id", k), evTs.as("ts"),
+        off("user_id", k), col("event_type"), col("value"), col("props"))
     }
     val lower = "abcdefghijklmnopqrstuvwxyz"
     replicate(spark.read.parquet(s"$src/documents.parquet"), "documents") {

@@ -424,8 +424,13 @@ class CsvReaderSpec extends SparkSpec {
     // stat failure reports modified, like the reference
     java.nio.file.Files.delete(java.nio.file.Paths.get(p))
     assert(scan.fileModified, "deleted file must report modified")
-    // buffer scans have no file handle → never modified
+    // buffer scans have no file handle → never modified — including the
+    // multiLine route, which parses via an INTERNAL temp file whose
+    // snapshot must not leak into the scan
     val buf = CsvReader.readString(spark, "x,y\n1,2\n")
     assert(!buf.fileModified)
+    val bufMl = CsvReader.readString(spark, "x,y\n\"a\nb\",2\n",
+      graft.sources.CsvOptions(multiLine = true))
+    assert(bufMl.source.isEmpty && !bufMl.fileModified)
   }
 }
