@@ -230,6 +230,27 @@ class Round7OpsSpec extends SparkSpec {
     assert(e.getMessage.contains("integral"))
   }
 
+  test("runningTotal bucketed path == window (timestamp + 3-key mixed dirs)") {
+    val rnd = new java.util.SplittableRandom(23L)
+    val rows = (1 to 2500).map { i =>
+      val ts = if (rnd.nextInt(25) == 0) null
+        else new java.sql.Timestamp(1600000000000L + rnd.nextLong(86400000L))
+      val g = rnd.nextInt(7)
+      (ts, g, i.toLong, rnd.nextLong(50))
+    }
+    val df = rows.toDF("ts", "g", "id", "w").repartition(6)
+    val order = Seq(SortKey(col("ts")), SortKey.desc(col("g")),
+      SortKey(col("id")))
+    val w = Window.orderBy(order.map(_.order): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val expected = df
+      .withColumn("rt", coalesce(sum(col("w")).over(w), lit(0L)))
+      .collect().map(r => (r.getLong(2), r.getLong(4))).toSet
+    val got = Sampling.runningTotal(df, order, "w", "rt")
+      .collect().map(r => (r.getLong(2), r.getLong(4))).toSet
+    assert(got == expected)
+  }
+
   test("scaledLshGeometry: bits track corpus size, miss rate held at target") {
     import graft.operators.Similarity
     // floor regime (tiny corpora keep the 7x9 default)
