@@ -8,6 +8,29 @@ import graft.tools.TestData
   */
 class TestDataSpec extends SparkSpec {
 
+  test("SeededRandom byte-matches the reference's JS LCG (node-pinned)") {
+    // state sequences produced by the REFERENCE LCG running under node
+    // (src/ts/testing.ts:21-31 verbatim): `(seed*1103515245+12345) &
+    // 0x7fffffff` with the multiply in DOUBLE precision. Pinned here so
+    // the JS-double emulation can never silently regress to exact long
+    // arithmetic (which diverges after the first draw for most seeds).
+    val pinned = Map(
+      1L -> Seq(1103527590L, 377401600L, 333417792L, 314102912L,
+        611429056L, 1995203584L, 18793472L, 1909564472L),
+      7L -> Seq(1282168116L, 642666240L, 1164563200L, 2119763712L,
+        1443507200L, 1136454656L, 1868082176L, 1965648896L),
+      123456789L -> Seq(231794736L, 1305586880L, 1634287104L,
+        2125698560L, 774573568L, 446244352L, 1623809600L, 905236736L),
+      2147483646L -> Seq(2087949312L, 743322624L, 1763988480L,
+        1309668352L, 1361253376L, 872920064L, 941609984L, 270889984L))
+    for ((seed, states) <- pinned) {
+      val r = new TestData.SeededRandom(seed)
+      val got = states.map(_ => r.next())
+      val want = states.map(_.toDouble / 0x7fffffffL)
+      assert(got == want, s"seed $seed: $got != $want")
+    }
+  }
+
   test("generateCsv: seeded-deterministic, column DSL, CsvReader round-trip") {
     val cols = Seq("id:integer", "score:float", "born:date", "ok:boolean",
       "who:name", "town:city", "mail:email", "note")
