@@ -21,9 +21,9 @@ object Queries6 {
 
   /** semantic dedup over the embedding space, through the SCALE path:
     * hyperplane-banded candidate pairs with exact round(cos,4) >= 0.9
-    * rescore ([[Similarity.cosinePairsLsh]] — NO CartesianProduct in the
-    * plan) → connected components → keep the min-id representative per
-    * cluster. The raw testdata embeddings contain no semantic near-dups
+    * rescore ([[Similarity.cosinePairsLshAuto]] — NO CartesianProduct in
+    * the plan) → connected components → keep the min-id representative
+    * per cluster. The raw testdata embeddings contain no semantic near-dups
     * (max background pair cos ≈ 0.51 at every SF — measured round 6), so
     * the query PLANTS them the way q113 plants corpus versions: every
     * %10 == 0 vector gets a deterministic low-amplitude jittered copy
@@ -39,19 +39,23 @@ object Queries6 {
     // identical left-to-right in both engines — the oracle SQL below
     // mirrors it element-for-element
     val v = QueryFixtures.plantedEmbeddings(base)
-    // 12-bit × 12-band geometry: the 10× rehearsal measured the 7-bit
-    // default going quadratic in candidates (buckets ~n/128); 2^12 band
-    // values keep buckets ~16 up to ~64k vectors, and 12 bands hold the
-    // planted-pair (cos ≈ 0.9967, p ≈ 0.974) miss rate at ~1.5e-7.
-    // Round 7 MEASURED cosinePairsLshScaled here (r=13..17, b=15..18 by
-    // corpus) and it LOST at every scale (sf0.1 cold 1.9→5.3 s, sf3
-    // 27→36 s): a tight maxMiss at cos 0.9967 needs ~1.5× the bands, so
-    // signature+explode cost grows faster than the candidate savings
-    // until well past the 12-bit occupancy knee (~0.5M vectors). Fixed
-    // geometry is the measured right call at the gate's scales; the
-    // scaled form is for top-pairs-style candidate-dominated work (q49).
-    val pairs = Similarity.cosinePairsLsh(v, "vec_id", "e", 0.9, dim = 64,
-      planesPerBand = 12, bands = 12)
+    // 12-bit × 12-band hand geometry: the 10× rehearsal measured the
+    // 7-bit default going quadratic in candidates (buckets ~n/128);
+    // 2^12 band values keep buckets ~16 up to ~64k vectors, and 12
+    // bands hold the planted-pair (cos ≈ 0.9967, p ≈ 0.974) miss rate
+    // at ~1.5e-7. Round 7 MEASURED cosinePairsLshScaled here and it
+    // LOST at every rehearsed scale (sf0.1 cold 1.9→5.3 s, sf3
+    // 27→36 s): a tight maxMiss at cos 0.9967 needs ~1.5× the bands,
+    // so signature+explode cost grows faster than the candidate
+    // savings until past the 12-bit occupancy knee (~0.5M vectors).
+    // Round 8: the knee routing is CODE, not scaladoc — the auto
+    // dispatcher keeps 12×12 while occupancy n/2^12 ≤ 128 (every
+    // oracle SF and the sf10 rehearsal, 220k vectors → occ 54) and
+    // switches to scaledLshGeometry past ~0.5M vectors, carrying the
+    // hand geometry's own 1.5e-7 design miss across the switch.
+    val pairs = Similarity.cosinePairsLshAuto(v, "vec_id", "e", 0.9,
+      dim = 64, planesPerBand = 12, bands = 12, targetCos = 0.9967,
+      maxMiss = 1.5e-7)
     Dedup.connectedComponents(v.select(col("vec_id")), "vec_id",
         pairs, "id_a", "id_b")
       .select(col("id").as("vec_id"), col("comp"),

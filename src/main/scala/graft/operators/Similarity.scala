@@ -20,6 +20,10 @@ object Similarity {
 
   import graft.functions.VectorExprs.{vec_dot, vec_l2norm}
 
+  // driver-side routing decisions (geometry dispatch, cap trips) are
+  // logged so a 1000-executor job's log explains WHY a plan was chosen
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** cosine(a, b) in double precision, left-to-right — native codegen
     * expressions (VectorExprs), no per-pair allocation.
     */
@@ -150,7 +154,22 @@ object Similarity {
     * still misses top pairs. Use [[topPairsLsh]] when the pairs of
     * interest are in the genuinely-gateable high-similarity regime.
     */
-  def topPairs(df: DataFrame, idCol: String, vecCol: String, n: Int): DataFrame = {
+  def topPairs(df: DataFrame, idCol: String, vecCol: String, n: Int,
+      maxRows: Long = 1L << 20): DataFrame = {
+    // Exact-by-contract must fail LOUDLY, not quadratically: 2^20 rows is
+    // already ~5.5e11 dot products — far past where anyone plausibly
+    // wants the exact form. The probe is bounded like the as-of
+    // broadcast cap: limit(cap+1).count() never scans past cap+1 rows.
+    if (maxRows > 0) {
+      val capped = math.min(maxRows, Int.MaxValue - 2L)
+      val seen = df.limit((capped + 1).toInt).count()
+      if (seen > capped) throw new IllegalArgumentException(
+        s"topPairs is exact all-pairs (O(n^2) dot products) and its input " +
+          s"exceeds $capped rows. Use topPairsLshScaled for the " +
+          s"high-similarity (near-dup) regime at this scale, bound the " +
+          s"corpus (per-label / per-partition blocks), or raise maxRows " +
+          s"(0 disables the guard) if the quadratic cost is intended.")
+    }
     val a = df.select(col(idCol).as("id_a"), col(vecCol).as("__va"),
       vec_l2norm(col(vecCol)).as("__na"))
       .filter(col("__na") > 0) // zero-norm guard (see bruteForceTopK)
@@ -200,13 +219,13 @@ object Similarity {
     * bits must grow with the corpus and band count with the recall
     * target.
     *
-    *  - `planesPerBand r = clamp(7, 20, ceil(log2(n / targetBucket)))`
-    *    keeps expected bucket occupancy ~targetBucket, so candidate work
-    *    stays ~`bands · targetBucket/2 · n` — linear in n. The 20-bit
-    *    cap bounds signature cost (r·b·dim multiply-adds per row); the
-    *    kernel itself accepts up to 63 bits, so corpora beyond
-    *    2^20·targetBucket ≈ 16M vectors can raise the cap instead of
-    *    letting occupancy grow.
+    *  - `planesPerBand r = clamp(7, maxPlanesPerBand, ceil(log2(n /
+    *    targetBucket)))` keeps expected bucket occupancy ~targetBucket,
+    *    so candidate work stays ~`bands · targetBucket/2 · n` — linear
+    *    in n. The default 20-bit cap bounds signature cost (r·b·dim
+    *    multiply-adds per row); the kernel itself accepts up to 63 bits
+    *    per band, so corpora beyond 2^20·targetBucket ≈ 16M vectors
+    *    raise `maxPlanesPerBand` instead of letting occupancy grow.
     *  - `bands b = clamp(9, 24, ceil(ln(maxMiss) / ln(1 − p^r)))` holds
     *    the per-pair miss rate `(1 − p^r)^b ≤ maxMiss` at `targetCos`,
     *    where `p = 1 − acos(targetCos)/π` is the per-bit agreement
@@ -222,10 +241,14 @@ object Similarity {
     * scales with `bands · targetBucket`).
     */
   def scaledLshGeometry(n: Long, targetCos: Double = 0.99,
-      maxMiss: Double = 0.01, targetBucket: Int = 16): (Int, Int) = {
+      maxMiss: Double = 0.01, targetBucket: Int = 16,
+      maxPlanesPerBand: Int = 20): (Int, Int) = {
     require(targetCos > 0 && targetCos < 1, "targetCos must be in (0,1)")
     require(maxMiss > 0 && maxMiss < 1, "maxMiss must be in (0,1)")
-    val r = math.max(7, math.min(20, math.ceil(
+    require(targetBucket >= 1, "targetBucket must be >= 1")
+    require(maxPlanesPerBand >= 7 && maxPlanesPerBand <= 63,
+      "maxPlanesPerBand must be in [7, 63] (a band key is packed in a long)")
+    val r = math.max(7, math.min(maxPlanesPerBand, math.ceil(
       math.log(math.max(1.0, n.toDouble / targetBucket)) / math.log(2.0))
       .toInt))
     val p = 1.0 - math.acos(targetCos) / math.Pi
@@ -242,8 +265,11 @@ object Similarity {
     */
   def topPairsLshScaled(
       df: DataFrame, idCol: String, vecCol: String, n: Int, dim: Int,
-      targetCos: Double = 0.99, maxMiss: Double = 0.01): DataFrame = {
-    val (r, b) = scaledLshGeometry(df.count(), targetCos, maxMiss)
+      targetCos: Double = 0.99, maxMiss: Double = 0.01,
+      targetBucket: Int = 16, maxPlanesPerBand: Int = 20): DataFrame = {
+    val (r, b) =
+      scaledLshGeometry(df.count(), targetCos, maxMiss, targetBucket,
+        maxPlanesPerBand)
     rescoredBandPairs(df, idCol, vecCol, dim, r, b)
       .orderBy(col("cos").desc, col("id_a").asc, col("id_b").asc)
       .limit(n)
@@ -301,8 +327,84 @@ object Similarity {
     */
   def cosinePairsLshScaled(
       df: DataFrame, idCol: String, vecCol: String, threshold: Double,
-      dim: Int, targetCos: Double, maxMiss: Double = 1e-8): DataFrame = {
-    val (r, b) = scaledLshGeometry(df.count(), targetCos, maxMiss)
+      dim: Int, targetCos: Double, maxMiss: Double = 1e-8,
+      targetBucket: Int = 16, maxPlanesPerBand: Int = 20): DataFrame = {
+    val (r, b) =
+      scaledLshGeometry(df.count(), targetCos, maxMiss, targetBucket,
+        maxPlanesPerBand)
+    rescoredBandPairs(df, idCol, vecCol, dim, r, b)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
+  /** Geometry routing for [[cosinePairsLshAuto]]: keep the supplied hand
+    * geometry while its expected bucket occupancy `n / 2^planesPerBand`
+    * stays at or under `occupancyCap`; switch to [[scaledLshGeometry]]
+    * past it. Returns `(planesPerBand, bands, switched)`.
+    *
+    * The default cap 128 encodes the MEASURED crossover, not the design
+    * occupancy: q92's 12-bit hand width (design occupancy ~16) kept
+    * beating the scaled form through occupancy ~16·30 at the 30×
+    * rehearsal because the scaled form pays ~1.5× the signature planes —
+    * but past ~128/bucket (the documented ~0.5M-vector knee for 12 bits)
+    * candidate work `bands · n · occupancy/2` dominates any signature
+    * saving and the fixed width goes quadratic (q49 measured 2.6× at
+    * 10× rows, 185× at 30× — the knee is invisible one decade early).
+    */
+  def autoLshGeometry(n: Long, planesPerBand: Int, bands: Int,
+      targetCos: Double, maxMiss: Double = 1e-8,
+      occupancyCap: Long = 128, targetBucket: Int = 16,
+      maxPlanesPerBand: Int = 20): (Int, Int, Boolean) = {
+    require(planesPerBand > 0 && planesPerBand <= 63,
+      "planesPerBand must fit a long")
+    require(bands > 0, "bands must be positive")
+    require(occupancyCap > 0, "occupancyCap must be positive")
+    if (n.toDouble / math.pow(2.0, planesPerBand) <= occupancyCap.toDouble)
+      (planesPerBand, bands, false)
+    else {
+      val (r, b) =
+        scaledLshGeometry(n, targetCos, maxMiss, targetBucket,
+          maxPlanesPerBand)
+      (r, b, true)
+    }
+  }
+
+  /** [[cosinePairsLsh]] with knee-aware geometry dispatch — the form to
+    * deploy when the corpus may outgrow a hand-tuned band width. A hand
+    * geometry measured at deployment scale beats the analytic one (q92:
+    * 12×12 won at every rehearsed scale up to its knee — see
+    * [[cosinePairsLshScaled]]), but a fixed width crosses its quadratic
+    * knee silently once occupancy `n/2^r` outruns it, and at 100 TB
+    * nobody re-reads a scaladoc before the job dies — so the routing is
+    * code, not advice: the hand geometry is used only while
+    * `n / 2^planesPerBand ≤ occupancyCap` ([[autoLshGeometry]]), and the
+    * choice is logged either way.
+    *
+    * `targetCos`/`maxMiss` describe the pairs that MUST be recalled if
+    * the scaled branch is taken (see [[cosinePairsLshScaled]]) — pass
+    * the hand geometry's own design miss rate for continuity across the
+    * switch. `n` is taken from `knownCount` when the caller already has
+    * it; otherwise one narrow count job over `df` (`localCheckpoint()`
+    * first if the input plan is expensive — the pair machinery evaluates
+    * it again for signatures).
+    */
+  def cosinePairsLshAuto(
+      df: DataFrame, idCol: String, vecCol: String, threshold: Double,
+      dim: Int, planesPerBand: Int, bands: Int, targetCos: Double,
+      maxMiss: Double = 1e-8, occupancyCap: Long = 128,
+      targetBucket: Int = 16, maxPlanesPerBand: Int = 20,
+      knownCount: Option[Long] = None): DataFrame = {
+    val n = knownCount.getOrElse(df.count())
+    val (r, b, switched) = autoLshGeometry(n, planesPerBand, bands,
+      targetCos, maxMiss, occupancyCap, targetBucket, maxPlanesPerBand)
+    if (switched) log.warn(
+      s"cosinePairsLshAuto: n=$n exceeds hand geometry " +
+        s"${planesPerBand}x$bands occupancy cap (n/2^$planesPerBand > " +
+        s"$occupancyCap/bucket) — switching to scaled geometry ${r}x$b " +
+        s"(targetCos=$targetCos, maxMiss=$maxMiss)")
+    else log.info(
+      s"cosinePairsLshAuto: n=$n within occupancy cap — keeping hand " +
+        s"geometry ${planesPerBand}x$bands")
     rescoredBandPairs(df, idCol, vecCol, dim, r, b)
       .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
       .filter(col("cos") >= threshold)

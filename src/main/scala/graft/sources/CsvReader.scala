@@ -256,28 +256,86 @@ object CsvReader {
       case _ => spark.read.textFile(path).toDF("line")
     }
 
-  /** URL scan — driver-side fetch (custom headers supported), then buffer
-    * parse (reference src/ts/parser.ts:447-500). Works for any
-    * java.net-resolvable scheme incl. file:// ; at scale prefer mounting
-    * the data and using `read` (a URL body is inherently single-stream).
+  /** Credential policy for [[readUrl]] — the JVM mapping of the
+    * reference's browser-fetch credentials option (parser.ts:105-118:
+    * `withCredentials` true ⇒ fetch "include", false ⇒ "same-origin").
+    * The JVM has no browser origin, so the server-visible effects map
+    * onto request headers and a driver-side cookie jar:
     *
-    * DOCUMENTED DIVERGENCE — `credentials`: the reference forwards a
-    * browser-fetch `credentials` option (parser.ts:105-118:
-    * omit/same-origin/include cookie policy). Cookie jars and origins are
-    * browser concepts with no JVM equivalent; callers needing
-    * authenticated fetches pass explicit `headers` (e.g. Authorization or
-    * Cookie), which covers every server-visible effect of the option.
+    *  - [[UrlCredentials.SameOrigin]] (default, = reference default
+    *    `withCredentials: false`): send exactly the explicit `headers`;
+    *    no ambient cookies attach.
+    *  - [[UrlCredentials.Include]] (= `withCredentials: true`): attach
+    *    cookies stored for the URL in the process cookie jar and store
+    *    `Set-Cookie` responses back into it — the fetch cookie-jar
+    *    round-trip.
+    *  - [[UrlCredentials.Omit]] (= fetch "omit"): strip ambient
+    *    credentials — `Cookie`/`Authorization` are removed even when
+    *    present in `headers`, and nothing is stored.
+    *  - [[UrlCredentials.Bearer]]: Authorization-bearing fetch —
+    *    `Authorization: Bearer <token>` without hand-writing the header.
+    */
+  sealed trait UrlCredentials
+  object UrlCredentials {
+    case object Omit extends UrlCredentials
+    case object SameOrigin extends UrlCredentials
+    case object Include extends UrlCredentials
+    final case class Bearer(token: String) extends UrlCredentials
+  }
+
+  /** Process cookie jar backing [[UrlCredentials.Include]] fetches.
+    * Exposed within the package so specs can seed/inspect it.
+    */
+  private[graft] val cookieJar = new java.net.CookieManager()
+
+  /** Request headers after applying the credential policy — pure, so the
+    * policy is spec-checkable without a live server.
+    */
+  private[graft] def effectiveHeaders(
+      headers: Map[String, String], credentials: UrlCredentials,
+      uri: java.net.URI): Map[String, String] = credentials match {
+    case UrlCredentials.Omit =>
+      headers.filterNot { case (k, _) =>
+        k.equalsIgnoreCase("Cookie") || k.equalsIgnoreCase("Authorization")
+      }
+    case UrlCredentials.SameOrigin => headers
+    case UrlCredentials.Bearer(token) =>
+      headers + ("Authorization" -> s"Bearer $token")
+    case UrlCredentials.Include =>
+      import scala.jdk.CollectionConverters._
+      val stored = cookieJar.getCookieStore.get(uri).asScala
+        .map(c => s"${c.getName}=${c.getValue}")
+      if (stored.isEmpty) headers
+      else {
+        // explicit Cookie header entries keep precedence (listed first)
+        val explicit = headers.find(_._1.equalsIgnoreCase("Cookie"))
+        val merged = (explicit.map(_._2).toSeq ++ stored).mkString("; ")
+        headers.filterNot(_._1.equalsIgnoreCase("Cookie")) +
+          ("Cookie" -> merged)
+      }
+  }
+
+  /** URL scan — driver-side fetch (custom headers + credential modes),
+    * then buffer parse (reference src/ts/parser.ts:447-500). Works for
+    * any java.net-resolvable scheme incl. file:// ; at scale prefer
+    * mounting the data and using `read` (a URL body is inherently
+    * single-stream).
     */
   def readUrl(spark: SparkSession, url: String,
       opts: CsvOptions = CsvOptions(),
-      headers: Map[String, String] = Map.empty): CsvScan = {
-    val conn = new java.net.URL(url).openConnection()
-    headers.foreach { case (k, v) => conn.setRequestProperty(k, v) }
+      headers: Map[String, String] = Map.empty,
+      credentials: UrlCredentials = UrlCredentials.SameOrigin): CsvScan = {
+    val uri = java.net.URI.create(url)
+    val conn = uri.toURL.openConnection()
+    effectiveHeaders(headers, credentials, uri)
+      .foreach { case (k, v) => conn.setRequestProperty(k, v) }
     val in = conn.getInputStream
     val content =
       try new String(in.readAllBytes(),
         opts.encoding.getOrElse("UTF-8"))
       finally in.close()
+    if (credentials == UrlCredentials.Include)
+      cookieJar.put(uri, conn.getHeaderFields) // stores Set-Cookie replies
     readString(spark, content, opts)
   }
 

@@ -1,0 +1,174 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+import graft.sources.{CsvOptions, CsvReader}
+
+/** Round-8 verdict items: knee-aware LSH dispatch, scaled-geometry
+  * parameter plumbing (targetBucket / maxPlanesPerBand), the exact
+  * topPairs row-count guard, and readUrl credential modes.
+  */
+class Round8OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---------------------------------------------- knee-aware dispatch
+
+  test("autoLshGeometry keeps hand geometry while occupancy is under cap") {
+    // q92's deployment point: 12-bit width, occupancy 220k/4096 ≈ 54
+    val (r, b, switched) =
+      Similarity.autoLshGeometry(220000L, 12, 12, targetCos = 0.9967)
+    assert((r, b, switched) == (12, 12, false))
+    // exactly at the cap boundary: 128 * 2^12 stays on the hand branch
+    val atCap = Similarity.autoLshGeometry(128L * 4096, 12, 12, 0.9967)
+    assert(!atCap._3)
+  }
+
+  test("autoLshGeometry switches to scaled bits past the occupancy knee") {
+    // one row past the documented ~0.5M knee for a 12-bit width
+    val n = 128L * 4096 + 1
+    val (r, b, switched) =
+      Similarity.autoLshGeometry(n, 12, 12, targetCos = 0.9967,
+        maxMiss = 1.5e-7)
+    assert(switched)
+    val expected =
+      Similarity.scaledLshGeometry(n, 0.9967, 1.5e-7)
+    assert((r, b) == expected)
+    assert(r > 12, "scaled width must widen past the hand geometry's knee")
+  }
+
+  test("scaledLshGeometry honors targetBucket and maxPlanesPerBand") {
+    // beyond 2^20 * 16 ≈ 16.8M vectors the default 20-bit cap saturates;
+    // raising the cap lets the width keep tracking occupancy
+    val n = 100000000L // 100M: log2(n/16) ≈ 22.6
+    assert(Similarity.scaledLshGeometry(n)._1 == 20)
+    assert(Similarity.scaledLshGeometry(n, maxPlanesPerBand = 24)._1 == 23)
+    // a larger target bucket trades candidate work for fewer bits
+    assert(Similarity.scaledLshGeometry(1000000L)._1 == 16)
+    assert(Similarity.scaledLshGeometry(1000000L, targetBucket = 64)._1 == 14)
+    intercept[IllegalArgumentException] {
+      Similarity.scaledLshGeometry(n, maxPlanesPerBand = 64)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.scaledLshGeometry(n, targetBucket = 0)
+    }
+  }
+
+  private def plantedVecs(dim: Int = 16) = {
+    val rnd = new java.util.SplittableRandom(17L)
+    val base = (0L until 200L).map { id =>
+      (id, Array.fill(dim)(rnd.nextDouble() * 2 - 1)) }
+    val planted = base.filter(_._1 % 10 == 0).map { case (id, v) =>
+      (id + 1000L, v.map(_ + 0.001)) }
+    (base ++ planted).toDF("id", "vec")
+      .select(col("id"), col("vec").cast("array<double>").as("vec"))
+  }
+
+  test("cosinePairsLshAuto matches exact pairs on BOTH dispatch branches") {
+    // threshold 0.98 keeps only the planted twins (cos ≈ 0.999999) in
+    // the exact set — the 19-bit scaled branch's per-pair miss is ~0
+    // there but a few percent for a chance background pair near 0.95
+    val dim = 16
+    val df = plantedVecs(dim)
+    val exact = Similarity.cosinePairs(df, "id", "vec", threshold = 0.98)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "fixture must plant qualifying pairs")
+    // hand branch: 220 vectors, occupancy 220/2^12 << 128
+    val hand = Similarity.cosinePairsLshAuto(df, "id", "vec", 0.98,
+        dim = dim, planesPerBand = 12, bands = 12, targetCos = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(hand == exact, s"hand branch missed=${(exact -- hand).size}")
+    // scaled branch forced via knownCount: the claimed corpus size, not
+    // the physical one, drives the width (log2(5M/16) ≈ 18.3 → 19
+    // bits); planted twins still band-collide because band keys hash
+    // the actual signatures
+    val scaled = Similarity.cosinePairsLshAuto(df, "id", "vec", 0.98,
+        dim = dim, planesPerBand = 12, bands = 12, targetCos = 0.99,
+        knownCount = Some(5000000L))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(scaled == exact, s"scaled branch missed=${(exact -- scaled).size}")
+  }
+
+  test("cosinePairsLshScaled plumbs targetBucket/maxPlanesPerBand") {
+    val df = plantedVecs()
+    // tiny corpus: geometry clamps to the r=7 floor either way; the
+    // point is the parameters reach the geometry without error
+    val got = Similarity.cosinePairsLshScaled(df, "id", "vec", 0.95,
+        dim = 16, targetCos = 0.99, targetBucket = 8, maxPlanesPerBand = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Similarity.cosinePairs(df, "id", "vec", 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == exact)
+  }
+
+  // ---------------------------------------------- exact-contract guard
+
+  test("topPairs trips its row cap with an actionable error") {
+    val dim = 8
+    val df = (0L until 50L)
+      .map(i => (i, Array.fill(dim)(1.0 + i)))
+      .toDF("id", "vec")
+    val err = intercept[IllegalArgumentException] {
+      Similarity.topPairs(df, "id", "vec", n = 5, maxRows = 10L).collect()
+    }
+    assert(err.getMessage.contains("topPairsLshScaled"),
+      "the error must route the caller to the scale path")
+    // under the cap and with the guard disabled both still work
+    assert(Similarity.topPairs(df, "id", "vec", 5, maxRows = 50L)
+      .count() == 5)
+    assert(Similarity.topPairs(df, "id", "vec", 5, maxRows = 0L)
+      .count() == 5)
+  }
+
+  // ---------------------------------------------- readUrl credentials
+
+  test("effectiveHeaders applies the credential policy") {
+    val uri = java.net.URI.create("http://example.test/data.csv")
+    val hdrs = Map("Accept" -> "text/csv", "cookie" -> "a=1",
+      "Authorization" -> "Basic xyz")
+    // Omit strips ambient credentials, case-insensitively, keeps the rest
+    val omitted =
+      CsvReader.effectiveHeaders(hdrs, CsvReader.UrlCredentials.Omit, uri)
+    assert(omitted == Map("Accept" -> "text/csv"))
+    // SameOrigin (default) passes the explicit headers through untouched
+    assert(CsvReader.effectiveHeaders(hdrs,
+      CsvReader.UrlCredentials.SameOrigin, uri) == hdrs)
+    // Bearer adds the Authorization header
+    val bearer = CsvReader.effectiveHeaders(Map.empty,
+      CsvReader.UrlCredentials.Bearer("tok123"), uri)
+    assert(bearer == Map("Authorization" -> "Bearer tok123"))
+  }
+
+  test("Include mode replays cookies from the process jar") {
+    val uri = java.net.URI.create("http://cookies.test/data.csv")
+    val cookie = new java.net.HttpCookie("session", "s3cr3t")
+    cookie.setPath("/")
+    cookie.setVersion(0)
+    CsvReader.cookieJar.getCookieStore.add(uri, cookie)
+    try {
+      val inc = CsvReader.effectiveHeaders(Map("Cookie" -> "pre=1"),
+        CsvReader.UrlCredentials.Include, uri)
+      assert(inc("Cookie") == "pre=1; session=s3cr3t")
+      // without credentials the jar is ignored
+      val same = CsvReader.effectiveHeaders(Map.empty,
+        CsvReader.UrlCredentials.SameOrigin, uri)
+      assert(!same.contains("Cookie"))
+    } finally {
+      CsvReader.cookieJar.getCookieStore.remove(uri, cookie): Unit
+    }
+  }
+
+  test("readUrl parses over file:// in an Authorization-bearing mode") {
+    val p = writeTmp("auth.csv", "name,age\nada,36\ngrace,47\n")
+    val scan = CsvReader.readUrl(spark, s"file://$p", CsvOptions(),
+      credentials = CsvReader.UrlCredentials.Bearer("tok"))
+    assert(scan.df.count() == 2)
+    assert(scan.df.select("name").as[String].collect().sorted
+      .sameElements(Array("ada", "grace")))
+    // Omit mode fetches too (headers stripped, body identical)
+    val scanOmit = CsvReader.readUrl(spark, s"file://$p", CsvOptions(),
+      headers = Map("Authorization" -> "Basic x"),
+      credentials = CsvReader.UrlCredentials.Omit)
+    assert(scanOmit.df.count() == 2)
+  }
+}
