@@ -41,18 +41,16 @@ object Queries6 {
     val v = QueryFixtures.plantedEmbeddings(base)
     // 12-bit × 12-band hand geometry: the 10× rehearsal measured the
     // 7-bit default going quadratic in candidates (buckets ~n/128);
-    // 2^12 band values keep buckets ~16 up to ~64k vectors, and 12
-    // bands hold the planted-pair (cos ≈ 0.9967, p ≈ 0.974) miss rate
-    // at ~1.5e-7. Round 7 MEASURED cosinePairsLshScaled here and it
-    // LOST at every rehearsed scale (sf0.1 cold 1.9→5.3 s, sf3
-    // 27→36 s): a tight maxMiss at cos 0.9967 needs ~1.5× the bands,
-    // so signature+explode cost grows faster than the candidate
-    // savings until past the 12-bit occupancy knee (~0.5M vectors).
-    // Round 8: the knee routing is CODE, not scaladoc — the auto
-    // dispatcher keeps 12×12 while occupancy n/2^12 ≤ 128 (every
-    // oracle SF and the sf10 rehearsal, 220k vectors → occ 54) and
-    // switches to scaledLshGeometry past ~0.5M vectors, carrying the
-    // hand geometry's own 1.5e-7 design miss across the switch.
+    // 2^12 band values keep buckets ≤16 through sf1 (22k vectors), and
+    // 12 bands hold the planted-pair (cos ≈ 0.9967, p ≈ 0.974) miss
+    // rate at ~1.5e-7. Round 8: the knee routing is CODE, not scaladoc
+    // — the auto dispatcher keeps 12×12 while occupancy n/2^12 ≤ 16
+    // (every oracle SF: 0.13 → 5.4 at sf1, so the oracled plan never
+    // changes) and switches to scaledLshGeometry past it, carrying the
+    // hand geometry's own 1.5e-7 design miss across the switch. The
+    // cap is the MEASURED crossover on decorrelated rehearsal data:
+    // scaled wins 13.3→11.1 s at occ 18 (sf3) and 141→48 s at occ 54
+    // (sf10); hand wins 1.9 vs 5.3 s at occ 0.5 (sf0.1).
     val pairs = Similarity.cosinePairsLshAuto(v, "vec_id", "e", 0.9,
       dim = 64, planesPerBand = 12, bands = 12, targetCos = 0.9967,
       maxMiss = 1.5e-7)
@@ -65,9 +63,14 @@ object Queries6 {
 
   /** shingle containment pairs: inter / min(|A|,|B|) >= 0.6 — catches a
     * short doc fully embedded in a longer one, which Jaccard dilutes.
+    * Round 8: rides [[Dedup.containmentPairsPrefix]] (pigeonhole prefix
+    * filter — EXACT, recall 1 by construction, so the oracle is
+    * unchanged) instead of the co-shingled self-join, whose Σ df² cost
+    * the 100× sweep measured at 261 s (hot cross-replica shingles);
+    * the prefix probe is candidate-proportional.
     */
   def q93_containment_pairs(s: SparkSession, dir: String): DataFrame =
-    Dedup.containmentPairs(t(s, dir, "documents"), "doc_id", "text",
+    Dedup.containmentPairsPrefix(t(s, dir, "documents"), "doc_id", "text",
         threshold = 0.6, shingleWords = 3)
       .select(col("id_a"), col("id_b"), col("inter"), col("containment"))
       .orderBy(col("id_a"), col("id_b"))

@@ -316,9 +316,9 @@ object Dedup {
     * embedded in a long one scores containment 1.0 but Jaccard
     * |A|/|B| ≈ 0). Same [[shinglePairStats]] stage as [[jaccardPairs]];
     * boundary rule is round(containment, 4) >= threshold. `candidates`
-    * gates the output, not the self-join work; a candidate-proportional
-    * containment path needs bands generated from the SHORT side (MinHash
-    * bands recall Jaccard, which underestimates asymmetric containment).
+    * gates the output, not the self-join work — co-shingled-pair-
+    * proportional by contract: prefer [[containmentPairsPrefix]] (same
+    * exact output, candidate-proportional) at scale.
     */
   def containmentPairs(
       df: DataFrame, idCol: String, textCol: String,
@@ -330,6 +330,96 @@ object Dedup {
         round(col("inter").cast("double") / least(col("n_a"), col("n_b")), 4)
           .as("containment"))
       .filter(col("containment") >= threshold)
+
+  /** EXACT containment pairs via prefix filtering (Chaudhuri et al.
+    * SSJoin / Bayardo et al. AllPairs, adapted to the containment
+    * overlap bound) — identical output to [[containmentPairs]], but
+    * candidate-proportional work instead of the co-shingled self-join's
+    * Σ df² — the 100 TB path for the asymmetric-overlap signal MinHash
+    * banding cannot gate (bands recall Jaccard, which a short-in-long
+    * pair can hold near 0).
+    *
+    * The filter is a pigeonhole bound, so recall is exactly 1 (NOT
+    * probabilistic): a qualifying pair needs inter ≥ α = ceil(t·|S|)
+    * with S the smaller set, so S must share at least one of ANY
+    * (|S| − α + 1) of its own shingles with the larger set — if the
+    * larger side misses that whole prefix, inter ≤ |S| − (|S|−α+1) < α.
+    * Each doc therefore probes the postings index with only its
+    * (1−t)·|d|+1 RAREST shingles (ascending document frequency — the
+    * AllPairs ordering): the rare end of the vocabulary is mostly
+    * df = 1, so probe traffic is ~linear in corpus shingle mass while
+    * genuinely-shared content still collides. Measured at the 100×
+    * rehearsal (500k docs): 261 s (exact self-join) → see PLANS.md —
+    * the self-join's cost there is Caesar-rotation shingle collisions
+    * across replica classes, precisely the hot-key df² blowup the
+    * prefix probe sidesteps.
+    *
+    * `maxShingleDf` keeps [[shinglePairStats]]'s distributed-stopword
+    * semantics (hot shingles removed from every doc's set BEFORE
+    * prefixes/sizes, scores exact over survivors) — and doubles as the
+    * guard that no posting list exceeds the cap. The rounding boundary
+    * round(inter/min, 4) >= t is honored by computing α against
+    * t − 1e-4 (prefix one-or-two shingles longer — slightly more
+    * candidates, never a miss).
+    */
+  def containmentPairsPrefix(
+      df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, shingleWords: Int = 3,
+      maxShingleDf: Int = DefaultMaxShingleDf): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      "threshold must be in (0, 1] (at 0 every co-shingled pair qualifies)")
+    import graft.functions.VectorExprs.sorted_inter_count
+    val ex0 = PlanUtil
+      .widenIfNarrow(df.select(col(idCol).as("id"), col(textCol).as("__t")))
+      .select(col("id"),
+        explode(graft.functions.SketchExprs.shingle_hashes(
+          TextFunctions.tokensWs(col("__t")), shingleWords)).as("h"))
+    val freq = ex0.groupBy(col("h")).agg(count(lit(1)).as("__df"))
+    val ex =
+      if (maxShingleDf <= 0) ex0.join(freq, "h")
+      else ex0.join(freq.filter(col("__df") <= maxShingleDf), "h")
+    // one row per doc: shingles ascending by (df, hash) for the prefix
+    // cut, plus the hash-sorted array the merge-scan verifier needs.
+    // Feeds FOUR consumers (probe + postings explodes, both verify
+    // sides) — checkpoint once (the round-5 re-execution lesson).
+    val alpha = ceil(lit(threshold - 1e-4) * col("__n")).cast("int")
+    val perDoc = ex
+      .groupBy(col("id"))
+      .agg(sort_array(collect_list(struct(col("__df"), col("h"))))
+          .as("__byRarity"),
+        count(lit(1)).as("__n"))
+      .select(col("id"), col("__n"),
+        array_sort(transform(col("__byRarity"), _.getField("h")))
+          .as("__sorted"),
+        transform(
+          slice(col("__byRarity"), lit(1),
+            greatest(col("__n").cast("int") - alpha + 1, lit(1))),
+          _.getField("h")).as("__prefix"))
+      .localCheckpoint()
+    val probe = perDoc.select(col("id").as("id_s"), col("__n").as("__ns"),
+      explode(col("__prefix")).as("h"))
+    val postings = perDoc.select(col("id").as("id_l"), col("__n").as("__nl"),
+      explode(col("__sorted")).as("h"))
+    // the SMALLER set probes (ties broken by id) — exactly one chance
+    // per unordered pair, with the pigeonhole bound on the small side
+    val cand = probe.join(postings, "h")
+      .filter(col("__ns") < col("__nl") ||
+        (col("__ns") === col("__nl") && col("id_s") < col("id_l")))
+      .select(col("id_s"), col("id_l")).distinct()
+    cand
+      .join(perDoc.select(col("id").as("id_s"), col("__sorted").as("__sa"),
+        col("__n").as("__na")), "id_s")
+      .join(perDoc.select(col("id").as("id_l"), col("__sorted").as("__sb"),
+        col("__n").as("__nb")), "id_l")
+      .select(least(col("id_s"), col("id_l")).as("id_a"),
+        greatest(col("id_s"), col("id_l")).as("id_b"),
+        sorted_inter_count(col("__sa"), col("__sb")).as("inter"),
+        least(col("__na"), col("__nb")).as("__min"))
+      .select(col("id_a"), col("id_b"), col("inter"),
+        round(col("inter").cast("double") / col("__min"), 4)
+          .as("containment"))
+      .filter(col("containment") >= threshold)
+  }
 
   /** LSH-gated exact Jaccard — the 100 TB default path. MinHash banding
     * proposes candidate pairs; each candidate is then verified EXACTLY

@@ -315,15 +315,18 @@ object Similarity {
     * of dup pairs. The count is one narrow job over `df`;
     * `localCheckpoint()` first if the input plan is expensive.
     *
-    * MEASURED TRADEOFF (round 7): a tight `maxMiss` needs ~1.5× the
-    * bands of a hand-tuned geometry, so signature+explode cost rises
-    * before candidate savings pay off — q92's fixed 12×12 beat the
-    * scaled form at every rehearsed scale up to 1.8M vectors (cold
-    * 1.9 s vs 5.3 s at 66k; 27 s vs 36 s at 1.8M). Reach for this form
-    * when candidates dominate ([[topPairsLshScaled]]'s regime — its
-    * looser default `maxMiss` won 273 s → 14 s at 30×) or the corpus
-    * is past the hand-tuned width's knee; keep explicit geometry when
-    * a domain expert has measured one at the deployment scale.
+    * MEASURED TRADEOFF (round 8, decorrelated rehearsal data): a tight
+    * `maxMiss` needs ~1.5× the bands of a hand-tuned geometry, so the
+    * hand form wins while its buckets stay at or under design
+    * occupancy (q92 12×12: 1.9 s vs 5.3 s cold at 2.2k vectors) — but
+    * the crossover arrives WITH the design occupancy, not decades past
+    * it: at occupancy ~18 the scaled form already wins 13.3 → 11.1 s
+    * (72.6k vectors) and at occupancy 54 it wins 141 → 48 s (220k).
+    * (The round-7 version of this note claimed the hand form held to
+    * 1.8M vectors; that was measured on the correlated-replica-noise
+    * corpus the sf1 oracle gate invalidated.) Prefer
+    * [[cosinePairsLshAuto]], which encodes this crossover as a
+    * dispatch rule instead of a doc.
     */
   def cosinePairsLshScaled(
       df: DataFrame, idCol: String, vecCol: String, threshold: Double,
@@ -342,18 +345,22 @@ object Similarity {
     * stays at or under `occupancyCap`; switch to [[scaledLshGeometry]]
     * past it. Returns `(planesPerBand, bands, switched)`.
     *
-    * The default cap 128 encodes the MEASURED crossover, not the design
-    * occupancy: q92's 12-bit hand width (design occupancy ~16) kept
-    * beating the scaled form through occupancy ~16·30 at the 30×
-    * rehearsal because the scaled form pays ~1.5× the signature planes —
-    * but past ~128/bucket (the documented ~0.5M-vector knee for 12 bits)
-    * candidate work `bands · n · occupancy/2` dominates any signature
-    * saving and the fixed width goes quadratic (q49 measured 2.6× at
-    * 10× rows, 185× at 30× — the knee is invisible one decade early).
+    * The default cap 16 is the MEASURED round-8 crossover on
+    * decorrelated rehearsal data (q92, 12×12 hand geometry, dim 64):
+    * at occupancy ~18 (72.6k vectors) the scaled form already wins
+    * 13.3 → 11.1 s, at occupancy 54 (220k) it wins 141 → 48 s —
+    * candidate work `bands · n · occupancy/2` dominates the ~1.5×
+    * signature-plane overhead as soon as buckets exceed their design
+    * occupancy. (Round 7's "hand wins through 1.8M vectors" was
+    * measured on the correlated-replica-noise corpus the sf1 oracle
+    * gate later invalidated, and was never re-measured after the
+    * regeneration.) Below the cap the hand form wins on signature
+    * cost: 1.9 s vs 5.3 s cold at 2.2k vectors, where the scaled
+    * r clamps to the 7-bit floor and over-fills buckets.
     */
   def autoLshGeometry(n: Long, planesPerBand: Int, bands: Int,
       targetCos: Double, maxMiss: Double = 1e-8,
-      occupancyCap: Long = 128, targetBucket: Int = 16,
+      occupancyCap: Long = 16, targetBucket: Int = 16,
       maxPlanesPerBand: Int = 20): (Int, Int, Boolean) = {
     require(planesPerBand > 0 && planesPerBand <= 63,
       "planesPerBand must fit a long")
@@ -391,7 +398,7 @@ object Similarity {
   def cosinePairsLshAuto(
       df: DataFrame, idCol: String, vecCol: String, threshold: Double,
       dim: Int, planesPerBand: Int, bands: Int, targetCos: Double,
-      maxMiss: Double = 1e-8, occupancyCap: Long = 128,
+      maxMiss: Double = 1e-8, occupancyCap: Long = 16,
       targetBucket: Int = 16, maxPlanesPerBand: Int = 20,
       knownCount: Option[Long] = None): DataFrame = {
     val n = knownCount.getOrElse(df.count())

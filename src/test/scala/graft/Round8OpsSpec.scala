@@ -15,18 +15,18 @@ class Round8OpsSpec extends SparkSpec {
   // ---------------------------------------------- knee-aware dispatch
 
   test("autoLshGeometry keeps hand geometry while occupancy is under cap") {
-    // q92's deployment point: 12-bit width, occupancy 220k/4096 ≈ 54
+    // q92's oracle-gate ceiling: 12-bit width, occupancy 22k/4096 ≈ 5.4
     val (r, b, switched) =
-      Similarity.autoLshGeometry(220000L, 12, 12, targetCos = 0.9967)
+      Similarity.autoLshGeometry(22000L, 12, 12, targetCos = 0.9967)
     assert((r, b, switched) == (12, 12, false))
-    // exactly at the cap boundary: 128 * 2^12 stays on the hand branch
-    val atCap = Similarity.autoLshGeometry(128L * 4096, 12, 12, 0.9967)
+    // exactly at the cap boundary: 16 * 2^12 stays on the hand branch
+    val atCap = Similarity.autoLshGeometry(16L * 4096, 12, 12, 0.9967)
     assert(!atCap._3)
   }
 
   test("autoLshGeometry switches to scaled bits past the occupancy knee") {
-    // one row past the documented ~0.5M knee for a 12-bit width
-    val n = 128L * 4096 + 1
+    // one row past the measured occupancy-16 knee for a 12-bit width
+    val n = 16L * 4096 + 1
     val (r, b, switched) =
       Similarity.autoLshGeometry(n, 12, 12, targetCos = 0.9967,
         maxMiss = 1.5e-7)
@@ -118,6 +118,72 @@ class Round8OpsSpec extends SparkSpec {
       .count() == 5)
     assert(Similarity.topPairs(df, "id", "vec", 5, maxRows = 0L)
       .count() == 5)
+  }
+
+  // ------------------------------------- prefix-filter containment join
+
+  test("containmentPairsPrefix == containmentPairs on fuzz corpora") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import graft.operators.Dedup
+    val wordGen = Gen.choose('a', 'f').map(_.toString)
+    val docGen: Gen[String] =
+      Gen.choose(0, 10).flatMap(n => Gen.listOfN(n, wordGen)).map(_.mkString(" "))
+    val corpusGen: Gen[Seq[String]] =
+      Gen.choose(2, 9).flatMap(n => Gen.listOfN(n, docGen))
+    def row(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+    for (si <- 1 to 20; threshold <- Seq(0.4, 0.7)) {
+      val docs = corpusGen.pureApply(Gen.Parameters.default, Seed(si.toLong))
+      val df = docs.zipWithIndex.map { case (d, i) => (i.toLong, d) }
+        .toDF("id", "text")
+      val exact = Dedup.containmentPairs(df, "id", "text", threshold, 2)
+        .select("id_a", "id_b", "inter", "containment")
+        .collect().map(row).toSet
+      val prefix = Dedup.containmentPairsPrefix(df, "id", "text", threshold, 2)
+        .select("id_a", "id_b", "inter", "containment")
+        .collect().map(row).toSet
+      assert(prefix == exact,
+        s"seed=$si t=$threshold missed=${exact -- prefix} extra=${prefix -- exact}")
+    }
+  }
+
+  test("containmentPairsPrefix honors the maxShingleDf stopword cap") {
+    import graft.operators.Dedup
+    // 'x y z' is a hot shingle shared by every doc; cap 2 removes it
+    // from every doc's set in BOTH implementations
+    val docs = Seq(
+      0L -> "x y z a b c d",
+      1L -> "x y z a b c e",
+      2L -> "x y z p q r s",
+      3L -> "x y z p q r t").toDF("id", "text")
+    for (cap <- Seq(0, 2)) {
+      val exact = Dedup.containmentPairs(docs, "id", "text", 0.5, 3,
+          maxShingleDf = cap)
+        .select("id_a", "id_b", "inter", "containment")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3))).toSet
+      val prefix = Dedup.containmentPairsPrefix(docs, "id", "text", 0.5, 3,
+          maxShingleDf = cap)
+        .select("id_a", "id_b", "inter", "containment")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3))).toSet
+      assert(prefix == exact, s"cap=$cap")
+    }
+  }
+
+  test("containmentPairsPrefix finds a short doc embedded in a long one") {
+    import graft.operators.Dedup
+    // Jaccard of (5-shingle short, 48-shingle long) is ~0.1 — the
+    // asymmetric pair MinHash banding is blind to; containment is 1.0
+    val short = "the quick brown fox jumps over it"
+    val filler = (1 to 50).map(i => s"w$i").mkString(" ")
+    val docs = Seq(0L -> short, 1L -> (filler + " " + short))
+      .toDF("id", "text")
+    val got = Dedup.containmentPairsPrefix(docs, "id", "text", 0.9, 3)
+      .collect()
+    assert(got.length == 1)
+    assert(got.head.getDouble(3) == 1.0)
   }
 
   // ---------------------------------------------- readUrl credentials
