@@ -136,12 +136,16 @@ object Bench {
     val detail =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":${qmap(results)}$steadyJson,"failed":$failed,"parse_mbps":$parseMbps,"parse_mbps_best":$parseMbpsBest,"sf":"$sfDir"}"""
     // full runs only: a SPARK_GRAFT_QUERIES spot run must not clobber the
-    // committed full-catalog artifact
-    if (subset.isEmpty) {
+    // committed full-catalog artifact. SPARK_GRAFT_DETAIL redirects the
+    // full map elsewhere (rehearsal sweeps record per-query factors
+    // without touching BENCH_DETAIL.json) and is honored for spot runs.
+    val detailPath = sys.env.get("SPARK_GRAFT_DETAIL")
+    if (subset.isEmpty || detailPath.isDefined) {
+      val p = detailPath.getOrElse("BENCH_DETAIL.json")
       try java.nio.file.Files.writeString(
-        java.nio.file.Paths.get("BENCH_DETAIL.json"), detail + "\n")
+        java.nio.file.Paths.get(p), detail + "\n")
       catch { case e: Throwable =>
-        System.err.println(s"[bench] BENCH_DETAIL.json write failed: ${e.getMessage}")
+        System.err.println(s"[bench] $p write failed: ${e.getMessage}")
       }
     }
     val steadyHead = if (steady.isEmpty) "" else s""","steady_total":$steadyTotal"""

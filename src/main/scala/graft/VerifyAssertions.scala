@@ -67,7 +67,8 @@ object VerifyAssertions {
     // and ranked on the driver — an independent formulation of
     // everything downstream of the gate.
     val q44 = {
-      val queries = emb.filter(col("vec_id") % 50 === 0)
+      val queries = // mirrors the query's fixed panel (q44/q46)
+        emb.filter(col("vec_id") % 50 === 0 && col("vec_id") < 2500)
       val sigQ = queries.select(col("vec_id").as("query_id"),
           col("embedding").as("__qv"),
           Similarity.lshSignature(col("embedding"), 64, 8).as("__b"))
@@ -108,7 +109,8 @@ object VerifyAssertions {
     // every emitted cosine must equal the value recomputed from the raw
     // vectors (the quantized/q64 path proved rescoring is checkable).
     val q46 = {
-      val queries = emb.filter(col("vec_id") % 50 === 0)
+      val queries = // mirrors the query's fixed panel (q44/q46)
+        emb.filter(col("vec_id") % 50 === 0 && col("vec_id") < 2500)
       val brute = Similarity.bruteForceTopK(queries, emb,
           "vec_id", "embedding", 5)
         .select("query_id", "match_id").collect()
