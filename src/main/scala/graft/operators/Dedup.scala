@@ -368,6 +368,50 @@ object Dedup {
       maxShingleDf: Int = DefaultMaxShingleDf): DataFrame = {
     require(threshold > 0 && threshold <= 1,
       "threshold must be in (0, 1] (at 0 every co-shingled pair qualifies)")
+    // containment inter/min >= t ⇒ inter >= t·|S| on the smaller set S
+    prefixPairStats(df, idCol, textCol, shingleWords, maxShingleDf,
+        alphaCoef = threshold - 1e-4)
+      .select(col("id_a"), col("id_b"), col("inter"),
+        round(col("inter").cast("double") / least(col("n_a"), col("n_b")), 4)
+          .as("containment"))
+      .filter(col("containment") >= threshold)
+  }
+
+  /** EXACT Jaccard pairs via the same prefix filter — identical output
+    * to [[jaccardPairs]] with candidate-proportional work. The overlap
+    * bound on the smaller set S of a qualifying pair: J = i/(a+b−i) ≥ t
+    * with b ≥ a = |S| gives i ≥ t(a+b)/(1+t) ≥ 2t/(1+t)·a, so S must
+    * share one of its (a − ceil(2t/(1+t)·a) + 1) rarest shingles with
+    * the partner — the [[containmentPairsPrefix]] pigeonhole with a
+    * tighter coefficient (recall exactly 1, NOT probabilistic;
+    * [[jaccardPairsLsh]] remains the probabilistic-gate alternative
+    * whose verify set is smaller when a ~1e-8 miss rate is acceptable).
+    */
+  def jaccardPairsPrefix(
+      df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, shingleWords: Int = 3,
+      maxShingleDf: Int = DefaultMaxShingleDf): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      "threshold must be in (0, 1] (at 0 every co-shingled pair qualifies)")
+    val t = threshold - 1e-4
+    prefixPairStats(df, idCol, textCol, shingleWords, maxShingleDf,
+        alphaCoef = 2 * t / (1 + t))
+      .select(col("id_a"), col("id_b"), col("inter"),
+        round(col("inter").cast("double") /
+          (col("n_a") + col("n_b") - col("inter")), 4).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Shared prefix-filter pair machinery (the pigeonhole candidate
+    * stage under [[containmentPairsPrefix]] / [[jaccardPairsPrefix]]):
+    * returns (id_a, id_b, inter, n_a, n_b) for every pair whose smaller
+    * set shares ≥ ceil(alphaCoef · |S|) shingles with the larger —
+    * superset of any score whose overlap bound is alphaCoef·min.
+    */
+  private def prefixPairStats(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleWords: Int, maxShingleDf: Int,
+      alphaCoef: Double): DataFrame = {
     import graft.functions.VectorExprs.sorted_inter_count
     val ex0 = PlanUtil
       .widenIfNarrow(df.select(col(idCol).as("id"), col(textCol).as("__t")))
@@ -382,7 +426,7 @@ object Dedup {
     // cut, plus the hash-sorted array the merge-scan verifier needs.
     // Feeds FOUR consumers (probe + postings explodes, both verify
     // sides) — checkpoint once (the round-5 re-execution lesson).
-    val alpha = ceil(lit(threshold - 1e-4) * col("__n")).cast("int")
+    val alpha = ceil(lit(alphaCoef) * col("__n")).cast("int")
     val perDoc = ex
       .groupBy(col("id"))
       .agg(sort_array(collect_list(struct(col("__df"), col("h"))))
@@ -414,11 +458,11 @@ object Dedup {
       .select(least(col("id_s"), col("id_l")).as("id_a"),
         greatest(col("id_s"), col("id_l")).as("id_b"),
         sorted_inter_count(col("__sa"), col("__sb")).as("inter"),
-        least(col("__na"), col("__nb")).as("__min"))
-      .select(col("id_a"), col("id_b"), col("inter"),
-        round(col("inter").cast("double") / col("__min"), 4)
-          .as("containment"))
-      .filter(col("containment") >= threshold)
+        // sizes re-keyed to the id order the caller sees
+        when(col("id_s") < col("id_l"), col("__na")).otherwise(col("__nb"))
+          .as("n_a"),
+        when(col("id_s") < col("id_l"), col("__nb")).otherwise(col("__na"))
+          .as("n_b"))
   }
 
   /** LSH-gated exact Jaccard — the 100 TB default path. MinHash banding

@@ -148,6 +148,32 @@ class Round8OpsSpec extends SparkSpec {
     }
   }
 
+  test("jaccardPairsPrefix == jaccardPairs on fuzz corpora") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import graft.operators.Dedup
+    val wordGen = Gen.choose('a', 'f').map(_.toString)
+    val docGen: Gen[String] =
+      Gen.choose(0, 10).flatMap(n => Gen.listOfN(n, wordGen)).map(_.mkString(" "))
+    val corpusGen: Gen[Seq[String]] =
+      Gen.choose(2, 9).flatMap(n => Gen.listOfN(n, docGen))
+    def row(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+    for (si <- 21 to 40; threshold <- Seq(0.3, 0.6)) {
+      val docs = corpusGen.pureApply(Gen.Parameters.default, Seed(si.toLong))
+      val df = docs.zipWithIndex.map { case (d, i) => (i.toLong, d) }
+        .toDF("id", "text")
+      val exact = Dedup.jaccardPairs(df, "id", "text", threshold, 2)
+        .select("id_a", "id_b", "inter", "jaccard")
+        .collect().map(row).toSet
+      val prefix = Dedup.jaccardPairsPrefix(df, "id", "text", threshold, 2)
+        .select("id_a", "id_b", "inter", "jaccard")
+        .collect().map(row).toSet
+      assert(prefix == exact,
+        s"seed=$si t=$threshold missed=${exact -- prefix} extra=${prefix -- exact}")
+    }
+  }
+
   test("containmentPairsPrefix honors the maxShingleDf stopword cap") {
     import graft.operators.Dedup
     // 'x y z' is a hot shingle shared by every doc; cap 2 removes it
