@@ -102,6 +102,16 @@ class PlanAuditSpec extends SparkSpec {
       !p.contains("BroadcastNestedLoop"), p.take(600))
   }
 
+  test("q93: prefix-filter containment join never cartesians") {
+    val p = planOf("q93_containment_pairs")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoop"), p.take(600))
+    // the candidate stage probes a hash-keyed postings join; the verify
+    // joins run on candidate ids — every join in the plan is keyed
+    assert(p.contains("hashjoin") || p.contains("HashJoin") ||
+      p.contains("SortMergeJoin"), p.take(600))
+  }
+
   test("q109: EXISTS/NOT EXISTS rewrite to semi and anti joins") {
     val p = planOf("q109_exists_subquery")
     assert(p.contains("LeftSemi"), p.take(600))
