@@ -275,6 +275,35 @@ object Similarity {
       .limit(n)
   }
 
+  /** [[topPairsLsh]] with the same knee-aware geometry dispatch as
+    * [[cosinePairsLshAuto]]: a hand band geometry is honored only while
+    * its expected occupancy `n / 2^planesPerBand` stays at or under
+    * `occupancyCap` ([[autoLshGeometry]] — measured crossover, see its
+    * scaladoc); past it [[scaledLshGeometry]] takes over and the switch
+    * is logged. `n` comes from `knownCount` or one narrow count job.
+    */
+  def topPairsLshAuto(
+      df: DataFrame, idCol: String, vecCol: String, n: Int, dim: Int,
+      planesPerBand: Int, bands: Int,
+      targetCos: Double = 0.99, maxMiss: Double = 0.01,
+      occupancyCap: Long = 16, targetBucket: Int = 16,
+      maxPlanesPerBand: Int = 20,
+      knownCount: Option[Long] = None): DataFrame = {
+    val rows = knownCount.getOrElse(df.count())
+    val (r, b, switched) = autoLshGeometry(rows, planesPerBand, bands,
+      targetCos, maxMiss, occupancyCap, targetBucket, maxPlanesPerBand)
+    if (switched) log.warn(
+      s"topPairsLshAuto: n=$rows exceeds hand geometry " +
+        s"${planesPerBand}x$bands occupancy cap (n/2^$planesPerBand > " +
+        s"$occupancyCap/bucket) — switching to scaled geometry ${r}x$b")
+    else log.info(
+      s"topPairsLshAuto: n=$rows within occupancy cap — keeping hand " +
+        s"geometry ${planesPerBand}x$bands")
+    rescoredBandPairs(df, idCol, vecCol, dim, r, b)
+      .orderBy(col("cos").desc, col("id_a").asc, col("id_b").asc)
+      .limit(n)
+  }
+
   /** LSH-gated threshold pairs with EXACT rescoring — the 100 TB default
     * for semantic dedup. Same banded candidate generation as
     * [[topPairsLsh]] (payload-free band self-join, one exact rescore per

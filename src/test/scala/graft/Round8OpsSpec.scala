@@ -101,6 +101,25 @@ class Round8OpsSpec extends SparkSpec {
     assert(got == exact)
   }
 
+  test("topPairsLshAuto recovers planted top pairs on both branches") {
+    val dim = 16
+    val df = plantedVecs(dim)
+    val planted = Similarity.cosinePairs(df, "id", "vec", threshold = 0.98)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(planted.size >= 20)
+    def top20(knownCount: Option[Long]) =
+      Similarity.topPairsLshAuto(df, "id", "vec", n = 20, dim = dim,
+          planesPerBand = 12, bands = 12, targetCos = 0.99,
+          knownCount = knownCount)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // hand branch (220 vectors) and forced-scaled branch agree: the
+    // global top 20 are all planted twins (cos ≈ 0.999999)
+    val hand = top20(None)
+    val scaled = top20(Some(5000000L))
+    assert(hand.subsetOf(planted) && hand.size == 20)
+    assert(scaled == hand)
+  }
+
   // ---------------------------------------------- exact-contract guard
 
   test("topPairs trips its row cap with an actionable error") {
