@@ -150,7 +150,33 @@ object VerifyAssertions {
         f"recall@20=$recall%.3f (floor 0.9) score_mismatches=$badScores")
     }
 
-    Seq(q31, q32, q44, q46, q49)
+    // q119 — HLL++ estimates aren't DuckDB-reproducible, so the hard
+    // check recomputes the EXACT distinct-trigram counts (same Spark-side
+    // trigram relation the query sketches) and bounds every panel row's
+    // relative error at 3% — lgK 14 gives ~0.8% RSE; measured max rel
+    // err 0.000/0.002/0.006 at sf0.001/0.01/0.1.
+    val q119 = {
+      import graft.functions.TextFunctions
+      val tg = docs.filter(length(trim(col("text"))) > 0)
+        .select(col("source"),
+          explode(TextFunctions.ngrams(col("text"), 3)).as("w"))
+        .localCheckpoint() // feeds per-source AND overall exact distincts
+      val exact = (tg.groupBy(col("source"))
+          .agg(countDistinct(col("w")).as("d")).collect()
+          .map(r => (r.getString(0), r.getLong(1))) :+
+        ("__ALL__" -> tg.agg(countDistinct(col("w"))).head.getLong(0)))
+        .toMap
+      val got = SparkEntry.queries("q119_distinct_sketch")(spark, sfDir)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      val relErrs = exact.map { case (src, ex) =>
+        math.abs(got.getOrElse(src, 0L) - ex).toDouble / math.max(1L, ex) }
+      val maxErr = if (relErrs.isEmpty) 1.0 else relErrs.max
+      Check("hll_distinct_panel_relative_error", "q119_distinct_sketch",
+        got.keySet == exact.keySet && maxErr <= 0.03,
+        f"panel_rows=${got.size} max_rel_err=$maxErr%.4f (cap 0.03)")
+    }
+
+    Seq(q31, q32, q44, q46, q49, q119)
   }
 
   /** Rows of (query_id, match_id, cos) whose cos does NOT equal the

@@ -78,6 +78,38 @@ object Joins {
   def antiJoin(left: DataFrame, right: DataFrame, lk: String, rk: String): DataFrame =
     left.join(right, left(lk) === right(rk), "left_anti")
 
+  /** Bloom-pruned semi join: filter the BIG side with a Bloom filter
+    * built from the small side's keys BEFORE the join shuffles — the
+    * explicit form of the runtime row-level filtering a warehouse
+    * planner injects, as an operator.
+    *
+    * Exactness: a Bloom filter has no false negatives, so the pre-filter
+    * never drops a row the semi join would keep; false positives are
+    * removed by the exact semi join over the survivors. The result is
+    * bit-identical to `semiJoin(big, small)`.
+    *
+    * Scale shape: the filter is one bounded driver-side build over the
+    * small side (`expectedItems` keys at `fpp` → ~1.2 MB per million
+    * keys), shipped into a codegen
+    * [[graft.functions.SketchGate.bloom_contains]] probe on the scan
+    * side of the big table. When the small side is selective but too big
+    * to broadcast-join cheaply — the 100 TB fact-to-filtered-dimension
+    * case — the shuffle carries only probable matches instead of the
+    * whole fact table. `expectedItems` defaults to one count job on the
+    * small side.
+    */
+  def bloomPrunedSemiJoin(big: DataFrame, small: DataFrame,
+      bigKey: String, smallKey: String,
+      expectedItems: Option[Long] = None,
+      fpp: Double = 0.01): DataFrame = {
+    val n = math.max(1L, expectedItems.getOrElse(small.count()))
+    val bloom = small.stat.bloomFilter(col(smallKey), n, fpp)
+    val bytes = graft.functions.SketchGate.serializeBloom(bloom)
+    big.filter(graft.functions.SketchGate.bloom_contains(bytes, col(bigKey)))
+      .join(small.select(col(smallKey)), col(bigKey) === col(smallKey),
+        "left_semi")
+  }
+
   /** Salted equi-join for skewed keys (inner only): the skewed LEFT side
     * gets a random-ish salt in [0, buckets); the RIGHT side is replicated
     * `buckets` times — one hot key's rows spread over `buckets` reducer

@@ -151,4 +151,64 @@ object Stats {
         round(max(col("c")) / avg(col("c")), 4).as("skew"),
         round(max(col("c")).cast("double") / sum(col("c")), 4)
           .as("top_share"))
+
+  /** EXACT heavy hitters via a Count–Min gate: `(key, cnt)` for every
+    * key occurring at least `minCount` times — without shuffling the
+    * full key distribution.
+    *
+    * Shape: (1) one map-side-combined `count_min_sketch` aggregate pass
+    * (the only thing reduced globally is the ~`depth × width × 8`-byte
+    * sketch — ~1.1 MB at eps 2e-4, corpus-size-independent); (2) a
+    * codegen [[graft.functions.SketchGate.cms_estimate]] filter admits
+    * rows whose ESTIMATED count reaches the bar — Count–Min only ever
+    * overestimates, so every true heavy hitter survives; (3) an exact
+    * `groupBy.count` over the survivors drops the overestimates. The
+    * result is bit-identical to the full `groupBy … HAVING`, but the
+    * exact-count shuffle carries only keys within `eps·N` of the bar —
+    * at 100 TB that is the difference between shuffling every distinct
+    * token and shuffling a few thousand candidates. The input is scanned
+    * twice (sketch pass + gated pass): scans are cheap and
+    * column-pruned; the shuffle is the bottleneck this removes.
+    *
+    * `eps` bounds the overestimate (`est ≤ true + eps·N` w.p.
+    * `confidence`) — size it well under `minCount / N` or the gate
+    * admits everything.
+    */
+  def heavyHitters(df: DataFrame, keyCol: org.apache.spark.sql.Column,
+      minCount: Long, eps: Double = 2e-4, confidence: Double = 0.99,
+      seed: Int = 42): DataFrame = {
+    val keyed = df.select(keyCol.as("key"))
+    val bytes = sketchBytes(keyed, eps, confidence, seed)
+    gatedExactCounts(keyed, bytes, minCount)
+  }
+
+  /** [[heavyHitters]] with the bar as a SHARE of total occurrences:
+    * `minCount = ceil(minShare · N)`, with `N` read off the sketch's own
+    * `totalCount` — no extra count job.
+    */
+  def heavyHittersShare(df: DataFrame,
+      keyCol: org.apache.spark.sql.Column, minShare: Double,
+      eps: Double = 2e-4, confidence: Double = 0.99,
+      seed: Int = 42): DataFrame = {
+    require(minShare > 0 && minShare <= 1, "need 0 < minShare <= 1")
+    val keyed = df.select(keyCol.as("key"))
+    val bytes = sketchBytes(keyed, eps, confidence, seed)
+    val total = org.apache.spark.util.sketch.CountMinSketch
+      .readFrom(bytes).totalCount()
+    gatedExactCounts(keyed, bytes, math.ceil(minShare * total).toLong)
+  }
+
+  private def sketchBytes(keyed: DataFrame, eps: Double,
+      confidence: Double, seed: Int): Array[Byte] =
+    keyed.agg(count_min_sketch(col("key"), lit(eps), lit(confidence),
+        lit(seed)).as("__cms"))
+      .head.getAs[Array[Byte]](0)
+
+  private def gatedExactCounts(keyed: DataFrame, sketch: Array[Byte],
+      minCount: Long): DataFrame =
+    keyed
+      .filter(graft.functions.SketchGate.cms_estimate(sketch, col("key"))
+        >= minCount)
+      .groupBy(col("key")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
 }
