@@ -122,6 +122,11 @@ object Bench {
     }.mkString("{", ",", "}")
     val failed = results.filter(!_._3).map("\"" + _._1 + "\"")
       .mkString("[", ",", "]")
+    // a steady-pass failure is a real regression signal (the query ran
+    // cold!) — surface it machine-readably, not only on stderr; the -1.0
+    // sentinel in queries_steady alone is easy to miss
+    val failedSteady = steady.filter(!_._3).map("\"" + _._1 + "\"")
+      .mkString("[", ",", "]")
     val total = results.filter(_._3).map(_._2).sum
     // The stdout line must stay COMPACT: the driver captures only a ~2 KB
     // stdout tail, and the full 116-query map (~4 KB) decapitated the JSON
@@ -132,7 +137,7 @@ object Bench {
     val steadyTotal = steady.filter(_._3).map(_._2).sum
     val steadyJson =
       if (steady.isEmpty) ""
-      else s""","steady_total":$steadyTotal,"queries_steady":${qmap(steady)}"""
+      else s""","steady_total":$steadyTotal,"queries_steady":${qmap(steady)},"failed_steady":$failedSteady"""
     val detail =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":${qmap(results)}$steadyJson,"failed":$failed,"parse_mbps":$parseMbps,"parse_mbps_best":$parseMbpsBest,"sf":"$sfDir"}"""
     // full runs only: a SPARK_GRAFT_QUERIES spot run must not clobber the
@@ -148,8 +153,13 @@ object Bench {
         System.err.println(s"[bench] $p write failed: ${e.getMessage}")
       }
     }
-    val steadyHead = if (steady.isEmpty) "" else s""","steady_total":$steadyTotal"""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":${qmap(slowest)}$steadyHead,"failed":$failed,"parse_mbps":$parseMbps,"parse_mbps_best":$parseMbpsBest,"detail":"BENCH_DETAIL.json","sf":"$sfDir"}""")
+    val steadyHead =
+      if (steady.isEmpty) ""
+      else s""","steady_total":$steadyTotal,"failed_steady":$failedSteady"""
+    // point consumers at the detail artifact that was actually written
+    // (SPARK_GRAFT_DETAIL redirects it for rehearsal spot runs)
+    val detailName = detailPath.getOrElse("BENCH_DETAIL.json")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":${qmap(slowest)}$steadyHead,"failed":$failed,"parse_mbps":$parseMbps,"parse_mbps_best":$parseMbpsBest,"detail":"$detailName","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -56,18 +56,25 @@ object Queries8 {
     * where an exact global distinct would shuffle every n-gram. Sketches
     * are built per group (one map-side-combinable agg) and UNIONED for
     * the corpus row — the second aggregate merges 20 sketch buffers, not
-    * data. Rows-only (HLL++ estimates aren't DuckDB-reproducible); the
-    * hard gate is [[VerifyAssertions]]' ≤ 3 % relative-error check
-    * against exact distinct counts (lgK 14 → ~0.8 % RSE; measured
-    * ≤ 0.6 % at sf0.001/0.01/0.1).
+    * data. The sketch item is `xxhash64(trigram)` — a fixed-width long —
+    * not the UTF8 trigram: HLL++ re-hashes every update, and hashing 8
+    * bytes beats hashing a variable-length string on the heaviest
+    * catalog query; distinct(hash) == distinct(trigram) up to 64-bit
+    * collisions (~n²/2⁶⁵ — zero expected below billions of grams, and
+    * the exact-distinct assertion would catch drift). Rows-only (HLL++
+    * estimates aren't DuckDB-reproducible); the hard gate is
+    * [[VerifyAssertions]]' ≤ 3 % relative-error check against exact
+    * distinct counts (lgK 14 → ~0.8 % RSE; measured ≤ 0.6 % at
+    * sf0.001/0.01/0.1).
     */
   def q119_distinct_sketch(s: SparkSession, dir: String): DataFrame = {
     val tg = t(s, dir, "documents")
       .filter(length(trim(col("text"))) > 0)
       .select(col("source"),
         explode(TextFunctions.ngrams(col("text"), 3)).as("w"))
+      .select(col("source"), xxhash64(col("w")).as("h"))
     val per = tg.groupBy(col("source"))
-      .agg(hll_sketch_agg(col("w"), lit(14)).as("__hll"))
+      .agg(hll_sketch_agg(col("h"), lit(14)).as("__hll"))
       .localCheckpoint() // feeds the per-source rows AND the union row
     per.select(col("source"),
         hll_sketch_estimate(col("__hll")).as("est_distinct"))

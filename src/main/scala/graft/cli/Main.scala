@@ -32,6 +32,7 @@ object Main {
       output: Option[String] = None,
       format: Option[String] = None,
       iterations: Int = 3,
+      minShare: Double = 0.001,
       shell: String = "bash")
 
   def main(argv: Array[String]): Unit = sys.exit(run(argv, Console.out))
@@ -143,7 +144,22 @@ object Main {
           1
         }
       case "stats" =>
-        note(render(Stats.profile(scan(spark, a)), a, out)); 0
+        val df = scan(spark, a)
+        val n = render(Stats.profile(df), a, out)
+        // -c COL adds a heavy-hitter panel: every value of COL holding at
+        // least --min-share of rows, with its EXACT count — the Count-Min
+        // gated path (Stats.heavyHittersShare), so the panel stays cheap
+        // on high-cardinality columns where a full value groupBy would
+        // shuffle every distinct value
+        a.column.foreach { c =>
+          val esc = s"`${c.replace("`", "``")}`"
+          val hot = Stats.heavyHittersShare(df, col(esc), a.minShare)
+            .orderBy(col("cnt").desc, col("key"))
+            .withColumnRenamed("key", c)
+          out.println(s"# heavy hitters: $c (share >= ${a.minShare})")
+          render(hot, a.copy(output = None), out); ()
+        }
+        note(n); 0
       case "benchmark" =>
         val bytes = new java.io.File(a.file).length()
         var rows = 0L
@@ -237,6 +253,7 @@ object Main {
     case ("-o" | "--output") :: v :: t => parseArgs(t, acc.copy(output = Some(v)))
     case "--format" :: v :: t => parseArgs(t, acc.copy(format = Some(v)))
     case "--iterations" :: v :: t => parseArgs(t, acc.copy(iterations = v.toInt))
+    case "--min-share" :: v :: t => parseArgs(t, acc.copy(minShare = v.toDouble))
     case v :: t if acc.command.isEmpty => parseArgs(t, acc.copy(command = v))
     case v :: t if acc.command == "completions" => parseArgs(t, acc.copy(shell = v))
     case v :: t if acc.file.isEmpty => parseArgs(t, acc.copy(file = v))
@@ -276,6 +293,6 @@ object Main {
       |commands:
       |  count | head -n N | tail -n N | select --columns a,b | filter -f EXPR
       |  sort -c COL [--desc] | convert --to json|jsonl|tsv|csv | validate
-      |  stats | benchmark [--iterations N] | completions bash|zsh|fish
+      |  stats [-c COL [--min-share S]] | benchmark [--iterations N] | completions bash|zsh|fish
       |options: -d DELIM | --no-header | -o OUT | --format table|csv|json""".stripMargin
 }

@@ -23,6 +23,8 @@ import org.apache.spark.sql.functions._
   */
 object Joins {
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   private val Mark = "__graft_r_matched__"
 
   def joinRef(
@@ -97,18 +99,62 @@ object Joins {
     * case — the shuffle carries only probable matches instead of the
     * whole fact table. `expectedItems` defaults to one count job on the
     * small side.
+    *
+    * The small side's plan is referenced three times (count, bloom
+    * build, the join probe side) — it is `localCheckpoint`ed here so an
+    * expensive filtered-dimension plan computes ONCE (the
+    * connectedComponents lesson: multiply-referenced relations
+    * re-execute, and AQE broadcast re-planning defeats ReusedExchange).
+    *
+    * Sizing guard: when `expectedItems` UNDERestimates, the filter
+    * saturates and the realized false-positive rate blows past `fpp` —
+    * still correct (the semi join removes false positives) but the gate
+    * admits nearly everything and the pre-shuffle pruning silently
+    * evaporates. The realized `expectedFpp()` is logged after the build
+    * and warned about past 10× the requested `fpp`, mirroring the LSH
+    * dispatcher's logging discipline.
     */
   def bloomPrunedSemiJoin(big: DataFrame, small: DataFrame,
       bigKey: String, smallKey: String,
       expectedItems: Option[Long] = None,
       fpp: Double = 0.01): DataFrame = {
-    val n = math.max(1L, expectedItems.getOrElse(small.count()))
-    val bloom = small.stat.bloomFilter(col(smallKey), n, fpp)
+    val smallCk = small.localCheckpoint()
+    // count off the checkpointed relation (near-free: partitions are
+    // already materialized); expectedItems only overrides SIZING
+    val cnt = smallCk.count()
+    // empty small side: stat.bloomFilter's aggregate yields a null
+    // buffer (readFrom NPEs — found by the equality fuzz spec), and the
+    // semi join is empty by definition anyway
+    if (cnt == 0) return big.limit(0)
+    val n = math.max(1L, expectedItems.getOrElse(cnt))
+    val bloom = smallCk.stat.bloomFilter(col(smallKey), n, fpp)
+    bloomFppWarning(bloom.expectedFpp(), fpp, n) match {
+      case Some(msg) => log.warn(msg)
+      case None => log.info(
+        f"bloomPrunedSemiJoin: bloom over $n keys, realized fpp " +
+          f"${bloom.expectedFpp()}%.4f (requested $fpp%.4f)")
+    }
     val bytes = graft.functions.SketchGate.serializeBloom(bloom)
     big.filter(graft.functions.SketchGate.bloom_contains(bytes, col(bigKey)))
-      .join(small.select(col(smallKey)), col(bigKey) === col(smallKey),
+      .join(smallCk.select(col(smallKey)), col(bigKey) === col(smallKey),
         "left_semi")
   }
+
+  /** Pure sizing-guard policy for [[bloomPrunedSemiJoin]]: Some(warning)
+    * when the realized saturation-based fpp exceeds 10× the requested
+    * one (the underestimated-`expectedItems` signature), None when the
+    * filter is healthy. Pure so the threshold is spec-testable without
+    * capturing log output.
+    */
+  private[graft] def bloomFppWarning(realized: Double, requested: Double,
+      expectedItems: Long): Option[String] =
+    if (realized > math.min(1.0, requested * 10))
+      Some(f"bloomPrunedSemiJoin: realized fpp $realized%.4f >> " +
+        f"requested $requested%.4f — expectedItems=$expectedItems " +
+        "underestimates the small side's distinct keys; the gate will " +
+        "admit nearly everything (correct but no pruning). Pass a " +
+        "larger expectedItems.")
+    else None
 
   /** Salted equi-join for skewed keys (inner only): the skewed LEFT side
     * gets a random-ish salt in [0, buckets); the RIGHT side is replicated

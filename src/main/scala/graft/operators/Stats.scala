@@ -173,11 +173,18 @@ object Stats {
     * `eps` bounds the overestimate (`est ≤ true + eps·N` w.p.
     * `confidence`) — size it well under `minCount / N` or the gate
     * admits everything.
+    *
+    * NULL keys are EXCLUDED by contract (filtered before the sketch):
+    * `count_min_sketch` skips nulls and `cms_estimate(null)` is null, so
+    * without the explicit filter the gate would drop a null-key group
+    * incidentally. The stated semantics are SQL `WHERE key IS NOT NULL`
+    * — a "heavy hitter" is a concrete key, never the absence of one.
+    * (`N` in [[heavyHittersShare]] likewise counts non-null occurrences.)
     */
   def heavyHitters(df: DataFrame, keyCol: org.apache.spark.sql.Column,
       minCount: Long, eps: Double = 2e-4, confidence: Double = 0.99,
       seed: Int = 42): DataFrame = {
-    val keyed = df.select(keyCol.as("key"))
+    val keyed = df.select(keyCol.as("key")).filter(col("key").isNotNull)
     val bytes = sketchBytes(keyed, eps, confidence, seed)
     gatedExactCounts(keyed, bytes, minCount)
   }
@@ -191,7 +198,7 @@ object Stats {
       eps: Double = 2e-4, confidence: Double = 0.99,
       seed: Int = 42): DataFrame = {
     require(minShare > 0 && minShare <= 1, "need 0 < minShare <= 1")
-    val keyed = df.select(keyCol.as("key"))
+    val keyed = df.select(keyCol.as("key")).filter(col("key").isNotNull)
     val bytes = sketchBytes(keyed, eps, confidence, seed)
     val total = org.apache.spark.util.sketch.CountMinSketch
       .readFrom(bytes).totalCount()

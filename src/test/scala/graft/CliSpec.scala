@@ -66,6 +66,20 @@ class CliSpec extends SparkSpec {
     assert(out.contains("col_name") && out.contains("name") && out.contains("qty"))
   }
 
+  test("stats -c COL adds a heavy-hitter panel with exact counts") {
+    val hot = writeTmp("hot.csv", "tok\n" +
+      (Seq.fill(6)("the") ++ Seq.fill(3)("a") ++ Seq("rare")).mkString("\n") + "\n")
+    // min-share 0.3 → bar = ceil(0.3·10) = 3: 'the' (6) and 'a' (3) make
+    // it, 'rare' (1) must not
+    val (code, out) = runCli("stats", hot, "-c", "tok",
+      "--min-share", "0.3", "--format", "csv")
+    assert(code == 0)
+    assert(out.contains("# heavy hitters: tok"))
+    val panel = out.substring(out.indexOf("# heavy hitters"))
+    assert(panel.contains("the,6") && panel.contains("a,3"), panel)
+    assert(!panel.contains("rare"), panel)
+  }
+
   test("convert to jsonl") {
     val dest = java.nio.file.Files.createTempDirectory("conv").toString + "/out"
     val (code, _) = runCli("convert", fixture, "--to", "jsonl", "-o", dest)

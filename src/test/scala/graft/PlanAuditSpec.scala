@@ -112,6 +112,42 @@ class PlanAuditSpec extends SparkSpec {
       p.contains("SortMergeJoin"), p.take(600))
   }
 
+  test("q117: the Count-Min gate filters BELOW the exact-count aggregate " +
+      "(shuffle carries only near-bar keys)") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter}
+    val df = SparkEntry.queries("q117_heavy_hitters")(spark, dir)
+    val plan = df.queryExecution.optimizedPlan
+    val gatedAggs = plan.collect {
+      case a: Aggregate if a.child.collectFirst {
+        case f: Filter if f.condition.toString.contains("cms_estimate") => f
+      }.nonEmpty => a
+    }
+    assert(gatedAggs.nonEmpty,
+      s"no aggregate sits ON TOP of the cms_estimate gate:\n$plan")
+    // and the physical exact count combines map-side before its exchange
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("partial_count"), p.take(600))
+  }
+
+  test("q118: bloom gate filters below the shuffle; ONE keyed LeftSemi " +
+      "join, no BNL/cartesian") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join}
+    import org.apache.spark.sql.catalyst.plans.LeftSemi
+    val df = SparkEntry.queries("q118_bloom_semijoin")(spark, dir)
+    val plan = df.queryExecution.optimizedPlan
+    val joins = plan.collect { case j: Join => j }
+    assert(joins.size == 1 && joins.head.joinType == LeftSemi,
+      s"expected exactly one LeftSemi join:\n$plan")
+    // the probe (fact) side of the semi join carries the bloom gate, so
+    // the pruning happens BEFORE that side's shuffle
+    assert(joins.head.left.collectFirst {
+        case f: Filter if f.condition.toString.contains("bloom_contains") => f
+      }.nonEmpty, s"bloom_contains gate not on the join's left side:\n$plan")
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoop") && !p.contains("CartesianProduct"),
+      p.take(600))
+  }
+
   test("q109: EXISTS/NOT EXISTS rewrite to semi and anti joins") {
     val p = planOf("q109_exists_subquery")
     assert(p.contains("LeftSemi"), p.take(600))

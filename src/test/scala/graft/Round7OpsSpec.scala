@@ -160,9 +160,15 @@ class Round7OpsSpec extends SparkSpec {
     }
   }
 
-  test("rows-only assertions (q31/q32/q44/q46/q49) all pass at sf0.001") {
+  test("rows-only assertions cover every no-oracle query and pass at sf0.001") {
     val checks = VerifyAssertions.run(spark, "/root/testdata/sf0.001")
-    assert(checks.size == 5)
+    // assert the COVERED QUERY SET, not a literal count — round 8 added a
+    // sixth check (q119) and the old `size == 5` broke the suite without
+    // any operator being wrong. The set is exactly the queries absent
+    // from SparkEntry.oracleSql (the rows-only ones).
+    val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(checks.map(_.query).toSet == rowsOnly,
+      s"assertion coverage ${checks.map(_.query).toSet} != rows-only set $rowsOnly")
     checks.foreach(c =>
       assert(c.pass, s"${c.query} ${c.name}: ${c.detail}"))
   }

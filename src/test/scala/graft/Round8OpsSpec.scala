@@ -73,7 +73,8 @@ class Round8OpsSpec extends SparkSpec {
     val exact = Similarity.cosinePairs(df, "id", "vec", threshold = 0.98)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(exact.nonEmpty, "fixture must plant qualifying pairs")
-    // hand branch: 220 vectors, occupancy 220/2^12 << 128
+    // hand branch: 220 vectors, occupancy 220/2^12 ≈ 0.05 <= the
+    // dispatcher's measured occupancyCap default of 16
     val hand = Similarity.cosinePairsLshAuto(df, "id", "vec", 0.98,
         dim = dim, planesPerBand = 12, bands = 12, targetCos = 0.99)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
