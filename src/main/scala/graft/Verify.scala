@@ -27,6 +27,20 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // A query that throws must leave a LOUD artifact, not silence:
+        // round 9's NTZ regression made 4 queries vanish from the driver's
+        // correctness JSON entirely (115/119 keys, read as green). Writing
+        // a one-row __error__ parquet guarantees the query dir exists, so
+        // any downstream compare records a schema-mismatch FAIL instead of
+        // omitting the query.
+        try {
+          import spark.implicits._
+          Seq(Option(e.toString).getOrElse("error").take(2000))
+            .toDF("__error__")
+            .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        } catch { case e2: Throwable =>
+          System.err.println(s"[verify] $name error-record failed: $e2")
+        }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -88,17 +88,14 @@ object ScaleUp {
     // so the 10× gate silently skipped every events query. Tables
     // passes a TimestampType ts through unchanged.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = spark.read.parquet(s"$src/events.parquet")
-    // schema-adaptive like Tables.load: driver testdata is raw int64
-    // nanos (truncate), a previous ScaleUp output is already a µs
-    // TIMESTAMP (pass through) — so rehearsal data can be re-scaled
-    val evTs = ev.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        timestamp_micros(expr("ts div 1000"))
-      case _ => col("ts")
-    }
+    // schema-adaptive via Tables.normalizeEventTs: driver testdata may be
+    // raw int64 nanos, µs NTZ (pandas regen), or a previous ScaleUp
+    // output's µs TIMESTAMP — all normalize to TimestampType on write so
+    // rehearsal data always carries the canonical form.
+    val ev = graft.Tables.normalizeEventTs(
+      spark.read.parquet(s"$src/events.parquet"))
     replicate(ev, "events") {
-      (d, k) => d.select(off("event_id", k), evTs.as("ts"),
+      (d, k) => d.select(off("event_id", k), col("ts"),
         off("user_id", k), col("event_type"), col("value"), col("props"))
     }
     val lower = "abcdefghijklmnopqrstuvwxyz"

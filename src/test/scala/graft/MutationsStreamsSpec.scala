@@ -59,8 +59,8 @@ class MutationsStreamsSpec extends SparkSpec {
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$dir/events.parquet"),
       stage.resolve("events.parquet"))
-    val stream = Streams.parquetStream(spark, stage.toString, rawSchema)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val stream = Tables.normalizeEventTs(
+      Streams.parquetStream(spark, stage.toString, rawSchema))
     val streamed = Streams.runToMemory(
       Streams.windowedAgg(stream, "ts", "value", "1 hour",
         keys = Seq("event_type")), "wtest")

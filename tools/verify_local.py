@@ -44,6 +44,11 @@ def main(sf_dir, out_dir):
                              ignore_index=True)
         except Exception as e:
             print(f"FAIL {name}: read error {e}"); n_fail += 1; continue
+        if list(mine.columns) == ["__error__"]:
+            # Verify writes this sentinel when the query itself threw —
+            # surface the original exception instead of a column diff
+            msg = mine["__error__"].iloc[0] if len(mine) else "unknown"
+            print(f"FAIL {name}: query threw: {msg}"); n_fail += 1; continue
         try:
             them = con.execute(sql).df()
         except Exception as e:
