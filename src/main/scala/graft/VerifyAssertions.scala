@@ -176,7 +176,42 @@ object VerifyAssertions {
         f"panel_rows=${got.size} max_rel_err=$maxErr%.4f (cap 0.03)")
     }
 
-    Seq(q31, q32, q44, q46, q49, q119)
+    // q126 — percentile_approx (GK-style mergeable sketch) guarantees
+    // every returned value is an input element whose exact rank is within
+    // n/accuracy of the target rank. Recompute exact ranks of every panel
+    // value (one bounded aggregate over the 15-value panel broadcast back
+    // onto lineitem) and enforce that bound (+1 for the ceil boundary).
+    val q126 = {
+      val li = Tables(spark, sfDir, "lineitem")
+      val got = SparkEntry.queries("q126_quantile_sketch")(spark, sfDir)
+        .collect()
+        .map(r => (r.getString(0), Seq(r.getDouble(1), r.getDouble(2),
+          r.getDouble(3))))
+      val ps = Seq(0.5, 0.9, 0.99)
+      val accuracy = 10000.0
+      val failures = got.flatMap { case (flag, vs) =>
+        val grp = li.filter(col("l_returnflag") === flag)
+        val n = grp.count().toDouble
+        val ranks = grp.agg(
+          count(when(col("l_extendedprice") <= vs(0), 1)).as("r0"),
+          count(when(col("l_extendedprice") <= vs(1), 1)).as("r1"),
+          count(when(col("l_extendedprice") <= vs(2), 1)).as("r2")).head()
+        ps.indices.flatMap { i =>
+          val r = ranks.getLong(i).toDouble
+          val target = ps(i) * n
+          val tol = n / accuracy + 1
+          if (math.abs(r - target) <= tol) None
+          else Some(f"$flag p${(ps(i) * 100).toInt}: rank=$r%.0f " +
+            f"target=$target%.0f tol=$tol%.1f")
+        }
+      }
+      Check("quantile_sketch_rank_error_bound", "q126_quantile_sketch",
+        got.nonEmpty && failures.isEmpty,
+        s"panel_rows=${got.length} violations=${failures.length}" +
+          (if (failures.nonEmpty) s" first=${failures.head}" else ""))
+    }
+
+    Seq(q31, q32, q44, q46, q49, q119, q126)
   }
 
   /** Rows of (query_id, match_id, cos) whose cos does NOT equal the
