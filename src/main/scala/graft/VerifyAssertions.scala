@@ -3,7 +3,8 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Decomp, Dedup, Similarity}
+import graft.plans.GramianAgg
 
 /** Hard driver-side checks for the five rows-only (sketch/ANN) queries —
   * q31/q32/q44/q46/q49 have no DuckDB-expressible oracle (banding, KMeans
@@ -211,7 +212,43 @@ object VerifyAssertions {
           (if (failures.nonEmpty) s" first=${failures.head}" else ""))
     }
 
-    Seq(q31, q32, q44, q46, q49, q119, q126)
+    // q128 — the PCA panel is certified by construction + replay: the
+    // eigenvalues must descend, the top-16 basis must be orthonormal
+    // (driver-side, d is corpus-independent), and a SECOND Gramian pass
+    // over the whitened projection must measure identity covariance and
+    // zero mean on the actual corpus — the defining property of
+    // whitening, checked distributively, not assumed from the algebra.
+    val q128 = {
+      val model = Decomp.fitPca(emb, col("embedding"), dim = 64)
+      val k = 16
+      val descending = (1 until k).forall(i =>
+        model.eigenvalues(i - 1) >= model.eigenvalues(i) - 1e-12)
+      val orthErr = (for { i <- 0 until k; j <- i until k } yield {
+        val dot = (0 until 64)
+          .map(r => model.components(i)(r) * model.components(j)(r)).sum
+        math.abs(dot - (if (i == j) 1.0 else 0.0))
+      }).max
+      val buf = Decomp.project(emb, col("embedding"), model, k, whiten = true)
+        .agg(GramianAgg.gramian_agg(col("projection"), k))
+        .head().getSeq[Double](0).toArray
+      val n = buf(0)
+      val meanErr = (0 until k).map(i => math.abs(buf(1 + i) / n)).max
+      var p = 1 + k
+      var covErr = 0.0
+      for (i <- 0 until k; j <- i until k) {
+        val c = buf(p) / n - (buf(1 + i) / n) * (buf(1 + j) / n)
+        covErr = math.max(covErr,
+          math.abs(c - (if (i == j) 1.0 else 0.0)))
+        p += 1
+      }
+      Check("pca_whitening_identity_covariance", "q128_pca_whiten",
+        descending && orthErr < 1e-9 && meanErr < 1e-6 && covErr < 1e-6 &&
+          n == model.n,
+        f"n=${n}%.0f desc=$descending orth_err=$orthErr%.2e " +
+          f"mean_err=$meanErr%.2e cov_err=$covErr%.2e (caps 1e-9/1e-6/1e-6)")
+    }
+
+    Seq(q31, q32, q44, q46, q49, q119, q126, q128)
   }
 
   /** Rows of (query_id, match_id, cos) whose cos does NOT equal the

@@ -370,6 +370,65 @@ object VectorExprs {
       copy(child = newChild)
   }
 
+  /** affine_map(vec, flatMatrix, bias) → array<double>: y = M·x + b for a
+    * FOLDABLE k×d matrix (row-major flat literal) and k-vector bias — the
+    * broadcast-linear-map kernel (PCA projection, whitening, any learned
+    * rotation). One expression instead of k `vec_dot` Columns: the
+    * many-same-kind-Columns form pays a boxed element access per
+    * coefficient (the LshBands lesson — ~500M unboxings at 55k rows ×
+    * 144 projections); this extracts both literals to primitive arrays
+    * once and loops. Rows shorter than d evaluate to null (malformed
+    * vectors must surface, not silently zero-pad). Runs once per row —
+    * interpreted eval is fine (CodegenFallback like [[LshBands]]).
+    */
+  case class AffineMap(child: Expression, matExpr: Expression,
+      biasExpr: Expression)
+      extends UnaryExpression
+      with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    require(matExpr.foldable && biasExpr.foldable,
+      "affine_map matrix and bias must be literals")
+    override def prettyName: String = "affine_map"
+    override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+    private def elemType: DataType =
+      child.dataType.asInstanceOf[ArrayType].elementType
+
+    @transient private lazy val bias: Array[Double] =
+      biasExpr.eval().asInstanceOf[ArrayData].toDoubleArray()
+    @transient private lazy val mat: Array[Double] =
+      matExpr.eval().asInstanceOf[ArrayData].toDoubleArray()
+    @transient private lazy val rows: Int = bias.length
+    @transient private lazy val cols: Int = {
+      require(rows > 0 && mat.length % rows == 0,
+        s"affine_map: matrix length ${mat.length} not divisible by rows $rows")
+      mat.length / rows
+    }
+
+    override def nullSafeEval(input: Any): Any = {
+      val x = input.asInstanceOf[ArrayData]
+      if (x.numElements() < cols) return null
+      val v = new Array[Double](cols)
+      var j = 0
+      while (j < cols) { v(j) = elemEval(x, elemType, j); j += 1 }
+      val out = new Array[Double](rows)
+      val m = mat
+      var i = 0
+      while (i < rows) {
+        val off = i * cols
+        var s = bias(i)
+        var k = 0
+        while (k < cols) { s += m(off + k) * v(k); k += 1 }
+        out(i) = s
+        i += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    }
+
+    override def nullable: Boolean = true
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   // registered once per session (WeakHashMap so dropped sessions release);
   // the per-call createOrReplaceTempFunction churn spammed "replaced a
   // previously registered function" warnings and re-built FunctionBuilders
@@ -399,6 +458,9 @@ object VectorExprs {
         "vec_q8", exprs => VecQuantize(exprs(0), exprs(1)), "built-in")
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         "vec_dot_q8", exprs => DotQ8(exprs(0), exprs(1)), "built-in")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "affine_map", exprs => AffineMap(exprs(0), exprs(1), exprs(2)),
+        "built-in")
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         "lsh_bands", exprs => {
           def intLit(e: Expression): Int =
@@ -442,6 +504,14 @@ object VectorExprs {
   def vec_dot_q8(a: Column, b: Column): Column = {
     ensureRegistered()
     call_function("vec_dot_q8", a, b)
+  }
+
+  /** y = M·x + b with a row-major flat k×d matrix literal. */
+  def affine_map(vec: Column, mat: Array[Double],
+      bias: Array[Double]): Column = {
+    ensureRegistered()
+    import org.apache.spark.sql.functions.lit
+    call_function("affine_map", vec, lit(mat), lit(bias))
   }
 
   def lsh_bands(vec: Column, planesPerBand: Int, bands: Int, dim: Int,

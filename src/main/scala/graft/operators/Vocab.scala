@@ -100,6 +100,54 @@ object Vocab {
         round(sum(p * log(p / q)), 4).as("kl"))
   }
 
+  /** Top-k collocations by pointwise mutual information over adjacent
+    * word pairs: PMI(w1,w2) = ln(n2·T / (c1·c2)) with n2 the bigram
+    * count, c1/c2 the left/right unigram marginals of the bigram table,
+    * and T the total bigram mass. `minCount` suppresses the
+    * one-off-pair noise that otherwise tops any PMI list.
+    *
+    * Scale shape: bigrams are built per-row with zip_with (no positional
+    * self-join); the only gram-mass shuffle is the (w1,w2) count. The
+    * marginals and total derive from the vocab²-bounded count relation —
+    * which four plan branches consume, so it is materialized once
+    * (localCheckpoint; AQE re-executes multi-consumer map relations
+    * otherwise) — and broadcast back onto it.
+    *
+    * Ordering determinism across engines: rows rank by the EXACT ratio
+    * n2·T/(c1·c2) (integer-valued inputs, one IEEE multiply/divide —
+    * bit-identical in any engine), never by the rounded ln, whose
+    * last-ulp drift between libm implementations could flip a
+    * boundary (the round-5 q116 lesson applied to top-k membership).
+    */
+  def collocationsPmi(docs: DataFrame, textCol: Column, minCount: Long,
+      k: Int): DataFrame = {
+    val toks = PlanUtil.widenIfNarrow(
+        docs.filter(length(trim(textCol)) > 0).select(textCol.as("__text")))
+      .select(TextFunctions.tokensWs(col("__text")).as("t"))
+      .filter(size(col("t")) >= 2)
+    val pairs = toks.select(explode(zip_with(
+        slice(col("t"), lit(1), size(col("t")) - 1),
+        slice(col("t"), lit(2), size(col("t")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val c2 = pairs.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("n2"))
+      .localCheckpoint()
+    val tot = c2.agg(sum(col("n2")).cast("double").as("__t"))
+    val left = c2.groupBy(col("w1")).agg(sum(col("n2")).cast("double").as("c1"))
+    val right = c2.groupBy(col("w2")).agg(sum(col("n2")).cast("double").as("c2"))
+    val ratio = col("n2").cast("double") * col("__t") / (col("c1") * col("c2"))
+    c2.filter(col("n2") >= minCount)
+      .join(broadcast(left), "w1")
+      .join(broadcast(right), "w2")
+      .crossJoin(broadcast(tot))
+      .select(col("w1"), col("w2"), col("n2"), ratio.as("__r"))
+      .orderBy(col("__r").desc, col("w1"), col("w2"))
+      .limit(k)
+      .select(col("w1"), col("w2"), col("n2"),
+        round(log(col("__r")), 4).as("pmi"))
+  }
+
   /** Per-group lexical-diversity profile: token/type counts, type-token
     * ratio, and hapax (frequency-1 type) rate — the vocabulary-health
     * stats of a corpus report. One explode → two stacked combinable
