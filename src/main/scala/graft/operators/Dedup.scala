@@ -921,6 +921,50 @@ object Dedup {
         "left_anti")
   }
 
+  /** Incremental NEAR-dup admission for an arriving batch against an
+    * existing corpus — the LSH-gated, exact-verified analogue of
+    * [[incrementalExact]] (which only catches byte-identical keys): each
+    * batch doc gets a verdict
+    *   - `corpus_dup`  — some corpus doc's exact distinct-shingle
+    *     Jaccard ≥ `threshold` (smallest such corpus id in `match_id`);
+    *   - `batch_dup`   — no corpus match, but a SMALLER-id doc in the
+    *     same batch matches (smallest such id in `match_id`);
+    *   - `keep`        — neither.
+    * Verdicts are PAIRWISE by contract — a doc whose only match is
+    * itself a corpus_dup is still `batch_dup` (its content is arriving
+    * in duplicate either way); chain-collapsing transitivity is
+    * [[connectedComponents]]' job, not an admission filter's.
+    *
+    * Scale shape: the batch↔corpus pairs ride [[fuzzyJoin]] and the
+    * within-batch pairs ride [[jaccardPairsLsh]] — both band-gated with
+    * exact sorted-merge verification, so work is candidate-proportional
+    * and the corpus is touched only by its (re-usable) signature scan;
+    * the verdict assembly is two keyed aggregates + two left joins on
+    * the batch ids. Nothing is quadratic in corpus or batch size.
+    */
+  def incrementalNearDup(corpus: DataFrame, corpusId: String,
+      corpusText: String, batch: DataFrame, batchId: String,
+      batchText: String, threshold: Double, shingleWords: Int = 3,
+      numHashes: Int = 128, bands: Int = 64): DataFrame = {
+    val cross = fuzzyJoin(batch, batchId, batchText,
+      corpus, corpusId, corpusText, threshold, shingleWords, numHashes,
+      bands)
+    val corpusMatch = cross.groupBy(col("id_a"))
+      .agg(min(col("id_b")).as("__corpus_match"))
+    val within = jaccardPairsLsh(batch, batchId, batchText, threshold,
+      shingleWords, numHashes, bands)
+    val batchMatch = within.groupBy(col("id_b"))
+      .agg(min(col("id_a")).as("__batch_match"))
+    batch.select(col(batchId))
+      .join(corpusMatch, col(batchId) === col("id_a"), "left").drop("id_a")
+      .join(batchMatch, col(batchId) === col("id_b"), "left").drop("id_b")
+      .select(col(batchId),
+        when(col("__corpus_match").isNotNull, lit("corpus_dup"))
+          .when(col("__batch_match").isNotNull, lit("batch_dup"))
+          .otherwise(lit("keep")).as("status"),
+        coalesce(col("__corpus_match"), col("__batch_match")).as("match_id"))
+  }
+
   /** Canonical-document selection per near-dup cluster: given component
     * labels `(idCol, compCol)` (e.g. [[connectedComponents]] output) and
     * a per-id quality score, pick each cluster's best-scoring id (ties →

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorExprs
-import graft.operators.{Decomp, Vocab}
+import graft.operators.{Decomp, Dedup, Vocab}
 import graft.plans.GramianAgg
 
 /** Round-10 kernels: GramianAgg sufficient statistics, the AffineMap
@@ -170,6 +170,82 @@ class DecompSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(800))
     assert("BroadcastNestedLoopJoin".r.findAllIn(p).length <= 1, p.take(800))
     assert(p.contains("TakeOrderedAndProject"), p.take(800))
+  }
+
+  // ------------------------------------------- incremental near-dup
+
+  test("incrementalNearDup matches a brute-force verdict table on a " +
+      "fuzzed corpus (corpus_dup / batch_dup / keep / shingle-less)") {
+    val rnd = new java.util.SplittableRandom(5L)
+    val vocab = Array.tabulate(40)(i => s"w$i")
+    def randText(): String = {
+      val len = 12 + rnd.nextInt(7)
+      (0 until len).map(_ => vocab(rnd.nextInt(40))).mkString(" ")
+    }
+    def mutateLast(t: String): String =
+      (t.split(" ").dropRight(1) :+ "MUT").mkString(" ")
+    // ids % 3 == 0 form the batch; planted structure on a random base:
+    //   3  near-copy of corpus 1          → corpus_dup(1)
+    //   6  exact copy of corpus 4         → corpus_dup(4)
+    //   9  unique                         → keep
+    //   12 near-copy of batch 9           → batch_dup(9)
+    //   15 two words (shingle-less)       → keep
+    //   18 near-copy of corpus 1 as well  → corpus_dup(1)
+    val corpusIds = (1 until 30).filter(_ % 3 != 0).map(_.toLong)
+    val corpusTexts = corpusIds.map(id => (id, randText())).toMap
+    val texts: Seq[(Long, String)] =
+      corpusTexts.toSeq ++ Seq(
+        3L -> mutateLast(corpusTexts(1L)),
+        6L -> corpusTexts(4L),
+        9L -> randText(),
+        15L -> "only two",
+        18L -> mutateLast(corpusTexts(1L)),
+        21L -> randText(),
+        24L -> randText(),
+        27L -> randText())
+    val allDocs = texts :+ (12L -> mutateLast(
+      texts.find(_._1 == 9L).get._2))
+    val df = allDocs.toDF("doc_id", "text")
+    val corpus = df.filter(col("doc_id") % 3 =!= 0)
+    val batch = df.filter(col("doc_id") % 3 === 0)
+
+    def sh(t: String): Set[String] = {
+      val w = t.trim.split("\\s+").filter(_.nonEmpty)
+      if (w.length < 3) Set.empty
+      else w.sliding(3).map(_.mkString(" ")).toSet
+    }
+    def jac(a: Set[String], b: Set[String]): Double =
+      if (a.isEmpty || b.isEmpty) 0.0
+      else {
+        val inter = (a & b).size.toDouble
+        math.rint(inter / (a.size + b.size - inter) * 1e4) / 1e4
+      }
+    val shingleOf = allDocs.map { case (id, t) => id -> sh(t) }.toMap
+    val expected = allDocs.filter(_._1 % 3 == 0).map { case (id, _) =>
+      val cm = allDocs.collect { case (cid, _)
+          if cid % 3 != 0 && jac(shingleOf(id), shingleOf(cid)) >= 0.5 => cid }
+        .sorted.headOption
+      val bm = allDocs.collect { case (bid, _)
+          if bid % 3 == 0 && bid < id &&
+            jac(shingleOf(id), shingleOf(bid)) >= 0.5 => bid }
+        .sorted.headOption
+      val status =
+        if (cm.isDefined) "corpus_dup"
+        else if (bm.isDefined) "batch_dup" else "keep"
+      (id, status, cm.orElse(bm).map(Long.box).orNull)
+    }.toSet
+
+    val got = Dedup.incrementalNearDup(corpus, "doc_id", "text",
+        batch, "doc_id", "text", threshold = 0.5)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) null else Long.box(r.getLong(2))))
+      .toSet
+    assert(got == expected,
+      s"diff got-expected ${got -- expected}; expected-got ${expected -- got}")
+    // the fuzz corpus must actually exercise all three verdicts
+    assert(expected.map(_._2) == Set("corpus_dup", "batch_dup", "keep"),
+      s"fuzz corpus degenerate: ${expected.map(_._2)}")
   }
 
   test("collocationsPmi keeps exactly k rows ranked by the exact ratio") {
