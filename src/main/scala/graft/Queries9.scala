@@ -118,20 +118,30 @@ object Queries9 {
 
   /** TPC-H Q15-shape top supplier: quarterly revenue per supplier, keep
     * the max-revenue row(s) via a 1-row broadcast of the global max —
-    * no single-partition window. Ties kept (Q15 semantics), compared on
-    * the ROUNDED revenue in both engines so the boundary is identical.
+    * no single-partition window. Ties kept (Q15 semantics).
+    *
+    * Max MEMBERSHIP compares EXACT decimal sums, not rounded doubles:
+    * price·(1−disc) is exactly a 4-decimal value (2+2 digits), so
+    * casting each term to decimal(18,4) recovers the grid point exactly
+    * (the double is within ~1 ulp of it, the grid half-step is 5e-5 —
+    * no boundary exists) and the decimal SUM is order-independent and
+    * engine-exact. A rounded-double max equality is the q116 half-even
+    * hazard applied to row MEMBERSHIP — 1-ulp summation drift between
+    * engines could flip which rows tie the max. Output casts back to
+    * double (same exact decimal on both sides → same double).
     */
   def q124_top_supplier(s: SparkSession, dir: String): DataFrame = {
     val revq = t(s, dir, "lineitem")
       .filter(col("l_shipdate") >= "1996-01-01" &&
         col("l_shipdate") < "1996-04-01")
       .groupBy(col("l_suppkey"))
-      .agg(round(sum(rev), 4).as("total_rev"))
-    val mx = revq.agg(max(col("total_rev")).as("__mx"))
-    revq.join(broadcast(mx), col("total_rev") === col("__mx"))
+      .agg(sum(rev.cast("decimal(18,4)")).as("__rev_d"))
+    val mx = revq.agg(max(col("__rev_d")).as("__mx"))
+    revq.join(broadcast(mx), col("__rev_d") === col("__mx"))
       .join(broadcast(t(s, dir, "supplier")),
         col("s_suppkey") === col("l_suppkey"))
-      .select(col("s_suppkey"), col("s_name"), col("total_rev"))
+      .select(col("s_suppkey"), col("s_name"),
+        col("__rev_d").cast("double").as("total_rev"))
       .orderBy(col("s_suppkey"))
   }
 
@@ -146,18 +156,15 @@ object Queries9 {
     * keyed shuffles only, the canonical two-pass LM-scoring pipeline.
     */
   def q125_lm_perplexity(s: SparkSession, dir: String): DataFrame = {
-    val toks = t(s, dir, "documents")
-      .filter(length(trim(col("text"))) > 0)
-      .select(col("doc_id"), TextFunctions.tokensWs(col("text")).as("t"))
-      .filter(size(col("t")) >= 2)
-    val big = toks.select(col("doc_id"),
-        explode(zip_with(
-          slice(col("t"), lit(1), size(col("t")) - 1),
-          slice(col("t"), lit(2), size(col("t")) - 1),
-          (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
-      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val big = graft.operators.Vocab.bigramPairs(
+      t(s, dir, "documents"), col("text"), Seq(col("doc_id")))
+    // c2 feeds c1 AND the scoring join (whose broadcast side AQE
+    // re-plans, so ReusedExchange can't share) — checkpoint the
+    // vocab²-bounded model once; the gram stream then runs twice
+    // (model build + scoring), not three times
     val c2 = big.groupBy(col("w1"), col("w2"))
       .agg(count(lit(1)).as("n2"))
+      .localCheckpoint()
     val c1 = c2.groupBy(col("w1"))
       .agg(sum(col("n2")).cast("double").as("n1"))
     big.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
@@ -240,13 +247,14 @@ object Queries9 {
     "q124_top_supplier" ->
       """WITH rev AS (
         |  SELECT l_suppkey,
-        |         round(sum(l_extendedprice*(1-l_discount)),4) AS total_rev
+        |         sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4)))
+        |           AS rev_d
         |  FROM lineitem
         |  WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-04-01'
         |  GROUP BY 1)
-        |SELECT s_suppkey, s_name, total_rev
+        |SELECT s_suppkey, s_name, CAST(rev_d AS DOUBLE) AS total_rev
         |FROM supplier JOIN rev ON s_suppkey = l_suppkey
-        |WHERE total_rev = (SELECT max(total_rev) FROM rev)
+        |WHERE rev_d = (SELECT max(rev_d) FROM rev)
         |ORDER BY s_suppkey""".stripMargin,
     "q125_lm_perplexity" ->
       """WITH toks AS (

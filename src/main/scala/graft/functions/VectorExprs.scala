@@ -408,7 +408,12 @@ object VectorExprs {
       if (x.numElements() < cols) return null
       val v = new Array[Double](cols)
       var j = 0
-      while (j < cols) { v(j) = elemEval(x, elemType, j); j += 1 }
+      while (j < cols) {
+        // a null SLOT would read as 0.0 through getDouble — fabricate
+        // nothing; a partially-null vector is malformed like a short one
+        if (x.isNullAt(j)) return null
+        v(j) = elemEval(x, elemType, j); j += 1
+      }
       val out = new Array[Double](rows)
       val m = mat
       var i = 0

@@ -172,53 +172,68 @@ object Dedup {
     * 1-(1-t²)^64 ≈ 1-1e-8 at t=0.5 — effectively total recall at the
     * thresholds this gates.
     */
+  /** (outId, __sh sorted-shingle-hashes, __sig minhash) relation for one
+    * side of a cross-table band join, localCheckpointed: each side feeds
+    * a band branch and a verify branch with DIFFERENT column sets, so
+    * after pruning the subtrees aren't identical and ReusedExchange
+    * can't share them — the checkpoint materializes the scan once (same
+    * pattern as jaccardPairsDense). Docs shorter than shingleWords have
+    * NO shingles: they can never reach a positive Jaccard, but their
+    * all-sentinel minhash signatures would band-collide with EVERY other
+    * empty doc and 0/0 division yields NaN — which Spark orders ABOVE
+    * every number, so `NaN >= threshold` would pass. Drop them up front.
+    */
+  private def sigPrep(df: DataFrame, id: String, text: String,
+      outId: String, shingleWords: Int, numHashes: Int): DataFrame =
+    PlanUtil.widenIfNarrow(df.select(col(id).as(outId), col(text).as("__t")))
+      .select(col(outId),
+        graft.functions.SketchExprs.shingle_hashes(
+          TextFunctions.tokensWs(col("__t")), shingleWords).as("__sh"))
+      .filter(size(col("__sh")) > 0)
+      .withColumn("__sig", graft.functions.SketchExprs
+        .minhash_array(col("__sh"), numHashes))
+      .localCheckpoint()
+
+  /** Explode a [[sigPrep]] relation to its (id, band, bandHash) keys. */
+  private def sigBands(df: DataFrame, id: String, bands: Int,
+      rowsPerBand: Int): DataFrame = {
+    val bandHashes = (0 until bands).map(j =>
+      xxhash64(slice(col("__sig"), j * rowsPerBand + 1, rowsPerBand)))
+    df.select(col(id),
+      posexplode(array(bandHashes: _*)).as(Seq("__band", "__bh")))
+  }
+
+  /** Exact sorted-merge Jaccard verification of (id_a, id_b) candidates
+    * against two [[sigPrep]] relations; keeps pairs with
+    * round(jaccard, 4) ≥ threshold.
+    */
+  private def verifyJaccard(cand: DataFrame, a: DataFrame, b: DataFrame,
+      threshold: Double): DataFrame =
+    cand
+      .join(a.select(col("id_a"), col("__sh").as("__sha")), "id_a")
+      .join(b.select(col("id_b"), col("__sh").as("__shb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        graft.functions.VectorExprs
+          .sorted_inter_count(col("__sha"), col("__shb")).as("inter"),
+        size(col("__sha")).as("__na"), size(col("__shb")).as("__nb"))
+      .select(col("id_a"), col("id_b"), col("inter"),
+        round(col("inter").cast("double") /
+          (col("__na") + col("__nb") - col("inter")), 4).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+
   def fuzzyJoin(left: DataFrame, leftId: String, leftText: String,
       right: DataFrame, rightId: String, rightText: String,
       threshold: Double, shingleWords: Int = 3,
       numHashes: Int = 128, bands: Int = 64): DataFrame = {
     require(numHashes % bands == 0, s"bands ($bands) must divide numHashes")
     val rpb = numHashes / bands
-    import graft.functions.SketchExprs.{minhash_array, shingle_hashes}
-    import graft.functions.VectorExprs.sorted_inter_count
-
-    // each side feeds a band branch and a verify branch with DIFFERENT
-    // column sets, so after pruning the subtrees aren't identical and
-    // ReusedExchange can't share them — localCheckpoint materializes the
-    // (id, shingles, signature) relation once per side instead of running
-    // the shingle+minhash scan twice (same pattern as jaccardPairsDense)
-    // docs shorter than shingleWords have NO shingles: they can never
-    // reach a positive Jaccard, but their all-sentinel minhash signatures
-    // would band-collide with EVERY other empty doc (|emptyL|×|emptyR|
-    // candidates) and 0/0 division yields NaN — which Spark orders ABOVE
-    // every number, so `NaN >= threshold` would pass. Drop them up front.
-    def prep(df: DataFrame, id: String, text: String, outId: String) =
-      PlanUtil.widenIfNarrow(df.select(col(id).as(outId), col(text).as("__t")))
-        .select(col(outId),
-          shingle_hashes(TextFunctions.tokensWs(col("__t")), shingleWords)
-            .as("__sh"))
-        .filter(size(col("__sh")) > 0)
-        .withColumn("__sig", minhash_array(col("__sh"), numHashes))
-        .localCheckpoint()
-    def banded(df: DataFrame, id: String) = {
-      val bandHashes = (0 until bands).map(j =>
-        xxhash64(slice(col("__sig"), j * rpb + 1, rpb)))
-      df.select(col(id),
-        posexplode(array(bandHashes: _*)).as(Seq("__band", "__bh")))
-    }
-    val a = prep(left, leftId, leftText, "id_a")
-    val b = prep(right, rightId, rightText, "id_b")
-    val cand = banded(a, "id_a").join(banded(b, "id_b"), Seq("__band", "__bh"))
+    val a = sigPrep(left, leftId, leftText, "id_a", shingleWords, numHashes)
+    val b = sigPrep(right, rightId, rightText, "id_b", shingleWords,
+      numHashes)
+    val cand = sigBands(a, "id_a", bands, rpb)
+      .join(sigBands(b, "id_b", bands, rpb), Seq("__band", "__bh"))
       .select(col("id_a"), col("id_b")).distinct()
-    cand
-      .join(a.select(col("id_a"), col("__sh").as("__sha")), "id_a")
-      .join(b.select(col("id_b"), col("__sh").as("__shb")), "id_b")
-      .select(col("id_a"), col("id_b"),
-        sorted_inter_count(col("__sha"), col("__shb")).as("inter"),
-        size(col("__sha")).as("__na"), size(col("__shb")).as("__nb"))
-      .select(col("id_a"), col("id_b"), col("inter"),
-        round(col("inter").cast("double") /
-          (col("__na") + col("__nb") - col("inter")), 4).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+    verifyJaccard(cand, a, b, threshold)
   }
 
   // ------------------------------------------------------------ exact jaccard
@@ -935,9 +950,10 @@ object Dedup {
     * in duplicate either way); chain-collapsing transitivity is
     * [[connectedComponents]]' job, not an admission filter's.
     *
-    * Scale shape: the batch↔corpus pairs ride [[fuzzyJoin]] and the
-    * within-batch pairs ride [[jaccardPairsLsh]] — both band-gated with
-    * exact sorted-merge verification, so work is candidate-proportional
+    * Scale shape: both pair generations share ONE [[sigPrep]] signature
+    * relation per side (the batch is shingled and signed once, not once
+    * per generation) and are band-gated with exact sorted-merge
+    * verification ([[verifyJaccard]]) — work is candidate-proportional
     * and the corpus is touched only by its (re-usable) signature scan;
     * the verdict assembly is two keyed aggregates + two left joins on
     * the batch ids. Nothing is quadratic in corpus or batch size.
@@ -946,14 +962,29 @@ object Dedup {
       corpusText: String, batch: DataFrame, batchId: String,
       batchText: String, threshold: Double, shingleWords: Int = 3,
       numHashes: Int = 128, bands: Int = 64): DataFrame = {
-    val cross = fuzzyJoin(batch, batchId, batchText,
-      corpus, corpusId, corpusText, threshold, shingleWords, numHashes,
-      bands)
-    val corpusMatch = cross.groupBy(col("id_a"))
+    require(numHashes % bands == 0, s"bands ($bands) must divide numHashes")
+    val rpb = numHashes / bands
+    // the batch relation feeds BOTH pair generations — shingle and sign
+    // it once (calling fuzzyJoin + jaccardPairsLsh would each build and
+    // checkpoint their own copy, doubling the batch-side sketch work)
+    val b = sigPrep(batch, batchId, batchText, "id_a", shingleWords,
+      numHashes)
+    val c = sigPrep(corpus, corpusId, corpusText, "id_b", shingleWords,
+      numHashes)
+    val bBands = sigBands(b, "id_a", bands, rpb)
+    val candCross = bBands
+      .join(sigBands(c, "id_b", bands, rpb), Seq("__band", "__bh"))
+      .select(col("id_a"), col("id_b")).distinct()
+    val corpusMatch = verifyJaccard(candCross, b, c, threshold)
+      .groupBy(col("id_a"))
       .agg(min(col("id_b")).as("__corpus_match"))
-    val within = jaccardPairsLsh(batch, batchId, batchText, threshold,
-      shingleWords, numHashes, bands)
-    val batchMatch = within.groupBy(col("id_b"))
+    val bAsRight = b.withColumnRenamed("id_a", "id_b")
+    val candWithin = bBands
+      .join(sigBands(bAsRight, "id_b", bands, rpb), Seq("__band", "__bh"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    val batchMatch = verifyJaccard(candWithin, b, bAsRight, threshold)
+      .groupBy(col("id_b"))
       .agg(min(col("id_a")).as("__batch_match"))
     batch.select(col(batchId))
       .join(corpusMatch, col(batchId) === col("id_a"), "left").drop("id_a")

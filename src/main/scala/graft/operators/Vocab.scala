@@ -100,6 +100,27 @@ object Vocab {
         round(sum(p * log(p / q)), 4).as("kl"))
   }
 
+  /** Adjacent word-pair stream: one (w1, w2) row per bigram occurrence,
+    * built per-row with zip_with over the token array — NO positional
+    * self-join ever touches the corpus. `carry` columns (e.g. the doc
+    * id) ride along. Shared by the LM scorer (q125) and
+    * [[collocationsPmi]] so the two bigram models cannot drift.
+    */
+  def bigramPairs(docs: DataFrame, textCol: Column,
+      carry: Seq[Column] = Nil): DataFrame = {
+    val toks = PlanUtil.widenIfNarrow(
+        docs.filter(length(trim(textCol)) > 0)
+          .select(carry :+ textCol.as("__text"): _*))
+      .select(carry :+ TextFunctions.tokensWs(col("__text")).as("__tk"): _*)
+      .filter(size(col("__tk")) >= 2)
+    toks.select(carry :+ explode(zip_with(
+        slice(col("__tk"), lit(1), size(col("__tk")) - 1),
+        slice(col("__tk"), lit(2), size(col("__tk")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("__bg"): _*)
+      .select(carry ++ Seq(col("__bg.w1").as("w1"),
+        col("__bg.w2").as("w2")): _*)
+  }
+
   /** Top-k collocations by pointwise mutual information over adjacent
     * word pairs: PMI(w1,w2) = ln(n2·T / (c1·c2)) with n2 the bigram
     * count, c1/c2 the left/right unigram marginals of the bigram table,
@@ -121,15 +142,7 @@ object Vocab {
     */
   def collocationsPmi(docs: DataFrame, textCol: Column, minCount: Long,
       k: Int): DataFrame = {
-    val toks = PlanUtil.widenIfNarrow(
-        docs.filter(length(trim(textCol)) > 0).select(textCol.as("__text")))
-      .select(TextFunctions.tokensWs(col("__text")).as("t"))
-      .filter(size(col("t")) >= 2)
-    val pairs = toks.select(explode(zip_with(
-        slice(col("t"), lit(1), size(col("t")) - 1),
-        slice(col("t"), lit(2), size(col("t")) - 1),
-        (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
-      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val pairs = bigramPairs(docs, textCol)
     val c2 = pairs.groupBy(col("w1"), col("w2"))
       .agg(count(lit(1)).as("n2"))
       .localCheckpoint()

@@ -54,10 +54,19 @@ case class GramianAgg(
       if (arr.numElements() >= dim) {
         val x = new Array[Double](dim)
         var i = 0
-        while (i < dim) {
-          x(i) = if (elemIsFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
-          i += 1
+        var ok = true
+        while (ok && i < dim) {
+          // a null SLOT reads as 0.0 through getDouble — that would fold
+          // fabricated zeros into the mean/covariance; skip the row like
+          // any other malformed vector
+          if (arr.isNullAt(i)) ok = false
+          else {
+            x(i) = if (elemIsFloat) arr.getFloat(i).toDouble
+              else arr.getDouble(i)
+            i += 1
+          }
         }
+        if (!ok) return buf
         buf(0) += 1.0
         var p = 1 + dim
         i = 0

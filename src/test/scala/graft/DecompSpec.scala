@@ -13,6 +13,13 @@ import graft.plans.GramianAgg
 class DecompSpec extends SparkSpec {
   import spark.implicits._
 
+  /** round(x, 4) with Spark's HALF_UP semantics — math.rint is
+    * HALF_EVEN, which disagrees with the engine exactly on the .00005
+    * boundaries a fuzzed ratio can land on.
+    */
+  private def r4(x: Double): Double =
+    BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+
   // ------------------------------------------------------ GramianAgg
 
   test("gramian_agg matches brute-force count/sum/outer-product sums " +
@@ -49,6 +56,23 @@ class DecompSpec extends SparkSpec {
       .head().getSeq[Double](0).toArray
     assert(buf(0) == 2.0)
     assert(buf(1) == 1.5 && buf(2) == 1.0)
+  }
+
+  test("gramian_agg and affine_map reject vectors with NULL SLOTS " +
+      "(getDouble would read them as fabricated zeros)") {
+    val df = Seq(
+      Seq[java.lang.Double](1.0, 2.0),
+      Seq[java.lang.Double](3.0, null)).toDF("v")
+    val buf = df.agg(GramianAgg.gramian_agg(col("v"), 2))
+      .head().getSeq[Double](0).toArray
+    assert(buf(0) == 1.0, "null-slot vector must be skipped")
+    assert(buf(1) == 1.0 && buf(2) == 2.0)
+    val rows = df
+      .select(VectorExprs.affine_map(col("v"), Array(1.0, 1.0),
+        Array(0.0)).as("y"))
+      .collect()
+    assert(rows(0).getSeq[Double](0) == Seq(3.0))
+    assert(rows(1).isNullAt(0), "null-slot vector must project to null")
   }
 
   // ------------------------------------------------------- AffineMap
@@ -153,8 +177,7 @@ class DecompSpec extends SparkSpec {
     val cl = n2.groupBy(_._1._1).map { case (w, m) => w -> m.values.sum.toDouble }
     val cr = n2.groupBy(_._1._2).map { case (w, m) => w -> m.values.sum.toDouble }
     val expected = n2.filter(_._2 >= 2).map { case ((w1, w2), c) =>
-      (w1, w2, c, math.rint(math.log(
-        c * tot / (cl(w1) * cr(w2))) * 1e4) / 1e4)
+      (w1, w2, c, r4(math.log(c * tot / (cl(w1) * cr(w2)))))
     }.toSet
     val got = Vocab.collocationsPmi(docs, col("text"), minCount = 2L, k = 100)
       .collect().map(r =>
@@ -218,7 +241,7 @@ class DecompSpec extends SparkSpec {
       if (a.isEmpty || b.isEmpty) 0.0
       else {
         val inter = (a & b).size.toDouble
-        math.rint(inter / (a.size + b.size - inter) * 1e4) / 1e4
+        r4(inter / (a.size + b.size - inter))
       }
     val shingleOf = allDocs.map { case (id, t) => id -> sh(t) }.toMap
     val expected = allDocs.filter(_._1 % 3 == 0).map { case (id, _) =>
