@@ -1,0 +1,308 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Clustering, Sampling}
+
+/** Eleventh query batch — the remaining distinctive TPC-H plan shapes
+  * (Q17 correlated per-key average, Q19 disjunctive join predicate, Q21
+  * same-table semi+anti with `<>` correlation), robust outlier flagging
+  * (median absolute deviation), distributed k-means with bit-exact
+  * cross-engine parity, and per-group weighted sampling quotas.
+  *
+  * Float-sum parity notes: revenue sums ride the q124 decimal-grid rule
+  * (`price·(1−disc)` is exactly 4-decimal, so a decimal(18,4) sum is
+  * order-independent and engine-exact); q133's robust-z divides exact
+  * percentile values (Spark `percentile` == DuckDB `quantile_cont`,
+  * q85/q86 precedent) with identical parenthesization on both sides;
+  * q134's centroids are order-pinned left folds so every score both
+  * engines compare is bit-identical (see [[graft.operators.Clustering]]).
+  */
+object Queries11 {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  private def rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+
+  /** TPC-H Q17 silhouette: revenue locked in small-quantity orders of
+    * one brand — each lineitem compares against 20 % of ITS part's
+    * average quantity. Scale shape: the brand cut broadcasts into the
+    * lineitem scan, the per-part averages aggregate over that filtered
+    * slice only (semi-join-pruned, not all parts), and the thresholds
+    * broadcast back; the filtered slice is localCheckpointed because
+    * both the average and the final cut consume it (the AQE
+    * branch-re-execution lesson). l_quantity is integer-valued so the
+    * averages are exact in double on both engines.
+    */
+  def q130_small_qty_revenue(s: SparkSession, dir: String): DataFrame = {
+    val brandParts = t(s, dir, "part")
+      .filter(col("p_brand") === "Brand#4")
+      .select(col("p_partkey"))
+    val li = t(s, dir, "lineitem")
+      .join(broadcast(brandParts), col("l_partkey") === col("p_partkey"))
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+      .localCheckpoint()
+    val lim = li.groupBy(col("l_partkey"))
+      .agg((lit(0.2) * avg(col("l_quantity"))).as("__lim"))
+      .withColumnRenamed("l_partkey", "__pk")
+    li.join(broadcast(lim), col("l_partkey") === col("__pk"))
+      .filter(col("l_quantity") < col("__lim"))
+      .agg(
+        round(sum(col("l_extendedprice").cast("decimal(18,4)"))
+          .cast("double") / 7.0, 4).as("avg_weekly"),
+        count(lit(1)).as("n_small"))
+  }
+
+  /** TPC-H Q19 silhouette: disjunctive join predicate (brand × size ×
+    * quantity bands OR-ed together). Catalyst extracts the common
+    * `p_partkey = l_partkey` equi-key for the hash join and derives
+    * per-side pushed filters from the disjunction — the plan stays a
+    * broadcast hash join with both scans pre-filtered, never a BNL
+    * (plan-audited).
+    */
+  def q131_disjunctive_join(s: SparkSession, dir: String): DataFrame = {
+    val band1 = col("p_brand") === "Brand#4" &&
+      col("p_size").between(1, 15) && col("l_quantity").between(1, 15)
+    val band2 = col("p_brand") === "Brand#17" &&
+      col("p_size").between(10, 30) && col("l_quantity").between(10, 30)
+    val band3 = col("p_brand") === "Brand#19" &&
+      col("p_size").between(20, 50) && col("l_quantity").between(25, 50)
+    t(s, dir, "lineitem")
+      .join(t(s, dir, "part"),
+        col("p_partkey") === col("l_partkey") && (band1 || band2 || band3))
+      .agg(
+        round(sum(rev.cast("decimal(18,4)")).cast("double"), 4).as("revenue"),
+        count(lit(1)).as("n_rows"))
+  }
+
+  /** TPC-H Q21 silhouette: suppliers who shipped last on multi-supplier
+    * finalized orders (l_shipdate 60+ days past the order date, another
+    * supplier on the order, nobody shipped later). The `<>`-correlated
+    * EXISTS / NOT EXISTS decorrelate into a semi and an anti join on
+    * `l_orderkey` with residual non-equi conditions — same-table
+    * self-semi-joins, all keyed, no BNL.
+    */
+  def q132_waiting_suppliers(s: SparkSession, dir: String): DataFrame = {
+    GraftSession.init(s)
+    Tables.registerAll(s, dir)
+    s.sql(
+      """SELECT s_name, count(*) AS numwait
+        |FROM supplier, lineitem l1, orders o
+        |WHERE s_suppkey = l1.l_suppkey AND o.o_orderkey = l1.l_orderkey
+        |  AND o.o_orderstatus = 'F'
+        |  AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |              WHERE l3.l_orderkey = l1.l_orderkey
+        |                AND l3.l_suppkey <> l1.l_suppkey
+        |                AND l3.l_shipdate > l1.l_shipdate)
+        |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin)
+  }
+
+  /** Robust outliers by median absolute deviation per event type:
+    * |x − median| > 3·1.4826·MAD (the normal-consistent robust z).
+    * Medians are exact percentiles (order-independent, engine-exact),
+    * the per-type model is a broadcast, and the flagging pass is a
+    * single filter projection — two aggregation passes over events,
+    * the classical robust-statistics shape that, unlike mean/stddev,
+    * doesn't let the outliers poison the model they're flagged against.
+    */
+  def q133_mad_outliers(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val med = ev.groupBy(col("event_type"))
+      .agg(percentile(col("value"), lit(0.5)).as("__m"))
+    val mad = ev.join(broadcast(med), "event_type")
+      .groupBy(col("event_type"), col("__m"))
+      .agg(percentile(abs(col("value") - col("__m")), lit(0.5)).as("__mad"))
+    ev.join(broadcast(mad), "event_type")
+      .filter(abs(col("value") - col("__m")) >
+        lit(3) * (lit(1.4826) * col("__mad")))
+      .select(col("event_id"), col("event_type"),
+        round(col("value"), 4).as("value"),
+        round((col("value") - col("__m")) /
+          (lit(1.4826) * col("__mad")), 4).as("robust_z"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Distributed k-means (k=8, 2 Lloyd updates) over the embedding
+    * corpus, deterministic mode — cluster sizes of the final assignment
+    * plus the leading centroid coordinates. Oracled bit-for-bit against
+    * DuckDB replaying the same seeding, scoring, and order-pinned
+    * centroid folds (see [[graft.operators.Clustering]]).
+    */
+  def q134_kmeans(s: SparkSession, dir: String): DataFrame = {
+    GraftSession.init(s)
+    val (assigned, model) = Clustering.kmeansLloyd(
+      t(s, dir, "embeddings"), col("vec_id"), col("embedding"),
+      k = 8, iters = 2, deterministic = true)
+    val sizes = assigned.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("size"))
+    import s.implicits._
+    val cents = model.clusterIds.zip(model.centroids).toSeq
+      .map { case (cid, c) => (cid, c(0), c(1), c(2), c(3)) }
+      .toDF("__cid", "__c0", "__c1", "__c2", "__c3")
+    sizes.join(broadcast(cents), col("cluster") === col("__cid"))
+      .select(col("cluster"), col("size"),
+        round(col("__c0"), 4).as("c0"), round(col("__c1"), 4).as("c1"),
+        round(col("__c2"), 4).as("c2"), round(col("__c3"), 4).as("c3"))
+      .orderBy(col("cluster"))
+  }
+
+  /** Per-language sampling quota: top-20 weighted-without-replacement
+    * draw per lang (weight = n_chars) via the per-group
+    * Efraimidis–Spirakis sampler — the per-domain/per-language corpus
+    * quota step.
+    */
+  def q135_group_priority_sample(s: SparkSession, dir: String): DataFrame =
+    Sampling.prioritySamplePerGroup(
+        t(s, dir, "documents"), col("n_chars"), 20, col("doc_id"),
+        Seq(col("lang")), Seq(col("doc_id")))
+      .select(col("lang"), col("doc_id"), col("n_chars"))
+      .orderBy(col("lang"), col("doc_id"))
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q130_small_qty_revenue" -> q130_small_qty_revenue _,
+    "q131_disjunctive_join" -> q131_disjunctive_join _,
+    "q132_waiting_suppliers" -> q132_waiting_suppliers _,
+    "q133_mad_outliers" -> q133_mad_outliers _,
+    "q134_kmeans" -> q134_kmeans _,
+    "q135_group_priority_sample" -> q135_group_priority_sample _
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q130_small_qty_revenue" ->
+      """SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)))
+        |             AS DOUBLE)/7.0, 4) AS avg_weekly,
+        |       count(*) AS n_small
+        |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        |WHERE p.p_brand = 'Brand#4'
+        |  AND l.l_quantity < 0.2 * (SELECT avg(l2.l_quantity) FROM lineitem l2
+        |                            WHERE l2.l_partkey = l.l_partkey)""".stripMargin,
+    "q131_disjunctive_join" ->
+      """SELECT round(CAST(sum(CAST(l_extendedprice*(1-l_discount)
+        |             AS DECIMAL(18,4))) AS DOUBLE), 4) AS revenue,
+        |       count(*) AS n_rows
+        |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        |WHERE (p.p_brand='Brand#4'  AND p.p_size BETWEEN 1 AND 15
+        |       AND l.l_quantity BETWEEN 1 AND 15)
+        |   OR (p.p_brand='Brand#17' AND p.p_size BETWEEN 10 AND 30
+        |       AND l.l_quantity BETWEEN 10 AND 30)
+        |   OR (p.p_brand='Brand#19' AND p.p_size BETWEEN 20 AND 50
+        |       AND l.l_quantity BETWEEN 25 AND 50)""".stripMargin,
+    "q132_waiting_suppliers" ->
+      """SELECT s_name, count(*) AS numwait
+        |FROM supplier, lineitem l1, orders o
+        |WHERE s_suppkey = l1.l_suppkey AND o.o_orderkey = l1.l_orderkey
+        |  AND o.o_orderstatus = 'F'
+        |  AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |              WHERE l3.l_orderkey = l1.l_orderkey
+        |                AND l3.l_suppkey <> l1.l_suppkey
+        |                AND l3.l_shipdate > l1.l_shipdate)
+        |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin,
+    "q133_mad_outliers" ->
+      """WITH med AS (
+        |  SELECT event_type, quantile_cont(value, 0.5) AS m
+        |  FROM events GROUP BY 1),
+        |mad AS (
+        |  SELECT e.event_type, m, quantile_cont(abs(e.value - m), 0.5) AS mad
+        |  FROM events e JOIN med USING (event_type) GROUP BY 1, 2)
+        |SELECT e.event_id, e.event_type, round(e.value,4) AS value,
+        |       round((e.value - m) / (1.4826*mad), 4) AS robust_z
+        |FROM events e JOIN mad USING (event_type)
+        |WHERE abs(e.value - m) > 3 * (1.4826*mad)
+        |ORDER BY e.event_id""".stripMargin,
+    "q134_kmeans" ->
+      """WITH seeds AS (
+        |  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+        |           vec_id) - 1 AS cluster,
+        |         CAST(embedding AS DOUBLE[]) AS c
+        |  FROM embeddings
+        |  QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+        |            vec_id) <= 8
+        |),
+        |assign1 AS (
+        |  SELECT vec_id, embedding, cluster
+        |  FROM (SELECT e.vec_id, e.embedding, s.cluster,
+        |               list_inner_product(CAST(e.embedding AS DOUBLE[]), s.c)
+        |                 - 0.5*list_inner_product(s.c, s.c) AS score
+        |        FROM embeddings e, seeds s)
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id
+        |            ORDER BY score DESC, cluster) = 1
+        |),
+        |cent1 AS (
+        |  SELECT cluster, list(m ORDER BY pos) AS c FROM (
+        |    SELECT cluster, pos,
+        |           list_reduce(list_prepend(0.0,
+        |               list(CAST(val AS DOUBLE) ORDER BY vec_id)),
+        |             (a,b) -> a+b) / count(*) AS m
+        |    FROM (SELECT vec_id, cluster, unnest(embedding) AS val,
+        |                 generate_subscripts(embedding, 1) AS pos
+        |          FROM assign1)
+        |    GROUP BY cluster, pos)
+        |  GROUP BY cluster
+        |),
+        |assign2 AS (
+        |  SELECT vec_id, embedding, cluster
+        |  FROM (SELECT e.vec_id, e.embedding, c1.cluster,
+        |               list_inner_product(CAST(e.embedding AS DOUBLE[]), c1.c)
+        |                 - 0.5*list_inner_product(c1.c, c1.c) AS score
+        |        FROM embeddings e, cent1 c1)
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id
+        |            ORDER BY score DESC, cluster) = 1
+        |),
+        |cent2 AS (
+        |  SELECT cluster, list(m ORDER BY pos) AS c FROM (
+        |    SELECT cluster, pos,
+        |           list_reduce(list_prepend(0.0,
+        |               list(CAST(val AS DOUBLE) ORDER BY vec_id)),
+        |             (a,b) -> a+b) / count(*) AS m
+        |    FROM (SELECT vec_id, cluster, unnest(embedding) AS val,
+        |                 generate_subscripts(embedding, 1) AS pos
+        |          FROM assign2)
+        |    GROUP BY cluster, pos)
+        |  GROUP BY cluster
+        |),
+        |assign3 AS (
+        |  SELECT vec_id, cluster
+        |  FROM (SELECT e.vec_id, c2.cluster,
+        |               list_inner_product(CAST(e.embedding AS DOUBLE[]), c2.c)
+        |                 - 0.5*list_inner_product(c2.c, c2.c) AS score
+        |        FROM embeddings e, cent2 c2)
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id
+        |            ORDER BY score DESC, cluster) = 1
+        |)
+        |SELECT a.cluster AS cluster, count(*) AS size,
+        |       round(c.c[1],4) AS c0, round(c.c[2],4) AS c1,
+        |       round(c.c[3],4) AS c2, round(c.c[4],4) AS c3
+        |FROM assign3 a JOIN cent2 c ON a.cluster = c.cluster
+        |GROUP BY a.cluster, c.c
+        |ORDER BY cluster""".stripMargin,
+    "q135_group_priority_sample" ->
+      """WITH h AS (
+        |  SELECT doc_id, lang, n_chars,
+        |         substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS hx
+        |  FROM documents
+        |), u AS (
+        |  SELECT doc_id, lang, max(n_chars) AS n_chars,
+        |    sum((strpos('0123456789abcdef', substr(hx, g, 1)) - 1)
+        |        * power(16, 8 - g)) AS ui
+        |  FROM h, unnest(generate_series(1, 8)) AS t(g)
+        |  GROUP BY doc_id, lang
+        |)
+        |SELECT lang, doc_id, n_chars FROM (
+        |  SELECT lang, doc_id, n_chars,
+        |         ln((ui + 0.5) / 4294967296.0) / n_chars AS k
+        |  FROM u WHERE n_chars > 0
+        |) QUALIFY row_number() OVER (PARTITION BY lang
+        |            ORDER BY k DESC, doc_id) <= 20
+        |ORDER BY lang, doc_id""".stripMargin
+  )
+}

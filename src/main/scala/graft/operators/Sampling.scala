@@ -139,6 +139,30 @@ object Sampling {
       .drop("__k")
   }
 
+  /** Per-group [[prioritySample]]: the top-`n` weighted-without-
+    * replacement draw WITHIN each group (per-domain / per-language
+    * quota selection). Same Efraimidis–Spirakis key, same content-hash
+    * determinism; the top-n is a `row_number` over a partitioned window
+    * — one shuffle on the group key, no global sort. Give `tieBreak`
+    * for md5-collision determinism, as in [[prioritySample]].
+    */
+  def prioritySamplePerGroup(df: DataFrame, weightCol: Column, n: Int,
+      hashCol: Column, groupCols: Seq[Column],
+      tieBreak: Seq[Column] = Nil): DataFrame = {
+    require(n > 0, "n must be positive")
+    require(groupCols.nonEmpty, "need at least one group column")
+    val h = substring(md5(hashCol.cast("string")), 1, 8)
+    val u = (conv(h, 16, 10).cast("double") + lit(0.5)) / lit(4294967296.0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols: _*)
+      .orderBy(col("__k").desc +: tieBreak: _*)
+    df.filter(weightCol.isNotNull && weightCol > 0)
+      .withColumn("__k", log(u) / weightCol)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= n)
+      .drop("__k", "__rn")
+  }
+
   /** Select rows in `order` (highest-value first, by convention) while the
     * running token total stays within `budget` — the "best docs until the
     * token budget is spent" curation step.
