@@ -83,6 +83,18 @@ object Queries11 {
     * EXISTS / NOT EXISTS decorrelate into a semi and an anti join on
     * `l_orderkey` with residual non-equi conditions — same-table
     * self-semi-joins, all keyed, no BNL.
+    *
+    * MEASURED NEGATIVE RESULT (don't redo): the classical Q21
+    * "aggregate rewrite" — reduce lineitem to per-(order, supplier) max
+    * shipdates, keep the per-order top-2, join the late subset back —
+    * ran 2× SLOWER at sf10 (steady 17.5 s vs 8.8 s, TimeQ ×4). In this
+    * data model suppliers are ~unique per order, so the (order, supp)
+    * grouping does NOT reduce mass: the rewrite pays two full-mass
+    * shuffles with struct payloads + a collect_list sort, while the
+    * decorrelated plan shuffles narrow rows through keyed semi/anti
+    * joins. The rewrite only wins when per-key multiplicity is high —
+    * measure at deployment scale before swapping plan shapes (the q92
+    * hand-vs-scaled lesson).
     */
   def q132_waiting_suppliers(s: SparkSession, dir: String): DataFrame = {
     GraftSession.init(s)
