@@ -1019,4 +1019,34 @@ object Dedup {
       .select(col(idCol), col(compCol), col("canonical"),
         when(col(idCol) === col("canonical"), 1L).otherwise(0L).as("keep"))
   }
+
+  /** Cross-group duplication matrix: for every unordered pair of groups
+    * (sources, snapshots, shards), how many distinct fingerprints appear
+    * in BOTH — the "which sources overlap, and how much" panel that
+    * decides what to dedup against what before a big inter-source pass.
+    * Returns `(src_a, src_b, n_shared)` with `src_a < src_b` (binary
+    * order), only pairs with ≥ 1 shared fingerprint.
+    *
+    * Scale shape: the corpus collapses to distinct (fingerprint, group)
+    * first (one shuffle — at 100 TB this is the dedup of the fingerprint
+    * universe, tiny next to the text); then one groupBy(fingerprint)
+    * building the per-fingerprint group set, expanded to C(g,2) pairs
+    * per fingerprint — bounded by the group-count squared, NOT by corpus
+    * size — and a final combinable pair count. No self-join of the
+    * fingerprint relation, so a fingerprint shared by every group costs
+    * C(G,2) rows, not |docs|².
+    */
+  def dupMatrix(df: DataFrame, groupCol: Column, fpCol: Column): DataFrame = {
+    val fps = df.select(fpCol.as("__fp"), groupCol.as("__g")).distinct()
+    fps.groupBy(col("__fp"))
+      .agg(sort_array(collect_set(col("__g"))).as("__gs"))
+      .filter(size(col("__gs")) >= 2)
+      .select(explode(expr(
+        """flatten(transform(__gs, (a, i) ->
+          |  transform(slice(__gs, i + 2, size(__gs)),
+          |    b -> struct(a AS src_a, b AS src_b))))""".stripMargin))
+        .as("__p"))
+      .groupBy(col("__p.src_a").as("src_a"), col("__p.src_b").as("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
 }

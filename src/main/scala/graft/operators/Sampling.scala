@@ -70,6 +70,95 @@ object Sampling {
     df.filter(keep)
   }
 
+  /** Temperature-scaled mixture rates — the multilingual/multi-domain
+    * rebalancing step of a pretraining pipeline (sample domain d with
+    * probability ∝ p_d^alpha, p_d the corpus share; alpha < 1 upweights
+    * the tail, the standard alpha for multilingual corpora is 0.3–0.7).
+    * Returns one row per domain: `(domain, n_docs, rate, threshold)`
+    * where `rate = min(1, budget·q_d / n_d)`, `q_d = w_d / Σw`,
+    * `w_d = (n_d / N)^alpha`, and `threshold = floor(rate·2^32)` — the
+    * integer cutoff a [[temperatureMixture]] Bernoulli draw compares
+    * its 32-bit md5 uniform against (integer compare, so the keep/drop
+    * decision has no float-boundary ambiguity across engines).
+    *
+    * Determinism: the Σw fold runs in UTF-8-byte domain order (matching
+    * a `list_reduce(list(w ORDER BY domain))` left fold), and with
+    * `alpha = 0.5` the weights go through IEEE `sqrt` (correctly rounded
+    * everywhere) — bit-identical cross-engine. Other alphas use
+    * `math.pow`, whose last-ulp behavior is libm-specific: fine for
+    * pipelines, but pin alpha = 0.5 when an external oracle must
+    * reproduce the rates bit-for-bit.
+    *
+    * The per-domain count aggregate collapses to one row per domain
+    * before the driver sees it (bounded by `maxDomains`, loud error
+    * past it — domains are languages/sources, not ids).
+    */
+  def temperatureRates(df: DataFrame, domainCol: Column, budget: Double,
+      alpha: Double = 0.5,
+      maxDomains: Int = 100000): Seq[(String, Long, Double, Long)] = {
+    require(budget > 0, "budget must be positive")
+    require(alpha > 0, "alpha must be positive")
+    val counts = df.groupBy(domainCol.as("__dom"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__dom").isNotNull)
+      .limit(maxDomains + 1)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    require(counts.length <= maxDomains,
+      s"temperatureRates: more than $maxDomains distinct domains — this " +
+        "operator models language/source mixtures, not per-id rates; " +
+        "raise maxDomains only if the domain column is genuinely bounded")
+    // UTF-8 unsigned byte order — Spark's binary string order, and what
+    // `ORDER BY domain` yields in any engine comparing UTF-8 bytes.
+    val byUtf8 = new Ordering[String] {
+      def compare(a: String, b: String): Int = {
+        val ab = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val bb = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        var i = 0
+        val n = math.min(ab.length, bb.length)
+        while (i < n) {
+          val d = (ab(i) & 0xff) - (bb(i) & 0xff)
+          if (d != 0) return d
+          i += 1
+        }
+        ab.length - bb.length
+      }
+    }
+    val sorted = counts.sortBy(_._1)(byUtf8)
+    val total = sorted.map(_._2).sum.toDouble
+    val ws = sorted.map { case (_, n) =>
+      val p = n.toDouble / total
+      if (alpha == 0.5) math.sqrt(p) else math.pow(p, alpha)
+    }
+    val wSum = ws.foldLeft(0.0)(_ + _)
+    sorted.zip(ws).toSeq.map { case ((dom, n), w) =>
+      val rate = math.min(1.0, budget * (w / wSum) / n.toDouble)
+      (dom, n, rate, (rate * 4294967296.0).toLong)
+    }
+  }
+
+  /** Apply [[temperatureRates]] as a deterministic per-row Bernoulli
+    * filter: keep a row of domain d iff its 32-bit md5 uniform (first 8
+    * hex digits of `md5(hashCol)`) is strictly below the domain's integer
+    * threshold. Pure per-row decision over a broadcast rate table — no
+    * shuffle of `df`, reproducible across runs, partitionings, and
+    * engines. Rows of unseen/null domains or null hash are dropped (no
+    * stable decision exists for them), as in [[mixtureSample]].
+    */
+  def temperatureMixture(df: DataFrame, domainCol: Column, hashCol: Column,
+      budget: Double, alpha: Double = 0.5): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rates = temperatureRates(df, domainCol, budget, alpha)
+      .map { case (d, _, _, thr) => (d, thr) }
+      .toDF("__dom", "__thr")
+    val ui = conv(substring(md5(hashCol.cast("string")), 1, 8), 16, 10)
+      .cast("long")
+    df.join(broadcast(rates), domainCol === col("__dom"))
+      .filter(ui < col("__thr"))
+      .drop("__dom", "__thr")
+  }
+
   /** Deterministic weighted UPsampling — the other half of epoch planning
     * ([[mixtureSample]] thins, this repeats): each row of domain `d` is
     * emitted floor(w_d) or ceil(w_d) times, the fractional part decided by

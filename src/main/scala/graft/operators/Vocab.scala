@@ -176,4 +176,42 @@ object Vocab {
         count(when(col("c") === 1, 1)).as("n_hapax"),
         round(count(when(col("c") === 1, 1)).cast("double") / count(lit(1)),
           4).as("hapax_rate"))
+
+  /** Zipf's-law fit over the top-`topK` tokens: OLS slope/intercept of
+    * ln(freq) against ln(rank) — the corpus-health diagnostic (natural
+    * text sits near slope −1; a synthetic or templated corpus shows a
+    * flat head). Returns one row: `(n_tokens, zipf_slope, intercept)`.
+    *
+    * Scale shape: token frequencies are a combinable explode→groupBy;
+    * the top-k cut is TakeOrdered (distributed heap, no global sort),
+    * and the rank window runs over ≤ topK surviving rows — bounded by
+    * the parameter, never by corpus size. The OLS closed form
+    * `(n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)` is spelled out rather than
+    * `regr_slope` so an external oracle can reproduce the exact
+    * formula (aggregate-implementation formulations differ across
+    * engines more than summation order does).
+    */
+  def zipfSlope(docs: DataFrame, textCol: Column,
+      topK: Int = 500): DataFrame = {
+    require(topK > 1, "topK must be > 1")
+    val freq = docs
+      .select(explode(TextFunctions.tokensWs(lower(textCol))).as("t"))
+      .filter(col("t") =!= "")
+      .groupBy(col("t")).agg(count(lit(1)).as("f"))
+      .orderBy(col("f").desc, col("t")).limit(topK)
+    val ranked = freq.withColumn("rk",
+        row_number().over(Window.orderBy(col("f").desc, col("t"))))
+      .select(log(col("rk").cast("double")).as("x"),
+        log(col("f").cast("double")).as("y"))
+    ranked.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(col("n").as("n_tokens"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx")), 4)
+          .as("zipf_slope"),
+        round((col("sy") - ((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx"))) * col("sx")) /
+          col("n"), 4).as("intercept"))
+  }
 }
