@@ -152,6 +152,28 @@ object Stats {
         round(max(col("c")).cast("double") / sum(col("c")), 4)
           .as("top_share"))
 
+  /** Referential-integrity probe for one foreign-key edge: a 1-row
+    * frame `(fk, n_child, n_orphans)` — total child rows and child rows
+    * whose key has no parent. ONE pass over the child: a left join to
+    * the parent's DISTINCT keys, then `count` + `count(parent IS NULL)`
+    * in the same aggregate (counting over the join, not a second
+    * anti-join scan). The parent side reduces to its key column before
+    * the join, so Catalyst broadcasts any dimension-sized parent and
+    * falls back to a keyed shuffle for fact-sized ones — never a BNL.
+    * NULL child keys count as orphans (they reference nothing); a
+    * `WHERE k IS NOT NULL` pre-filter is the caller's choice.
+    */
+  def fkAudit(name: String, child: DataFrame,
+      childKey: org.apache.spark.sql.Column, parent: DataFrame,
+      parentKey: org.apache.spark.sql.Column): DataFrame = {
+    val pk = parent.select(parentKey.as("__pk")).distinct()
+    child.select(childKey.as("__ck"))
+      .join(pk, col("__ck") === col("__pk"), "left")
+      .agg(count(lit(1)).as("n_child"),
+        count(when(col("__pk").isNull, 1)).as("n_orphans"))
+      .select(lit(name).as("fk"), col("n_child"), col("n_orphans"))
+  }
+
   /** EXACT heavy hitters via a Count–Min gate: `(key, cnt)` for every
     * key occurring at least `minCount` times — without shuffling the
     * full key distribution.
