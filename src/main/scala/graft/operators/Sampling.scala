@@ -554,4 +554,52 @@ object Sampling {
           lit(if (fraction > 0) 1L else 0L)))
       .drop("__rn", "__n")
   }
+
+  /** EXACT target-mixture downsampling: keep the LARGEST subset whose
+    * domain composition hits `targets` exactly (up to per-domain floor
+    * rounding) — "rebalance the corpus to 50/30/20" without a size
+    * guess. The feasible size is `N* = min_d(n_d / t_d)`; each target
+    * domain keeps its `floor(t_d · N*)` lowest-md5 rows (content-
+    * hashed: stable across runs/partitionings/engines, the q54 trick),
+    * non-target domains are dropped.
+    *
+    * Fully plan-side: the per-domain counts are a |targets|-row
+    * aggregate joined back by broadcast — no driver collect, one
+    * group-keyed window shuffle over the target domains only. A target
+    * domain with no rows makes the mixture infeasible → loud
+    * `raise_error` (a silent 0-quota would return an empty frame that
+    * LOOKS like a valid mixture).
+    *
+    * Weights must be positive; they need not sum to 1 (only ratios
+    * matter). An oracle must spell `floor(t_d · min(n_d / t_d))` with
+    * the same double arithmetic.
+    */
+  def targetMixture(df: DataFrame, domainCol: Column, idCol: Column,
+      targets: Map[String, Double]): DataFrame = {
+    require(targets.nonEmpty, "at least one target domain required")
+    require(targets.values.forall(_ > 0), "target weights must be > 0")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val tdf = broadcast(targets.toSeq.sorted.toDF("__dom", "__tw"))
+    val filtered = df.filter(domainCol.isin(targets.keys.toSeq: _*))
+    val counts = filtered.groupBy(domainCol.as("__dom"))
+      .agg(count(lit(1)).as("__nd"))
+    val withT = tdf.join(counts, Seq("__dom"), "left")
+      .select(col("__dom"), col("__tw"),
+        when(col("__nd").isNull, raise_error(concat(
+          lit("targetMixture: target domain '"), col("__dom"),
+          lit("' has no rows — mixture infeasible"))))
+          .otherwise(col("__nd")).as("__nd"))
+    val nstar = withT.agg(min(col("__nd").cast("double") / col("__tw"))
+      .as("__nstar"))
+    val quota = withT.crossJoin(broadcast(nstar))
+      .select(col("__dom"),
+        floor(col("__tw") * col("__nstar")).cast("long").as("__q"))
+    val w = Window.partitionBy(domainCol)
+      .orderBy(md5(idCol.cast("string")), idCol)
+    filtered.withColumn("__rn", row_number().over(w))
+      .join(broadcast(quota), domainCol === col("__dom"))
+      .filter(col("__rn") <= col("__q"))
+      .drop("__rn", "__dom", "__q")
+  }
 }

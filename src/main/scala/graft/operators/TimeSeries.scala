@@ -43,8 +43,12 @@ object TimeSeries {
     require(daily.columns.contains(dateCol), s"missing $dateCol")
     require(!daily.columns.contains("__present"),
       "reserved column name __present")
-    val marked = daily.withColumn("__present", lit(1))
-    val bounds = daily.agg(min(col(dateCol)).as("__d0"),
+    // the (day-count-sized) aggregate feeds BOTH the bounds and the
+    // spine join — checkpoint it once or the upstream aggregation
+    // re-executes per branch (the AQE branch-re-execution lesson)
+    val once = daily.localCheckpoint()
+    val marked = once.withColumn("__present", lit(1))
+    val bounds = once.agg(min(col(dateCol)).as("__d0"),
       max(col(dateCol)).as("__d1"))
     val spine = bounds
       .filter(col("__d0").isNotNull)
