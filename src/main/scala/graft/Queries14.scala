@@ -51,13 +51,17 @@ object Queries14 {
       .join(t(s, dir, "orders")
           .select(col("o_orderkey"), col("o_orderdate")),
         col("l_orderkey") === col("o_orderkey"))
+    // sum_profit stays UNROUNDED: the decimal sum is grid-exact, so
+    // round(·,2) of a .xx50 cell is the q157/q116 half-boundary hazard
+    // (Spark rounds the shortest decimal repr HALF_UP, DuckDB the raw
+    // double — they disagree exactly on grid points)
     li.groupBy(col("n_name").as("nation"),
         year(col("o_orderdate")).as("o_year"))
-      .agg(round(sum(
+      .agg(sum(
         (col("l_extendedprice") * (lit(1) - col("l_discount")))
           .cast("decimal(18,6)") -
         (lit(0.06) * col("p_retailprice") * col("l_quantity"))
-          .cast("decimal(18,6)")).cast("double"), 2).as("sum_profit"))
+          .cast("decimal(18,6)")).cast("double").as("sum_profit"))
       .orderBy(col("nation"), col("o_year"))
   }
 
@@ -121,14 +125,22 @@ object Queries14 {
     * identical parenthesization on both engines (the q149 discipline).
     * Windows partition by calendar year (panel resets annually — the
     * first 6 days of each year have no score; no single-partition
-    * WindowExec at any scale). Assumes daily revenue < ~1e13 so
-    * Σ(rev²) fits decimal(38,12); far above any tested SF.
+    * WindowExec at any scale). Assumes daily revenue < 1e12 (the
+    * post-sum decimal(18,6) down-cast; ~3 orders above sf10) — see
+    * the inline note on why the down-cast is what KEEPS the squares
+    * engine-exact.
     */
   def q157_rolling_anomaly(s: SparkSession, dir: String): DataFrame = {
+    // the SUM comes out decimal(28,6) (Spark) / decimal(38,6) (DuckDB);
+    // squaring THOSE would overflow 38 digits and silently round the
+    // products to 6 dp on Spark (precision-loss adjustment) while
+    // DuckDB keeps 12 — engine-DIVERGENT. Down-casting to (18,6) first
+    // (exact while daily revenue < 1e12, ~3 orders above sf10) keeps
+    // the squares at (37,12)/(36,12): exact 12-dp on BOTH engines.
     val daily = t(s, dir, "lineitem")
       .groupBy(date_trunc("DAY", col("l_shipdate")).as("d"))
       .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
-        .cast("decimal(18,6)")).as("rev"))
+        .cast("decimal(18,6)")).cast("decimal(18,6)").as("rev"))
     val w = Window.partitionBy(year(col("d"))).orderBy(col("d"))
       .rowsBetween(-6, Window.currentRow)
     daily
@@ -219,9 +231,9 @@ object Queries14 {
   val oracles: Map[String, String] = Map(
     "q154_product_profit" ->
       """SELECT n_name AS nation, year(o_orderdate) AS o_year,
-        |  round(CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,6))
+        |  CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,6))
         |    - CAST(0.06*p_retailprice*l_quantity AS DECIMAL(18,6)))
-        |    AS DOUBLE), 2) AS sum_profit
+        |    AS DOUBLE) AS sum_profit
         |FROM lineitem
         |JOIN part ON p_partkey = l_partkey AND p_name LIKE '%bolt%'
         |JOIN supplier ON s_suppkey = l_suppkey
@@ -262,13 +274,15 @@ object Queries14 {
     "q157_rolling_anomaly" ->
       """WITH daily AS (
         |  SELECT date_trunc('day', l_shipdate) AS d,
-        |    sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,6))) AS rev
+        |    CAST(sum(CAST(l_extendedprice*(1-l_discount)
+        |      AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS rev
         |  FROM lineitem GROUP BY 1),
         |win AS (
         |  SELECT d, rev,
         |    count(*) OVER w AS c,
         |    CAST(sum(rev) OVER w AS DOUBLE) AS s1,
-        |    CAST(sum(rev*rev) OVER w AS DOUBLE) AS s2
+        |    CAST(sum(CAST(rev AS DECIMAL(19,6)) * rev) OVER w AS DOUBLE)
+        |      AS s2
         |  FROM daily
         |  WINDOW w AS (PARTITION BY year(d) ORDER BY d
         |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
@@ -281,27 +295,39 @@ object Queries14 {
       """SELECT * FROM (
         |  SELECT 'lineitem.l_orderkey->orders' AS fk, count(*) AS n_child,
         |    count(CASE WHEN o_orderkey IS NULL THEN 1 END) AS n_orphans
-        |  FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey
+        |  FROM lineitem LEFT JOIN
+        |    (SELECT DISTINCT o_orderkey FROM orders) o
+        |    ON l_orderkey = o_orderkey
         |  UNION ALL
         |  SELECT 'lineitem.l_partkey->part', count(*),
         |    count(CASE WHEN p_partkey IS NULL THEN 1 END)
-        |  FROM lineitem LEFT JOIN part ON l_partkey = p_partkey
+        |  FROM lineitem LEFT JOIN
+        |    (SELECT DISTINCT p_partkey FROM part) p
+        |    ON l_partkey = p_partkey
         |  UNION ALL
         |  SELECT 'lineitem.l_suppkey->supplier', count(*),
         |    count(CASE WHEN s_suppkey IS NULL THEN 1 END)
-        |  FROM lineitem LEFT JOIN supplier ON l_suppkey = s_suppkey
+        |  FROM lineitem LEFT JOIN
+        |    (SELECT DISTINCT s_suppkey FROM supplier) s
+        |    ON l_suppkey = s_suppkey
         |  UNION ALL
         |  SELECT 'nation.n_regionkey->region', count(*),
         |    count(CASE WHEN r_regionkey IS NULL THEN 1 END)
-        |  FROM nation LEFT JOIN region ON n_regionkey = r_regionkey
+        |  FROM nation LEFT JOIN
+        |    (SELECT DISTINCT r_regionkey FROM region) r
+        |    ON n_regionkey = r_regionkey
         |  UNION ALL
         |  SELECT 'orders.o_custkey->customer', count(*),
         |    count(CASE WHEN c_custkey IS NULL THEN 1 END)
-        |  FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+        |  FROM orders LEFT JOIN
+        |    (SELECT DISTINCT c_custkey FROM customer) c
+        |    ON o_custkey = c_custkey
         |  UNION ALL
         |  SELECT 'supplier.s_nationkey->nation', count(*),
         |    count(CASE WHEN n_nationkey IS NULL THEN 1 END)
-        |  FROM supplier LEFT JOIN nation ON s_nationkey = n_nationkey)
+        |  FROM supplier LEFT JOIN
+        |    (SELECT DISTINCT n_nationkey FROM nation) n
+        |    ON s_nationkey = n_nationkey)
         |ORDER BY fk""".stripMargin,
     "q159_ab_test" ->
       """WITH arms AS (

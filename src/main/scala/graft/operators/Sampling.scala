@@ -584,12 +584,17 @@ object Sampling {
     val filtered = df.filter(domainCol.isin(targets.keys.toSeq: _*))
     val counts = filtered.groupBy(domainCol.as("__dom"))
       .agg(count(lit(1)).as("__nd"))
+    // localCheckpoint: this |targets|-row frame feeds BOTH nstar and
+    // quota; without it the corpus-sized counts aggregate re-executes
+    // per branch (and the checkpoint's eager execution also surfaces
+    // the infeasible-domain raise_error at call time, not first action)
     val withT = tdf.join(counts, Seq("__dom"), "left")
       .select(col("__dom"), col("__tw"),
         when(col("__nd").isNull, raise_error(concat(
           lit("targetMixture: target domain '"), col("__dom"),
           lit("' has no rows — mixture infeasible"))))
           .otherwise(col("__nd")).as("__nd"))
+      .localCheckpoint()
     val nstar = withT.agg(min(col("__nd").cast("double") / col("__tw"))
       .as("__nstar"))
     val quota = withT.crossJoin(broadcast(nstar))

@@ -43,6 +43,8 @@ object TimeSeries {
     require(daily.columns.contains(dateCol), s"missing $dateCol")
     require(!daily.columns.contains("__present"),
       "reserved column name __present")
+    require(!daily.columns.contains("is_gap"),
+      "output column is_gap would overwrite an input column")
     // the (day-count-sized) aggregate feeds BOTH the bounds and the
     // spine join — checkpoint it once or the upstream aggregation
     // re-executes per branch (the AQE branch-re-execution lesson)

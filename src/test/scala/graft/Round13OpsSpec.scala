@@ -138,6 +138,10 @@ class Round13OpsSpec extends SparkSpec {
       TimeSeries.gapFillDaily(df.withColumn("__present", lit(1)), "d",
         Seq("n"))
     }
+    intercept[IllegalArgumentException] {
+      TimeSeries.gapFillDaily(df.withColumn("is_gap", lit(0)), "d",
+        Seq("n"))
+    }
   }
 
   // -------------------------------------------------------- fkAudit
