@@ -77,10 +77,72 @@ object Queries15 {
         round(percentile(col("lat"), lit(0.99)), 4).as("p99"))
       .orderBy(col("m"))
 
+  /** Rolling 7-day active users (DAU / WAU / stickiness): rolling
+    * DISTINCT cannot ride a window frame (distinct doesn't compose
+    * across frames), so each (user, day) activity pair is exploded to
+    * the 7 window-end days it supports and de-duplicated per target
+    * day — the standard distributed rolling-distinct shape. Cost is
+    * 7× the DISTINCT (user, day) relation (already tiny relative to
+    * raw events), all shuffles keyed. The activity relation is
+    * checkpointed once (DAU + the explode both read it).
+    */
+  def q163_active_users(s: SparkSession, dir: String): DataFrame = {
+    val p = t(s, dir, "events")
+      .select(date_trunc("DAY", col("ts")).as("d"), col("user_id"))
+      .distinct().localCheckpoint()
+    val dau = p.groupBy(col("d")).agg(count(lit(1)).as("dau"))
+    val wau = p
+      .select(explode(expr(
+        "sequence(d, d + interval 6 day, interval 1 day)")).as("td"),
+        col("user_id"))
+      .distinct()
+      .groupBy(col("td")).agg(count(lit(1)).as("wau"))
+    dau.join(wau, col("td") === col("d"))
+      .select(col("d"), col("dau"), col("wau"),
+        round(col("dau").cast("double") / col("wau"), 4).as("stickiness"))
+      .orderBy(col("d"))
+  }
+
+  /** Daily-revenue autocorrelation panel at lags 1/7/28 — the
+    * seasonality diagnostic. Lagged pairs come from equality
+    * self-joins on `d − k days` (zero windows); ALL five sufficient
+    * sums are exact decimals (Σx, Σy directly; the products are
+    * (18,6)×(18,6) → (37,12), exact on both engines — the q157
+    * down-cast discipline), so the Pearson closed form runs on
+    * bit-identical doubles. The day-count-sized daily series is
+    * checkpointed once and read six times (2 sides × 3 lags).
+    */
+  def q164_revenue_acf(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "lineitem")
+      .groupBy(date_trunc("DAY", col("l_shipdate")).as("d"))
+      .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast("decimal(18,6)")).cast("decimal(18,6)").as("x"))
+      .localCheckpoint() // six consumers: 2 join sides × 3 lags
+    def acfRow(k: Int) = {
+      val b = daily.select(col("d").as("__bd"), col("x").as("y"))
+      daily.join(b, col("__bd") === col("d") - expr(s"INTERVAL $k DAY"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("x")).cast("double").as("sx"),
+          sum(col("y")).cast("double").as("sy"),
+          sum(col("x") * col("y")).cast("double").as("sxy"),
+          sum(col("x") * col("x")).cast("double").as("sxx"),
+          sum(col("y") * col("y")).cast("double").as("syy"))
+        .select(lit(k).as("lag"), col("n"),
+          round((col("n") * col("sxy") - col("sx") * col("sy")) /
+            (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+              sqrt(col("n") * col("syy") - col("sy") * col("sy"))), 4)
+            .as("acf"))
+    }
+    acfRow(1).unionAll(acfRow(7)).unionAll(acfRow(28))
+      .orderBy(col("lag"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q160_monthly_growth" -> q160_monthly_growth _,
     "q161_target_mixture" -> q161_target_mixture _,
-    "q162_latency_percentiles" -> q162_latency_percentiles _
+    "q162_latency_percentiles" -> q162_latency_percentiles _,
+    "q163_active_users" -> q163_active_users _,
+    "q164_revenue_acf" -> q164_revenue_acf _
   )
 
   val oracles: Map[String, String] = Map(
@@ -123,6 +185,39 @@ object Queries15 {
         |  SELECT o_orderdate,
         |    date_diff('day', o_orderdate, l_shipdate) AS lat
         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
-        |GROUP BY 1 ORDER BY 1""".stripMargin
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q163_active_users" ->
+      """WITH p AS (SELECT DISTINCT date_trunc('day', ts) AS d, user_id
+        |           FROM events),
+        |dau AS (SELECT d, count(*) AS dau FROM p GROUP BY 1),
+        |tgt AS (SELECT DISTINCT unnest(generate_series(d,
+        |    d + INTERVAL 6 DAY, INTERVAL 1 DAY)) AS td, user_id FROM p),
+        |wau AS (SELECT td, count(*) AS wau FROM tgt GROUP BY 1)
+        |SELECT dau.d, dau.dau, wau.wau,
+        |  round(CAST(dau.dau AS DOUBLE)/wau.wau, 4) AS stickiness
+        |FROM dau JOIN wau ON wau.td = dau.d ORDER BY d""".stripMargin,
+    "q164_revenue_acf" ->
+      """WITH daily AS (
+        |  SELECT date_trunc('day', l_shipdate) AS d,
+        |    CAST(sum(CAST(l_extendedprice*(1-l_discount)
+        |      AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS x
+        |  FROM lineitem GROUP BY 1),
+        |lags(k) AS (VALUES (1), (7), (28)),
+        |pairs AS (
+        |  SELECT l.k, a.x AS x, b.x AS y
+        |  FROM lags l
+        |  JOIN daily a ON TRUE
+        |  JOIN daily b ON b.d = a.d - l.k * INTERVAL 1 DAY),
+        |s AS (
+        |  SELECT k, count(*) AS n,
+        |    CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(x AS DECIMAL(19,6)) * y) AS DOUBLE) AS sxy,
+        |    CAST(sum(CAST(x AS DECIMAL(19,6)) * x) AS DOUBLE) AS sxx,
+        |    CAST(sum(CAST(y AS DECIMAL(19,6)) * y) AS DOUBLE) AS syy
+        |  FROM pairs GROUP BY 1)
+        |SELECT k AS lag, n,
+        |  round((n*sxy - sx*sy)
+        |    / (sqrt(n*sxx - sx*sx) * sqrt(n*syy - sy*sy)), 4) AS acf
+        |FROM s ORDER BY lag""".stripMargin
   )
 }

@@ -48,6 +48,39 @@ class Round14OpsSpec extends SparkSpec {
     }
   }
 
+  test("q163: rolling-distinct invariants — WAU >= DAU every day, " +
+      "stickiness <= 1, and the first day's window is just itself") {
+    val rows = q("q163_active_users").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (dau, wau, st) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(wau >= dau, s"7-day distinct can't be below 1-day: $r")
+      assert(st <= 1.0 && st > 0.0, s"stickiness in (0,1]: $r")
+    }
+    val first = rows.head
+    assert(first.getLong(1) == first.getLong(2),
+      "no history before day 1 → WAU == DAU")
+    val p = q("q163_active_users").queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("Window"),
+      p.take(600))
+  }
+
+  test("q164: acf panel — |r| <= 1, pair counts shrink with the lag, " +
+      "no windows") {
+    val rows = q("q164_revenue_acf").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.map(_._1).toSeq == Seq(1, 7, 28))
+    rows.foreach { case (k, n, acf) =>
+      assert(math.abs(acf) <= 1.0, s"lag $k: acf $acf")
+      assert(n > 0)
+    }
+    assert(rows(0)._2 >= rows(1)._2 && rows(1)._2 >= rows(2)._2,
+      "longer lags can only lose pairs")
+    val plan = q("q164_revenue_acf").queryExecution.optimizedPlan
+    val windows = plan.collect { case w: LWindow => w }
+    assert(windows.isEmpty, "lags are self-joins, not windows")
+  }
+
   // -------------------------------------------------- targetMixture
 
   private def corpus(counts: Map[String, Int]) = {
