@@ -127,6 +127,11 @@ object Queries15 {
           sum(col("x") * col("y")).cast("double").as("sxy"),
           sum(col("x") * col("x")).cast("double").as("sxx"),
           sum(col("y") * col("y")).cast("double").as("syy"))
+        // a lag with ZERO pairs must vanish, not emit (k, 0, null):
+        // the oracle's GROUP BY k naturally omits empty lags, while a
+        // Spark global aggregate always emits one row — without this
+        // filter a sparse l_shipdate regen would row-count-mismatch
+        .filter(col("n") > 0)
         .select(lit(k).as("lag"), col("n"),
           round((col("n") * col("sxy") - col("sx") * col("sy")) /
             (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
