@@ -16,11 +16,33 @@ import org.apache.spark.sql.SparkSession
   * `parse_mbps` reports single-file CSV parse throughput through the
   * product parser (CsvReader), comparable to the reference README's
   * parse benchmarks recorded in BASELINE.md.
+  *
+  * Round 11 additions: `regressions` lists queries whose steady time
+  * drifted past 1.5× (plus a 0.5 s floor) of the COMMITTED
+  * BENCH_DETAIL.json steady pass — machine-readable drift detection
+  * instead of best-of-day judgment; `assertions` summarizes the 8
+  * rows-only hard checks (full detail → ROWS_ONLY_ASSERTIONS.json
+  * beside the repo), so the driver's record covers the whole catalog
+  * without a local Verify re-run. SPARK_GRAFT_ASSERT=0 skips the
+  * assertion pass.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // snapshot the COMMITTED detail artifact before this run overwrites
+    // it: the steady pass of the previous full run is the regression
+    // baseline (round-10 verdict: don't leave drift detection to
+    // best-of-day judgment)
+    val prevSteady: Map[String, Double] =
+      try {
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("BENCH_DETAIL.json")))
+        val block = """"queries_steady":\{([^}]*)\}""".r
+          .findFirstMatchIn(txt).map(_.group(1)).getOrElse("")
+        """"([^"]+)":(-?[0-9.eE+\-]+)""".r.findAllMatchIn(block)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      } catch { case _: Throwable => Map.empty }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -117,6 +139,60 @@ object Bench {
 
     val (parseMbps, parseMbpsBest) = parseMbps0()
 
+    // Steady-vs-committed drift detection: flag queries whose steady
+    // time exceeds 1.5× the committed BENCH_DETAIL.json steady pass,
+    // with a 0.5 s absolute floor so sub-second codegen/box jitter
+    // can't flag (the box swings cold totals 2–4× run-to-run; steady
+    // times are the stable signal). Empty on a clean run.
+    val regressions = steady.collect {
+      case (name, t, true)
+        if prevSteady.get(name).exists(p =>
+          p > 0 && t > 1.5 * p && t > p + 0.5) =>
+        name
+    }.sorted
+    if (regressions.nonEmpty) System.err.println(
+      s"[bench] steady regressions vs committed detail: " +
+        regressions.map(n =>
+          f"$n (${prevSteady(n)}%.2f -> " +
+            f"${steady.find(_._1 == n).get._2}%.2f s)").mkString(", "))
+    val regJson = regressions.map("\"" + _ + "\"").mkString("[", ",", "]")
+
+    // Rows-only hard assertions (the 8 sketch/ANN queries with no DuckDB
+    // oracle): run them here too and ship the artifact beside the bench
+    // JSON, so the DRIVER'S record covers the full catalog without a
+    // local re-run (round-10 verdict item; the local Verify gate remains
+    // the primary consumer). SPARK_GRAFT_ASSERT=0 skips (rehearsal
+    // sweeps); subset runs skip automatically.
+    val assertSummary =
+      if (subset.nonEmpty || sys.env.get("SPARK_GRAFT_ASSERT").contains("0"))
+        ""
+      else {
+        try {
+          val checks = VerifyAssertions.run(spark, sfDir)
+          def q(s: String): String = "\"" + s.flatMap {
+            case '"' => "\\\""
+            case '\\' => "\\\\"
+            case c if c < ' ' => f"\\u${c.toInt}%04x"
+            case c => c.toString
+          } + "\""
+          val cj = checks.map { c =>
+            s"""${q(c.query)}: {"check": ${q(c.name)}, "pass": ${c.pass}, """ +
+              s""""detail": ${q(c.detail)}}"""
+          }.mkString("{", ",", "}")
+          java.nio.file.Files.writeString(
+            java.nio.file.Paths.get("ROWS_ONLY_ASSERTIONS.json"), cj + "\n")
+          val failed = checks.filter(!_.pass).map(c => q(c.query))
+          s""","assertions":{"pass":${checks.count(_.pass)},"fail":${failed.size}""" +
+            (if (failed.nonEmpty) s""","failed":${failed.mkString("[", ",", "]")}"""
+             else "") + "}"
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] assertions failed to run: " +
+              s"${e.getMessage}")
+            s""","assertions":{"pass":0,"fail":-1}"""
+        }
+      }
+
     def qmap(rs: Seq[(String, Double, Boolean)]): String = rs.map {
       case (k, v, ok) => "\"" + k + "\":" + (if (ok) v else -1.0)
     }.mkString("{", ",", "}")
@@ -139,7 +215,7 @@ object Bench {
       if (steady.isEmpty) ""
       else s""","steady_total":$steadyTotal,"queries_steady":${qmap(steady)},"failed_steady":$failedSteady"""
     val detail =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${qmap(results)}$steadyJson,"failed":$failed,"parse_mbps":$parseMbps,"parse_mbps_best":$parseMbpsBest,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${qmap(results)}$steadyJson,"failed":$failed,"regressions":$regJson$assertSummary,"parse_mbps":$parseMbps,"parse_mbps_best":$parseMbpsBest,"sf":"$sfDir"}"""
     // full runs only: a SPARK_GRAFT_QUERIES spot run must not clobber the
     // committed full-catalog artifact. SPARK_GRAFT_DETAIL redirects the
     // full map elsewhere (rehearsal sweeps record per-query factors
@@ -159,7 +235,7 @@ object Bench {
     // point consumers at the detail artifact that was actually written
     // (SPARK_GRAFT_DETAIL redirects it for rehearsal spot runs)
     val detailName = detailPath.getOrElse("BENCH_DETAIL.json")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":${qmap(slowest)}$steadyHead,"failed":$failed,"parse_mbps":$parseMbps,"parse_mbps_best":$parseMbpsBest,"detail":"$detailName","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":${qmap(slowest)}$steadyHead,"failed":$failed,"regressions":$regJson$assertSummary,"parse_mbps":$parseMbps,"parse_mbps_best":$parseMbpsBest,"detail":"$detailName","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -87,10 +87,20 @@ object ExtQueries {
       .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 4).as("est_j"))
       .orderBy(col("id_a"), col("id_b"))
 
-  /** SimHash near-dup pairs (rows-only check). */
+  /** SimHash near-dup pairs over the PLANTED corpus (rows-only check).
+    * The raw documents hold no exact duplicates at the oracle SFs, which
+    * made the old "simhash recovers exact dups" assertion vacuous
+    * (round-10 verdict) — [[QueryFixtures.plantedDocuments]] plants
+    * exact duplicates, token-rotated copies (identical signature, NOT
+    * exact text), and adversarially-close appended-token variants, so
+    * the Verify assertion now checks recovery of known ground truth AND
+    * full equivalence with a driver brute-force hamming filter.
+    */
   def q32_simhash_neardup(s: SparkSession, dir: String): DataFrame =
-    Dedup.simhashNearDupPairs(t(s, dir, "documents"), "doc_id", "text",
-        maxHamming = 3)
+    Dedup.simhashNearDupPairs(
+        QueryFixtures.plantedDocuments(
+          t(s, dir, "documents").select(col("doc_id"), col("text"))),
+        "doc_id", "text", maxHamming = 3)
       .orderBy(col("id_a"), col("id_b"))
 
   /** brute-force cosine top-k for a FIXED panel of query vectors (the

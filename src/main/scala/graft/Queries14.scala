@@ -158,21 +158,26 @@ object Queries14 {
   }
 
   /** Referential-integrity audit over all six FK edges of the star
-    * schema — see [[graft.operators.Stats.fkAudit]] (one left join +
-    * combined count per edge, parent reduced to distinct keys). All
-    * clean in this testdata; the panel exists to PROVE it per load.
+    * schema. The three lineitem edges ride
+    * [[graft.operators.Stats.fkAuditMulti]] — ONE scan of the fact
+    * table with three chained distinct-key left joins and a combined
+    * aggregate (round-11 ADVICE: the per-edge [[Stats.fkAudit]] form
+    * scanned lineitem three times); the three dimension-child edges
+    * stay per-edge. All clean in this testdata; the panel exists to
+    * PROVE it per load.
     */
   def q158_fk_audit(s: SparkSession, dir: String): DataFrame = {
     def a(name: String, child: String, ck: String, parent: String,
         pk: String) =
       Stats.fkAudit(name, t(s, dir, child), col(ck),
         t(s, dir, parent), col(pk))
-    a("lineitem.l_orderkey->orders", "lineitem", "l_orderkey",
-        "orders", "o_orderkey")
-      .unionAll(a("lineitem.l_partkey->part", "lineitem", "l_partkey",
-        "part", "p_partkey"))
-      .unionAll(a("lineitem.l_suppkey->supplier", "lineitem",
-        "l_suppkey", "supplier", "s_suppkey"))
+    Stats.fkAuditMulti(t(s, dir, "lineitem"), Seq(
+        ("lineitem.l_orderkey->orders", col("l_orderkey"),
+          t(s, dir, "orders"), col("o_orderkey")),
+        ("lineitem.l_partkey->part", col("l_partkey"),
+          t(s, dir, "part"), col("p_partkey")),
+        ("lineitem.l_suppkey->supplier", col("l_suppkey"),
+          t(s, dir, "supplier"), col("s_suppkey"))))
       .unionAll(a("nation.n_regionkey->region", "nation", "n_regionkey",
         "region", "r_regionkey"))
       .unionAll(a("orders.o_custkey->customer", "orders", "o_custkey",
@@ -208,9 +213,19 @@ object Queries14 {
       max(when(col("arm") === "a", col("k"))).as("k_a"),
       max(when(col("arm") === "b", col("n"))).as("n_b"),
       max(when(col("arm") === "b", col("k"))).as("k_b"))
+    // loud guard (targetMixture-style, embedded in the VALUE so column
+    // pruning can't drop it): an arm with no users would otherwise flow
+    // null n/k through the pivot and surface as a silent null z row
+    def arm(c: String, a: String) =
+      when(col(c).isNull, raise_error(lit(
+        s"q159_ab_test: arm '$a' is empty — the md5 hash-split produced " +
+          "no users for it (corpus too small or user_id set degenerate)")))
+        .otherwise(col(c)).as(c)
+    val guarded = wide.select(arm("n_a", "a"), col("k_a"),
+      arm("n_b", "b"), col("k_b"))
     val p = (col("k_a") + col("k_b")).cast("double") /
       (col("n_a") + col("n_b"))
-    wide.select(col("n_a"), col("k_a"), col("n_b"), col("k_b"),
+    guarded.select(col("n_a"), col("k_a"), col("n_b"), col("k_b"),
       round(col("k_a").cast("double") / col("n_a"), 4).as("p_a"),
       round(col("k_b").cast("double") / col("n_b"), 4).as("p_b"),
       round((col("k_a").cast("double") / col("n_a") -

@@ -45,19 +45,65 @@ object VerifyAssertions {
           s"missed=${exact.diff(sketch).size}")
     }
 
-    // q32 — identical documents hash to identical 64-bit signatures
-    // (hamming 0), so every exact-duplicate pair MUST appear. Jaccard
-    // precision is deliberately NOT asserted: SimHash weights features
-    // cosine-style and legitimately pairs texts below any fixed
-    // shingle-jaccard bar (measured at sf0.1: 336 of 525 pairs sit
-    // under j=0.3 — that is the operator's contract, not a bug).
+    // q32 — SimHash over the PLANTED corpus (round-11 fix: the raw docs
+    // hold no exact duplicates at the oracle SFs, so the old "recovers
+    // exact dups" check passed vacuously on exact_dups=0). Ground truth
+    // is now planted (QueryFixtures.plantedDocuments) and the banded
+    // query output is checked for FULL EQUIVALENCE — (id_a, id_b,
+    // hamming) triple sets — against a driver brute-force O(n²) hamming
+    // filter over the collected signatures (65k sigs at sf1 → ~2e9
+    // popcounts, seconds), plus: every planted exact duplicate and
+    // every planted token-rotation (identical signature by multiset
+    // invariance, NOT an exact text dup) must appear at hamming 0, and
+    // the hamming 1–3 band must be populated (the argmin appended-token
+    // plants seed it). Jaccard precision remains deliberately
+    // unasserted — SimHash weights features cosine-style and
+    // legitimately pairs texts below any fixed shingle-jaccard bar.
     val q32 = {
-      val dups = pairSet(Dedup.jaccardPairs(docs, "doc_id", "text", 0.9999))
-      val sh = pairSet(Dedup.simhashNearDupPairs(docs, "doc_id", "text", 3))
-      Check("simhash_recovers_exact_duplicates", "q32_simhash_neardup",
-        dups.subsetOf(sh),
-        s"exact_dups=${dups.size} simhash=${sh.size} " +
-          s"missed=${dups.diff(sh).size}")
+      val planted = QueryFixtures.plantedDocuments(
+        docs.select(col("doc_id"), col("text")))
+      val sigRows =
+        Dedup.simhash64(planted, "doc_id", "text").collect()
+      val ids = sigRows.map(_.getLong(0))
+      val sigs = sigRows.map(_.getLong(1))
+      val brute = scala.collection.mutable.HashSet[(Long, Long, Int)]()
+      var i = 0
+      while (i < sigs.length) {
+        var j = i + 1
+        while (j < sigs.length) {
+          val h = java.lang.Long.bitCount(sigs(i) ^ sigs(j))
+          if (h <= 3) {
+            val (a, b) =
+              if (ids(i) < ids(j)) (ids(i), ids(j)) else (ids(j), ids(i))
+            brute += ((a, b, h))
+          }
+          j += 1
+        }
+        i += 1
+      }
+      val banded = SparkEntry.queries("q32_simhash_neardup")(spark, sfDir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val bandedPairs = banded.map(t => (t._1, t._2))
+      // planted sources from the BASE table, not an id-range filter of
+      // the collected ids: scaled corpora (ScaleUp) offset replica ids
+      // by 1e8·r, so %10==0 sources exist far above the 10M namespace
+      val srcIds = docs.select(col("doc_id"))
+        .filter(col("doc_id") % 10 === 0)
+        .collect().map(_.getLong(0))
+      val dupPairs = srcIds.map(s => (s, s + 10000000L)).toSet
+      val rotPairs = srcIds.map(s => (s, s + 20000000L)).toSet
+      val near = banded.count(t => t._3 >= 1 && t._3 <= 3)
+      Check("simhash_planted_recovery_and_brute_equivalence",
+        "q32_simhash_neardup",
+        banded == brute &&
+          dupPairs.nonEmpty && dupPairs.subsetOf(bandedPairs) &&
+          rotPairs.subsetOf(bandedPairs) && near > 0,
+        s"banded=${banded.size} brute=${brute.size} " +
+          s"sym_diff=${(banded.diff(brute) ++ brute.diff(banded)).size} " +
+          s"planted_dups=${dupPairs.size} " +
+          s"missed_dups=${dupPairs.diff(bandedPairs).size} " +
+          s"missed_rots=${rotPairs.diff(bandedPairs).size} " +
+          s"hamming_1_3=$near")
     }
 
     // q44 — the LSH gate is approximate BY DESIGN (random noise-floor

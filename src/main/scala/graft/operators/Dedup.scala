@@ -392,6 +392,63 @@ object Dedup {
       .filter(col("containment") >= threshold)
   }
 
+  /** Per-document containment VERDICT — the pipeline-facing form of
+    * [[containmentPairsPrefix]] for corpora whose true-pair mass makes
+    * the pair list itself the dominant output (the 100× rehearsal corpus
+    * holds ~723k genuine identical-text pairs; a drop-contained-docs
+    * pipeline needs |docs| verdicts, not the pair list). One row per
+    * input document:
+    *
+    *  - `is_contained` (0/1): the doc is the SMALLER (or equal-size)
+    *    side of at least one pair with round(containment, 4) >= t;
+    *  - `max_containment`: the best such score (0.0 when none);
+    *  - `container_id`: the partner achieving it (ties broken by
+    *    smallest partner id; null when none). Equal-size pairs flag
+    *    BOTH docs — mutual near-duplicates have no distinguished
+    *    container.
+    *
+    * Same exact prefix-filtered candidate machinery (recall exactly 1),
+    * then a doc-keyed max instead of pair materialization; the verdict
+    * aggregation is one keyed window over the qualifying-pair relation
+    * (output-mass-sized) plus one keyed join back to the corpus.
+    * Requires `idCol` unique per document (the corpus contract; a
+    * duplicated id would merge two docs' verdicts).
+    */
+  def containmentSummary(
+      df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, shingleWords: Int = 3,
+      maxShingleDf: Int = DefaultMaxShingleDf): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      "threshold must be in (0, 1] (at 0 every co-shingled pair qualifies)")
+    // the qualifying-pair relation feeds TWO side-projections below —
+    // checkpoint it (pair-mass-sized) or the whole prefix candidate +
+    // verify pipeline executes twice (the round-5 re-execution lesson)
+    val pairs = prefixPairStats(df, idCol, textCol, shingleWords,
+        maxShingleDf, alphaCoef = threshold - 1e-4)
+      .select(col("id_a"), col("id_b"), col("n_a"), col("n_b"),
+        round(col("inter").cast("double") / least(col("n_a"), col("n_b")), 4)
+          .as("containment"))
+      .filter(col("containment") >= threshold)
+      .localCheckpoint()
+    val sides = pairs.filter(col("n_a") <= col("n_b"))
+        .select(col("id_a").as("__cid"), col("id_b").as("__p"),
+          col("containment"))
+      .unionAll(pairs.filter(col("n_b") <= col("n_a"))
+        .select(col("id_b").as("__cid"), col("id_a").as("__p"),
+          col("containment")))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("__cid"))
+      .orderBy(col("containment").desc, col("__p").asc)
+    val best = sides.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("__cid"), col("__p"), col("containment"))
+    df.select(col(idCol))
+      .join(best, col(idCol) === col("__cid"), "left")
+      .select(col(idCol),
+        col("__cid").isNotNull.cast("long").as("is_contained"),
+        coalesce(col("containment"), lit(0.0)).as("max_containment"),
+        col("__p").as("container_id"))
+  }
+
   /** EXACT Jaccard pairs via the same prefix filter — identical output
     * to [[jaccardPairs]] with candidate-proportional work. The overlap
     * bound on the smaller set S of a qualifying pair: J = i/(a+b−i) ≥ t
@@ -658,6 +715,12 @@ object Dedup {
   def simhashNearDupPairs(
       df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
+    // 4 bands of 16 bits recall hamming <= 3 EXACTLY (pigeonhole: 3 bit
+    // flips cannot touch all 4 bands); past 3 the banding would silently
+    // under-recall — refuse rather than return a wrong pair set
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"maxHamming must be in [0, 3] (got $maxHamming): 4x16-bit banding " +
+        "guarantees recall only up to hamming 3")
     // the banded relation branches twice (join l/r) and a bare
     // repartition is not shared across broadcast-side re-planning —
     // widen, then materialize the per-row sketch once

@@ -30,6 +30,21 @@ object Graph {
     * construction). Nodes without in-edges settle at the teleport mass
     * `(1−damping)/N`.
     *
+    * Convergence mode (`tol > 0`): after each iteration the L1
+    * residual `Σ|r_t − r_{t−1}|` is measured as ONE node-keyed join +
+    * 1-row aggregate (node-sized — the edge relation is never touched)
+    * and iteration stops early once it drops below `tol`; `iters`
+    * becomes the hard cap. Each iteration already pays a node-sized
+    * localCheckpoint action, so the residual adds one cheap job, not a
+    * lineage hazard — the checkpoint discipline (src-partitioned edges
+    * checkpointed once, node-sized ranks re-checkpointed per round) is
+    * exactly what keeps deep runs flat (rehearsed ≥10 iterations at the
+    * 100× corpus, PLANS.md). `tol = 0` (default) preserves the
+    * fixed-iteration contract bit-for-bit (q148's oracle replays
+    * iterations literally). The standard L1 stopping rule of power-
+    * iteration PageRank; with damping d the residual contracts ~d per
+    * round, so tol=1e-6 lands within ~log(1e-6)/log(d) rounds.
+    *
     * Dangling mass: nodes without OUT-edges leak their rank (the
     * standard simplification); feed a symmetrized edge list when the
     * graph is conceptually undirected and no node should dangle.
@@ -46,9 +61,11 @@ object Graph {
     * node-sized result.
     */
   def pageRank(edges: DataFrame, srcCol: Column, dstCol: Column,
-      iters: Int = 2, damping: Double = 0.85): DataFrame = {
+      iters: Int = 2, damping: Double = 0.85,
+      tol: Double = 0.0): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
     require(damping > 0 && damping < 1, "damping must be in (0,1)")
+    require(tol >= 0, "tol must be >= 0 (0 disables convergence checks)")
     val typed = edges.select(srcCol.as("__src"), dstCol.as("__dst"))
     require(typed.schema(0).dataType == typed.schema(1).dataType,
       s"src/dst types must agree, got ${typed.schema.map(_.dataType)}")
@@ -61,7 +78,9 @@ object Graph {
     val n = nodes.count()
     val teleport = (1.0 - damping) / n
     var ranks = nodes.withColumn("r", lit(1.0) / n)
-    for (_ <- 0 until iters) {
+    var it = 0
+    var converged = false
+    while (it < iters && !converged) {
       // r/od folded into a node-sized rate relation BEFORE touching the
       // edges: the big join carries one double per edge and the edge
       // side is already src-partitioned, so only the rates shuffle
@@ -70,13 +89,31 @@ object Graph {
           .as("__rate"))
       val contrib = e.join(rate, col("__src") === col("__rsrc"))
         .groupBy(col("__dst")).agg(sum(col("__rate")).as("__c"))
-      ranks = nodes.join(contrib, col("node") === col("__dst"), "left")
+      val next = nodes.join(contrib, col("node") === col("__dst"), "left")
         .select(col("node"), (lit(teleport) +
           lit(damping) * coalesce(col("__c"), lit(0.0))).as("r"))
         .localCheckpoint()
+      if (tol > 0) {
+        // node-keyed join of two checkpointed node-sized relations +
+        // a 1-row aggregate — the edges never re-enter the plan here
+        val residual = next
+          .join(ranks.select(col("node"), col("r").as("__rp")), Seq("node"))
+          .agg(sum(abs(col("r") - col("__rp"))).as("__l1"))
+          .head().getDouble(0)
+        converged = residual < tol
+        log.info(f"pageRank iteration ${it + 1}: L1 residual " +
+          f"$residual%.3e (tol $tol%.1e)" +
+          (if (converged) " — converged" else ""))
+      }
+      ranks = next
+      it += 1
     }
+    if (tol > 0 && !converged) log.info(
+      s"pageRank: iteration cap $iters reached without convergence")
     ranks
   }
+
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
   /** Degree histogram: distinct-neighbor count per node, then how many
     * nodes sit at each degree — the supply/interaction-graph density

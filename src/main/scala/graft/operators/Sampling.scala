@@ -580,7 +580,10 @@ object Sampling {
     require(targets.values.forall(_ > 0), "target weights must be > 0")
     val spark = df.sparkSession
     import spark.implicits._
-    val tdf = broadcast(targets.toSeq.sorted.toDF("__dom", "__tw"))
+    // no broadcast hint: tdf is the PRESERVED side of the left join below,
+    // which Spark cannot use as a build side — the hint would be silently
+    // ignored (warn-logged). Both sides are |targets|-row tiny anyway.
+    val tdf = targets.toSeq.sorted.toDF("__dom", "__tw")
     val filtered = df.filter(domainCol.isin(targets.keys.toSeq: _*))
     val counts = filtered.groupBy(domainCol.as("__dom"))
       .agg(count(lit(1)).as("__nd"))

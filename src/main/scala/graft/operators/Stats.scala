@@ -174,6 +174,38 @@ object Stats {
       .select(lit(name).as("fk"), col("n_child"), col("n_orphans"))
   }
 
+  /** [[fkAudit]] for EVERY foreign-key edge of one child table in a
+    * single scan: chained left joins to each parent's distinct keys
+    * (each at-most-one-match, so no fan-out; dimension-sized parents
+    * broadcast by Catalyst's own sizing — no forced hint, a fact-sized
+    * parent degrades to a keyed shuffle, never a BNL) feeding ONE
+    * combined aggregate, then an |edges|-row reshape. Audit semantics
+    * per edge are identical to [[fkAudit]]; the child is scanned once
+    * instead of once per edge (q158 scanned lineitem three times).
+    */
+  def fkAuditMulti(child: DataFrame,
+      edges: Seq[(String, org.apache.spark.sql.Column, DataFrame,
+        org.apache.spark.sql.Column)]): DataFrame = {
+    require(edges.nonEmpty, "at least one FK edge required")
+    val base = child.select(edges.zipWithIndex.map {
+      case ((_, ck, _, _), i) => ck.as(s"__ck$i") }: _*)
+    val joined = edges.zipWithIndex.foldLeft(base) {
+      case (df, ((_, _, p, pk), i)) =>
+        df.join(p.select(pk.as(s"__pk$i")).distinct(),
+          col(s"__ck$i") === col(s"__pk$i"), "left")
+    }
+    val aggs = count(lit(1)).as("__n") +: edges.indices.map(i =>
+      count(when(col(s"__pk$i").isNull, 1)).as(s"__o$i"))
+    val entries = edges.zipWithIndex.map { case ((name, _, _, _), i) =>
+      struct(lit(name).as("fk"), col("__n").as("n_child"),
+        col(s"__o$i").as("n_orphans"))
+    }
+    joined.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(entries: _*)).as("__e"))
+      .select(col("__e.fk").as("fk"), col("__e.n_child").as("n_child"),
+        col("__e.n_orphans").as("n_orphans"))
+  }
+
   /** EXACT heavy hitters via a Count–Min gate: `(key, cnt)` for every
     * key occurring at least `minCount` times — without shuffling the
     * full key distribution.

@@ -34,9 +34,11 @@ object TimeSeries {
     *   reset is the documented semantic, mirrored by oracles).
     * - `is_gap` (0/1) marks spine days absent from `daily`.
     *
-    * Requires `dateCol` to be a DateType column and `daily` to be
-    * deduplicated per day (one row per date) — duplicate dates would
-    * fan out the spine join.
+    * Requires `dateCol` to be a DateType or day-truncated TimestampType
+    * column (the repo's day-panel convention — q89/q156 pass
+    * `date_trunc("DAY", ts)`; `sequence(..., interval 1 day)` steps
+    * either type) and `daily` to be deduplicated per day (one row per
+    * date) — duplicate dates would fan out the spine join.
     */
   def gapFillDaily(daily: DataFrame, dateCol: String,
       zeroFill: Seq[String], carry: Seq[String] = Nil): DataFrame = {

@@ -24,7 +24,8 @@ object ProbeRecall {
     println(s"PROBE q32: exact09=${exact09.size} exact10=${exact10.size} sh=${sh.size} missed09=${exact09.diff(sh).size} missed10=${exact10.diff(sh).size} precisionLoose=${sh.diff(exact03).size}")
     def topk(df: org.apache.spark.sql.DataFrame) =
       df.select("query_id", "match_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val q = emb.filter(col("vec_id") % 50 === 0)
+    // mirrors the q44/q46 FIXED panel (capped — see q33 scaladoc)
+    val q = emb.filter(col("vec_id") % 50 === 0 && col("vec_id") < 2500)
     val bf5 = topk(Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", 5))
     val bf20 = topk(Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", 20))
     val ann = topk(Similarity.annTopK(q, emb, "vec_id", "embedding", k = 5, dim = 64, planes = 8))
