@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.operators.Dedup
@@ -9,7 +10,18 @@ import graft.operators.Dedup
   * verdict — the pipeline-facing summary of the prefix-filtered exact
   * containment machinery (q93 emits the pair LIST; a drop-contained-docs
   * pipeline needs one verdict per doc, and at the 100× rehearsal scale
-  * the pair list alone is ~723k rows of genuine duplication mass).
+  * the pair list alone is ~723k rows of genuine duplication mass) —
+  * plus two new-shape panels: item co-occurrence mining (the
+  * association signal an item-graph / recommender curation pass needs)
+  * and a rank-weighted concentration statistic (per-nation Gini).
+  *
+  * Float parity: q167 keeps the Gini numerator and denominator as
+  * exact decimal sums — `(2i − n − 1)` is integral and `c_acctbal` is
+  * exactly 2-decimal, so Σ(2i−n−1)·bal is order-independent in both
+  * engines; rank ties contribute a tie-invariant block sum (equal
+  * values × a fixed window of weights), so the statistic doesn't
+  * depend on the tie-break — but the tie-break is still pinned
+  * (bal, custkey) in BOTH engines so the i column itself matches.
   */
 object Queries16 {
 
@@ -26,8 +38,63 @@ object Queries16 {
         threshold = 0.6, shingleWords = 3)
       .orderBy(col("doc_id"))
 
+  /** Item co-occurrence mining: the top-20 part pairs most often
+    * bought in the same order — the association edge list an item
+    * graph / recommender curation pass starts from. One distinct
+    * (order, part) relation checkpointed once (it feeds both self-join
+    * sides — the round-5 branch re-execution lesson), an ORDER-KEYED
+    * self-join (never all-pairs: fan-out is C(lines_per_order, 2),
+    * bounded ~21 at the TPC-H max of 7 lines — linear in orders at any
+    * scale), a combinable pair count, and a TakeOrdered top-k with a
+    * total (n DESC, part_a, part_b) tie-break on both engines.
+    */
+  def q166_copurchase_pairs(s: SparkSession, dir: String): DataFrame = {
+    val op = t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+      .localCheckpoint()
+    val a = op.select(col("o"), col("p").as("part_a"))
+    val b = op.select(col("o"), col("p").as("part_b"))
+    a.join(b, Seq("o")).filter(col("part_a") < col("part_b"))
+      .groupBy(col("part_a"), col("part_b"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("n_orders").desc, col("part_a"), col("part_b"))
+      .limit(20)
+  }
+
+  /** Per-nation Gini concentration of customer account balances via
+    * the rank-weighted closed form `Σ(2i−n−1)·x_(i) / (n·Σx)` — a
+    * one-sort statistic (no all-pairs |x_i − x_j|). Ranks come from a
+    * NATION-KEYED window (no single-partition WindowExec at any
+    * scale); both sufficient sums are exact decimals, cast to double
+    * only for the final ratio with identical parenthesization.
+    */
+  def q167_balance_gini(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer")
+      .join(broadcast(t(s, dir, "nation")
+          .select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+    val w = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("c_acctbal"), col("c_custkey"))
+    val wn = Window.partitionBy(col("c_nationkey"))
+    cust.select(col("n_name").as("nation"),
+        col("c_acctbal").cast("decimal(18,2)").as("bal"),
+        row_number().over(w).as("i"),
+        count(lit(1)).over(wn).as("n"))
+      .groupBy(col("nation"))
+      .agg(max(col("n")).as("n"),
+        sum((lit(2) * col("i") - col("n") - 1) * col("bal")).as("num_d"),
+        sum(col("bal")).as("s_d"))
+      .select(col("nation"), col("n"),
+        round(col("num_d").cast("double") /
+          (col("n") * col("s_d").cast("double")), 4).as("gini"))
+      .orderBy(col("nation"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q165_containment_summary" -> q165_containment_summary _
+    "q165_containment_summary" -> q165_containment_summary _,
+    "q166_copurchase_pairs" -> q166_copurchase_pairs _,
+    "q167_balance_gini" -> q167_balance_gini _
   )
 
   val oracles: Map[String, String] = Map(
@@ -66,6 +133,29 @@ object Queries16 {
         |  coalesce(best.c, 0.0) AS max_containment,
         |  best.partner AS container_id
         |FROM documents d LEFT JOIN best ON d.doc_id = best.id
-        |ORDER BY d.doc_id""".stripMargin
+        |ORDER BY d.doc_id""".stripMargin,
+    "q166_copurchase_pairs" ->
+      """WITH op AS (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+        |), pairs AS (
+        |  SELECT a.p AS part_a, b.p AS part_b, count(*) AS n_orders
+        |  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+        |  GROUP BY 1, 2)
+        |SELECT part_a, part_b, n_orders FROM pairs
+        |ORDER BY n_orders DESC, part_a, part_b LIMIT 20""".stripMargin,
+    "q167_balance_gini" ->
+      """WITH x AS (
+        |  SELECT n_name AS nation, CAST(c_acctbal AS DECIMAL(18,2)) AS bal,
+        |    row_number() OVER (PARTITION BY c_nationkey
+        |      ORDER BY c_acctbal, c_custkey) AS i,
+        |    count(*) OVER (PARTITION BY c_nationkey) AS n
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |), g AS (
+        |  SELECT nation, max(n) AS n, sum((2*i - n - 1) * bal) AS num_d,
+        |    sum(bal) AS s_d
+        |  FROM x GROUP BY nation)
+        |SELECT nation, n,
+        |  round(CAST(num_d AS DOUBLE) / (n * CAST(s_d AS DOUBLE)), 4) AS gini
+        |FROM g ORDER BY nation""".stripMargin
   )
 }

@@ -151,10 +151,15 @@ object VerifyAssertions {
           s"diff=${got.diff(expected).size + expected.diff(got).size}")
     }
 
-    // q46 — IVF at nprobe=2/8: measured recall@5 vs brute force 0.38 /
-    // 0.56 / 0.53 at sf0.001/0.01/0.1 (floor 0.25), plus exact-rescore:
-    // every emitted cosine must equal the value recomputed from the raw
-    // vectors (the quantized/q64 path proved rescoring is checkable).
+    // q46 — IVF at nprobe=2/8: floors are MEASURED-minus-margin per
+    // corpus size (round-11 re-measure on the regenerated testdata:
+    // recall@5 vs brute force 0.56 at sf0.001, 0.38 at sf0.01 — both
+    // 500-vector corpora, so they share the tightest floor — 0.53 at
+    // sf0.1 / 2k vectors, 0.88 at sf1 / 20k; the old uniform 0.25 floor
+    // was loose enough for a badly degraded index to pass). Plus
+    // exact-rescore: every emitted cosine must equal the value
+    // recomputed from the raw vectors (the quantized/q64 path proved
+    // rescoring is checkable).
     val q46 = {
       val queries = // mirrors the query's fixed panel (q44/q46)
         emb.filter(col("vec_id") % 50 === 0 && col("vec_id") < 2500)
@@ -167,9 +172,15 @@ object VerifyAssertions {
         .map(r => (r.getLong(0), r.getLong(1))).toSet
       val recall = (got & brute).size.toDouble / math.max(1, brute.size)
       val badScores = scoreMismatches(spark, out, emb)
+      val n = emb.count()
+      val floor =
+        if (n <= 1000) 0.30 // 500-vec corpora measured 0.38 / 0.56
+        else if (n <= 5000) 0.45 // 2k vectors measured 0.53
+        else 0.75 // 20k vectors measured 0.88
       Check("ivf_recall_and_exact_rescore", "q46_ivf_topk",
-        recall >= 0.25 && badScores == 0,
-        f"recall@5=$recall%.3f (floor 0.25) score_mismatches=$badScores")
+        recall >= floor && badScores == 0,
+        f"recall@5=$recall%.3f (floor $floor%.2f at n=$n) " +
+          f"score_mismatches=$badScores")
     }
 
     // q49 — LSH-gated global top pairs over the PLANTED corpus (round 7:

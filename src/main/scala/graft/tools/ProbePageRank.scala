@@ -23,6 +23,9 @@ object ProbePageRank {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // surface the per-iteration residual INFO lines from Graph.pageRank
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "graft", org.apache.logging.log4j.Level.INFO)
     val t0 = System.nanoTime()
     val pairs = graft.Tables(spark, dir, "orders")
       .join(graft.Tables(spark, dir, "lineitem"),

@@ -203,6 +203,39 @@ class Round15OpsSpec extends SparkSpec {
       s"q158 must scan lineitem ONCE, found ${scans.length}")
   }
 
+  // ------------------------------------------------ q166/q167 plan audits
+
+  test("q166: order-keyed self-join only (no cartesian/BNL), pair counts " +
+      "bounded by per-order line count") {
+    val df = SparkEntry.queries("q166_copurchase_pairs")(
+      spark, "/root/testdata/sf0.001")
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoop"), p.take(600))
+    val rows = df.collect()
+    assert(rows.length == 20)
+    // total tie-break ordering: n desc, then ids ascending
+    val sorted = rows.sortBy(r => (-r.getLong(2), r.getLong(0), r.getLong(1)))
+    assert(rows.toSeq == sorted.toSeq, "output must carry its total order")
+  }
+
+  test("q167: gini stays in a sane band on this data, window is " +
+      "nation-keyed (no single-partition WindowExec)") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val df = SparkEntry.queries("q167_balance_gini")(
+      spark, "/root/testdata/sf0.001")
+    val windows = df.queryExecution.optimizedPlan.collect {
+      case w: LWindow => w }
+    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
+      "every window must be partitioned")
+    val rows = df.collect()
+    assert(rows.length == 25)
+    rows.foreach { r =>
+      val g = r.getDouble(2)
+      assert(g > 0.0 && g < 1.0, s"gini out of band: $r")
+    }
+  }
+
   // ------------------------------------------------ pageRank convergence
 
   private def prMap(df: org.apache.spark.sql.DataFrame): Map[Long, Double] =
