@@ -33,15 +33,22 @@ object Bench {
     // snapshot the COMMITTED detail artifact before this run overwrites
     // it: the steady pass of the previous full run is the regression
     // baseline (round-10 verdict: don't leave drift detection to
-    // best-of-day judgment)
+    // best-of-day judgment). The baseline is only usable when it was
+    // recorded at the SAME sf dir — comparing an sf10 rehearsal against
+    // committed sf0.1 steadies would flag the whole catalog.
     val prevSteady: Map[String, Double] =
       try {
         val txt = new String(java.nio.file.Files.readAllBytes(
           java.nio.file.Paths.get("BENCH_DETAIL.json")))
-        val block = """"queries_steady":\{([^}]*)\}""".r
-          .findFirstMatchIn(txt).map(_.group(1)).getOrElse("")
-        """"([^"]+)":(-?[0-9.eE+\-]+)""".r.findAllMatchIn(block)
-          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        val prevSf = """"sf":"([^"]*)"""".r
+          .findFirstMatchIn(txt).map(_.group(1))
+        if (!prevSf.contains(sfDir)) Map.empty
+        else {
+          val block = """"queries_steady":\{([^}]*)\}""".r
+            .findFirstMatchIn(txt).map(_.group(1)).getOrElse("")
+          """"([^"]+)":(-?[0-9.eE+\-]+)""".r.findAllMatchIn(block)
+            .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        }
       } catch { case _: Throwable => Map.empty }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -156,15 +163,28 @@ object Bench {
           f"$n (${prevSteady(n)}%.2f -> " +
             f"${steady.find(_._1 == n).get._2}%.2f s)").mkString(", "))
     val regJson = regressions.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // the STDOUT line must stay inside the driver's ~2 KB tail capture
+    // (the r01-r05 decapitation lesson) — cap the inline list, carry
+    // the count; the detail artifact gets the full list
+    val regJsonHead =
+      regressions.take(10).map("\"" + _ + "\"").mkString("[", ",", "]") +
+        (if (regressions.size > 10) s""","n_regressions":${regressions.size}"""
+         else "")
+    val detailPath0 = sys.env.get("SPARK_GRAFT_DETAIL")
 
     // Rows-only hard assertions (the 8 sketch/ANN queries with no DuckDB
     // oracle): run them here too and ship the artifact beside the bench
     // JSON, so the DRIVER'S record covers the full catalog without a
     // local re-run (round-10 verdict item; the local Verify gate remains
-    // the primary consumer). SPARK_GRAFT_ASSERT=0 skips (rehearsal
-    // sweeps); subset runs skip automatically.
+    // the primary consumer). Runs ONLY on the artifact-of-record shape:
+    // subset runs skip, SPARK_GRAFT_ASSERT=0 skips, and a
+    // SPARK_GRAFT_DETAIL-redirected run (the rehearsal-sweep marker)
+    // skips — both to keep rehearsals from clobbering the committed
+    // sf0.1 artifact and because the assertion pass is driver-heavy at
+    // rehearsal scale (the q32 brute force is O(n²) in one thread).
     val assertSummary =
-      if (subset.nonEmpty || sys.env.get("SPARK_GRAFT_ASSERT").contains("0"))
+      if (subset.nonEmpty || detailPath0.isDefined ||
+          sys.env.get("SPARK_GRAFT_ASSERT").contains("0"))
         ""
       else {
         try {
@@ -178,9 +198,12 @@ object Bench {
           val cj = checks.map { c =>
             s"""${q(c.query)}: {"check": ${q(c.name)}, "pass": ${c.pass}, """ +
               s""""detail": ${q(c.detail)}}"""
-          }.mkString("{", ",", "}")
+          }.mkString("{", "," , "}")
+          // sf provenance rides in the artifact so a stale or
+          // wrong-corpus file is diagnosable from its own content
           java.nio.file.Files.writeString(
-            java.nio.file.Paths.get("ROWS_ONLY_ASSERTIONS.json"), cj + "\n")
+            java.nio.file.Paths.get("ROWS_ONLY_ASSERTIONS.json"),
+            s"""{"sf": ${q(sfDir)}, "checks": $cj}""" + "\n")
           val failed = checks.filter(!_.pass).map(c => q(c.query))
           s""","assertions":{"pass":${checks.count(_.pass)},"fail":${failed.size}""" +
             (if (failed.nonEmpty) s""","failed":${failed.mkString("[", ",", "]")}"""
@@ -220,7 +243,7 @@ object Bench {
     // committed full-catalog artifact. SPARK_GRAFT_DETAIL redirects the
     // full map elsewhere (rehearsal sweeps record per-query factors
     // without touching BENCH_DETAIL.json) and is honored for spot runs.
-    val detailPath = sys.env.get("SPARK_GRAFT_DETAIL")
+    val detailPath = detailPath0
     if (subset.isEmpty || detailPath.isDefined) {
       val p = detailPath.getOrElse("BENCH_DETAIL.json")
       try java.nio.file.Files.writeString(
@@ -235,7 +258,7 @@ object Bench {
     // point consumers at the detail artifact that was actually written
     // (SPARK_GRAFT_DETAIL redirects it for rehearsal spot runs)
     val detailName = detailPath.getOrElse("BENCH_DETAIL.json")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":${qmap(slowest)}$steadyHead,"failed":$failed,"regressions":$regJson$assertSummary,"parse_mbps":$parseMbps,"parse_mbps_best":$parseMbpsBest,"detail":"$detailName","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":${qmap(slowest)}$steadyHead,"failed":$failed,"regressions":$regJsonHead$assertSummary,"parse_mbps":$parseMbps,"parse_mbps_best":$parseMbpsBest,"detail":"$detailName","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -91,10 +91,65 @@ object Queries16 {
       .orderBy(col("nation"))
   }
 
+  /** WEIGHTED damped PageRank (2 iterations) over the customer–supplier
+    * purchase graph, edge weight = number of DISTINCT orders connecting
+    * the pair (purchase intensity — rank flows proportionally to trade
+    * volume, the q148 unweighted silhouette's natural upgrade). Same
+    * long-packed bipartite ids, same round(·,8) output grid sitting ~7
+    * orders above double-sum drift; weights are integer counts, exact
+    * in double, and the oracle spells the per-edge term `(r/os)·w` with
+    * identical association.
+    */
+  def q168_weighted_pagerank(s: SparkSession, dir: String): DataFrame = {
+    val pw = t(s, dir, "orders")
+      .join(t(s, dir, "lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("c"),
+        (col("l_suppkey") * 2 + 1).as("s"), col("o_orderkey"))
+      .distinct()
+      .groupBy(col("c"), col("s"))
+      .agg(count(lit(1)).as("w"))
+      .localCheckpoint() // both union branches read it
+    val edges = pw.select(col("c").as("src"), col("s").as("dst"), col("w"))
+      .union(pw.select(col("s").as("src"), col("c").as("dst"), col("w")))
+    graft.operators.Graph.pageRank(edges, col("src"), col("dst"),
+        iters = 2, damping = 0.85, weightCol = Some(col("w")))
+      .select(when(col("node") % 2 === 0,
+          concat(lit("c"), shiftright(col("node"), 1).cast("string")))
+        .otherwise(
+          concat(lit("s"), shiftright(col("node"), 1).cast("string")))
+        .as("node"),
+        round(col("r") * 1000, 8).as("rank_x1000"))
+      .orderBy(col("node"))
+  }
+
+  /** Near-dup cluster SIZE panel over the q51 clustering (LSH-gated
+    * jaccard 0.5 pairs → connected components): how many clusters of
+    * each size, how many docs they hold, and how many a keep-one-per-
+    * cluster pass drops — the dedup-report a pipeline run ends with.
+    * Everything after the CC is |clusters|-row aggregates.
+    */
+  def q169_cluster_sizes(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val pairs = Dedup.jaccardPairsLsh(
+      docs, "doc_id", "text", threshold = 0.5, shingleWords = 3)
+    Dedup.connectedComponents(docs.select(col("doc_id")), "doc_id",
+        pairs, "id_a", "id_b")
+      .groupBy(col("comp")).agg(count(lit(1)).as("sz"))
+      .groupBy(col("sz").as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .select(col("cluster_size"), col("n_clusters"),
+        (col("cluster_size") * col("n_clusters")).as("n_docs"),
+        ((col("cluster_size") - 1) * col("n_clusters")).as("n_dropped"))
+      .orderBy(col("cluster_size"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q165_containment_summary" -> q165_containment_summary _,
     "q166_copurchase_pairs" -> q166_copurchase_pairs _,
-    "q167_balance_gini" -> q167_balance_gini _
+    "q167_balance_gini" -> q167_balance_gini _,
+    "q168_weighted_pagerank" -> q168_weighted_pagerank _,
+    "q169_cluster_sizes" -> q169_cluster_sizes _
   )
 
   val oracles: Map[String, String] = Map(
@@ -143,6 +198,72 @@ object Queries16 {
         |  GROUP BY 1, 2)
         |SELECT part_a, part_b, n_orders FROM pairs
         |ORDER BY n_orders DESC, part_a, part_b LIMIT 20""".stripMargin,
+    "q168_weighted_pagerank" ->
+      """WITH pw AS (
+        |  SELECT c, s, count(*) AS w FROM (
+        |    SELECT DISTINCT 'c' || CAST(o.o_custkey AS VARCHAR) AS c,
+        |           's' || CAST(l.l_suppkey AS VARCHAR) AS s,
+        |           o.o_orderkey AS ok
+        |    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey)
+        |  GROUP BY 1, 2),
+        |edges AS (
+        |  SELECT c AS src, s AS dst, CAST(w AS DOUBLE) AS w FROM pw
+        |  UNION ALL SELECT s, c, CAST(w AS DOUBLE) FROM pw),
+        |ostr AS (SELECT src, sum(w) AS os FROM edges GROUP BY 1),
+        |nodes AS (SELECT DISTINCT src AS node FROM edges),
+        |nn AS (SELECT count(*) AS n FROM nodes),
+        |r0 AS (SELECT node, 1.0/(SELECT n FROM nn) AS r FROM nodes),
+        |r1 AS (
+        |  SELECT e.dst AS node,
+        |    (1.0-0.85)/(SELECT n FROM nn) + 0.85*sum(r0.r/ostr.os*e.w) AS r
+        |  FROM edges e JOIN r0 ON e.src = r0.node
+        |  JOIN ostr ON e.src = ostr.src
+        |  GROUP BY 1),
+        |r2 AS (
+        |  SELECT e.dst AS node,
+        |    (1.0-0.85)/(SELECT n FROM nn) + 0.85*sum(r1.r/ostr.os*e.w) AS r
+        |  FROM edges e JOIN r1 ON e.src = r1.node
+        |  JOIN ostr ON e.src = ostr.src
+        |  GROUP BY 1)
+        |SELECT node, round(r*1000, 8) AS rank_x1000
+        |FROM r2 ORDER BY node""".stripMargin,
+    "q169_cluster_sizes" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1),
+        |    i -> array_to_string(t[i:i+2], ' '))) AS shingles
+        |  FROM toks
+        |), ex AS (
+        |  SELECT doc_id, unnest(shingles) AS s FROM sh
+        |), inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+        |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |), pairs AS (
+        |  SELECT id_a, id_b FROM inter
+        |  JOIN (SELECT doc_id, len(shingles) n FROM sh) sa ON sa.doc_id = id_a
+        |  JOIN (SELECT doc_id, len(shingles) n FROM sh) sb ON sb.doc_id = id_b
+        |  WHERE round(i / CAST(sa.n + sb.n - i AS DOUBLE), 4) >= 0.5
+        |), e AS (
+        |  SELECT id_a AS a, id_b AS b FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs
+        |), reach AS (
+        |  SELECT a, b FROM e
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a WHERE e.b <> r.a
+        |), clusters AS (
+        |  SELECT d.doc_id,
+        |    least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS cluster
+        |  FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+        |  GROUP BY d.doc_id
+        |), sizes AS (
+        |  SELECT cluster, count(*) AS sz FROM clusters GROUP BY 1)
+        |SELECT sz AS cluster_size, count(*) AS n_clusters,
+        |  CAST(sz * count(*) AS BIGINT) AS n_docs,
+        |  CAST((sz - 1) * count(*) AS BIGINT) AS n_dropped
+        |FROM sizes GROUP BY sz ORDER BY sz""".stripMargin,
     "q167_balance_gini" ->
       """WITH x AS (
         |  SELECT n_name AS nation, CAST(c_acctbal AS DECIMAL(18,2)) AS bal,

@@ -60,50 +60,9 @@ object VerifyAssertions {
     // unasserted — SimHash weights features cosine-style and
     // legitimately pairs texts below any fixed shingle-jaccard bar.
     val q32 = {
-      val planted = QueryFixtures.plantedDocuments(
-        docs.select(col("doc_id"), col("text")))
-      val sigRows =
-        Dedup.simhash64(planted, "doc_id", "text").collect()
-      val ids = sigRows.map(_.getLong(0))
-      val sigs = sigRows.map(_.getLong(1))
-      val brute = scala.collection.mutable.HashSet[(Long, Long, Int)]()
-      var i = 0
-      while (i < sigs.length) {
-        var j = i + 1
-        while (j < sigs.length) {
-          val h = java.lang.Long.bitCount(sigs(i) ^ sigs(j))
-          if (h <= 3) {
-            val (a, b) =
-              if (ids(i) < ids(j)) (ids(i), ids(j)) else (ids(j), ids(i))
-            brute += ((a, b, h))
-          }
-          j += 1
-        }
-        i += 1
-      }
-      val banded = SparkEntry.queries("q32_simhash_neardup")(spark, sfDir)
-        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
-      val bandedPairs = banded.map(t => (t._1, t._2))
-      // planted sources from the BASE table, not an id-range filter of
-      // the collected ids: scaled corpora (ScaleUp) offset replica ids
-      // by 1e8·r, so %10==0 sources exist far above the 10M namespace
-      val srcIds = docs.select(col("doc_id"))
-        .filter(col("doc_id") % 10 === 0)
-        .collect().map(_.getLong(0))
-      val dupPairs = srcIds.map(s => (s, s + 10000000L)).toSet
-      val rotPairs = srcIds.map(s => (s, s + 20000000L)).toSet
-      val near = banded.count(t => t._3 >= 1 && t._3 <= 3)
+      val r = SimhashCheck.run(spark, sfDir) // shared with ProbeSimhash
       Check("simhash_planted_recovery_and_brute_equivalence",
-        "q32_simhash_neardup",
-        banded == brute &&
-          dupPairs.nonEmpty && dupPairs.subsetOf(bandedPairs) &&
-          rotPairs.subsetOf(bandedPairs) && near > 0,
-        s"banded=${banded.size} brute=${brute.size} " +
-          s"sym_diff=${(banded.diff(brute) ++ brute.diff(banded)).size} " +
-          s"planted_dups=${dupPairs.size} " +
-          s"missed_dups=${dupPairs.diff(bandedPairs).size} " +
-          s"missed_rots=${rotPairs.diff(bandedPairs).size} " +
-          s"hamming_1_3=$near")
+        "q32_simhash_neardup", r.pass, r.detail)
     }
 
     // q44 — the LSH gate is approximate BY DESIGN (random noise-floor
@@ -176,7 +135,11 @@ object VerifyAssertions {
       val floor =
         if (n <= 1000) 0.30 // 500-vec corpora measured 0.38 / 0.56
         else if (n <= 5000) 0.45 // 2k vectors measured 0.53
-        else 0.75 // 20k vectors measured 0.88
+        else if (n <= 30000) 0.75 // 20k vectors measured 0.88
+        else 0.30 // UNMEASURED tier (recall beyond 20k vectors was
+        // never probed) — conservative floor rather than extrapolating
+        // the 20k number to a regime where nlist=8 partitions hold
+        // ever-larger cells; re-measure (ProbeRecall) before raising
       Check("ivf_recall_and_exact_rescore", "q46_ivf_topk",
         recall >= floor && badScores == 0,
         f"recall@5=$recall%.3f (floor $floor%.2f at n=$n) " +

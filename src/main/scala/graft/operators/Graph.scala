@@ -62,15 +62,26 @@ object Graph {
     */
   def pageRank(edges: DataFrame, srcCol: Column, dstCol: Column,
       iters: Int = 2, damping: Double = 0.85,
-      tol: Double = 0.0): DataFrame = {
+      tol: Double = 0.0, weightCol: Option[Column] = None): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
     require(damping > 0 && damping < 1, "damping must be in (0,1)")
     require(tol >= 0, "tol must be >= 0 (0 disables convergence checks)")
-    val typed = edges.select(srcCol.as("__src"), dstCol.as("__dst"))
+    // `weightCol` (must be strictly positive — zero/negative weights
+    // corrupt the out-strength; null weights null the contribution):
+    // rank flows proportionally to edge weight, out-degree generalizes
+    // to out-strength Σw. The unweighted path uses a literal 1.0
+    // weight — value-identical to the count/sum form (x·1.0 ≡ x and
+    // integer counts are exact doubles), confirmed by the q148 oracle.
+    val typed = weightCol match {
+      case Some(w) => edges.select(srcCol.as("__src"), dstCol.as("__dst"),
+        w.cast("double").as("__w"))
+      case None => edges.select(srcCol.as("__src"), dstCol.as("__dst"),
+        lit(1.0).as("__w"))
+    }
     require(typed.schema(0).dataType == typed.schema(1).dataType,
       s"src/dst types must agree, got ${typed.schema.map(_.dataType)}")
     val e = typed.repartition(col("__src")).localCheckpoint()
-    val out = e.groupBy(col("__src")).agg(count(lit(1)).as("__od"))
+    val out = e.groupBy(col("__src")).agg(sum(col("__w")).as("__od"))
       .localCheckpoint()
     val nodes = e.select(col("__src").as("node"))
       .union(e.select(col("__dst").as("node")))
@@ -88,7 +99,8 @@ object Graph {
         .select(col("__src").as("__rsrc"), (col("r") / col("__od"))
           .as("__rate"))
       val contrib = e.join(rate, col("__src") === col("__rsrc"))
-        .groupBy(col("__dst")).agg(sum(col("__rate")).as("__c"))
+        .groupBy(col("__dst"))
+        .agg(sum(col("__rate") * col("__w")).as("__c"))
       val next = nodes.join(contrib, col("node") === col("__dst"), "left")
         .select(col("node"), (lit(teleport) +
           lit(damping) * coalesce(col("__c"), lit(0.0))).as("r"))

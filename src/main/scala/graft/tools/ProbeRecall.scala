@@ -17,11 +17,10 @@ object ProbeRecall {
     val exact08 = pairs(Dedup.jaccardPairs(docs, "doc_id", "text", 0.8))
     val mh = pairs(Dedup.minhashNearDupPairs(docs, "doc_id", "text", 0.7))
     println(s"PROBE q31: exact08=${exact08.size} mh=${mh.size} missed=${exact08.diff(mh).size} extra=${mh.diff(exact08).size}")
-    val sh = pairs(Dedup.simhashNearDupPairs(docs, "doc_id", "text", 3))
-    val exact09 = pairs(Dedup.jaccardPairs(docs, "doc_id", "text", 0.9))
-    val exact10 = pairs(Dedup.jaccardPairs(docs, "doc_id", "text", 0.9999))
-    val exact03 = pairs(Dedup.jaccardPairs(docs, "doc_id", "text", 0.3))
-    println(s"PROBE q32: exact09=${exact09.size} exact10=${exact10.size} sh=${sh.size} missed09=${exact09.diff(sh).size} missed10=${exact10.diff(sh).size} precisionLoose=${sh.diff(exact03).size}")
+    // q32 probing moved to ProbeSimhash (shared SimhashCheck machinery):
+    // the catalog q32 runs over the PLANTED corpus now, so raw-corpus
+    // recovery stats here would be the vacuous exact_dups=0 signal the
+    // round-11 rework eliminated
     def topk(df: org.apache.spark.sql.DataFrame) =
       df.select("query_id", "match_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     // mirrors the q44/q46 FIXED panel (capped — see q33 scaladoc)

@@ -280,6 +280,41 @@ class Round15OpsSpec extends SparkSpec {
       s"every node has out-edges here, so rank mass must stay 1: $mass")
   }
 
+  test("pageRank: literal-1.0 weights are BIT-identical to unweighted " +
+      "(they share the internal path), and weighted matches a driver " +
+      "brute force on a hand graph") {
+    import graft.operators.Graph
+    val un = prMap(Graph.pageRank(prEdges, col("src"), col("dst"),
+      iters = 4))
+    val w1 = prMap(Graph.pageRank(prEdges, col("src"), col("dst"),
+      iters = 4, weightCol = Some(lit(1.0))))
+    assert(un == w1, "constant-1 weights must not change anything")
+
+    val wEdges = Seq((1L, 2L, 3.0), (1L, 3L, 1.0), (2L, 1L, 2.0),
+      (3L, 1L, 1.0), (3L, 2L, 5.0)).toDF("src", "dst", "w")
+    val got = prMap(Graph.pageRank(wEdges, col("src"), col("dst"),
+      iters = 3, weightCol = Some(col("w"))))
+    // driver brute force: same update rule, same damping
+    val edges = Seq((1L, 2L, 3.0), (1L, 3L, 1.0), (2L, 1L, 2.0),
+      (3L, 1L, 1.0), (3L, 2L, 5.0))
+    val nodes = Seq(1L, 2L, 3L)
+    val os = edges.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    var r = nodes.map(_ -> 1.0 / 3).toMap
+    for (_ <- 0 until 3) {
+      val contrib = scala.collection.mutable.Map[Long, Double]()
+        .withDefaultValue(0.0)
+      edges.foreach { case (s, d, w) =>
+        contrib(d) += r(s) / os(s) * w }
+      r = nodes.map(n => n -> ((1.0 - 0.85) / 3 + 0.85 * contrib(n))).toMap
+    }
+    nodes.foreach { n =>
+      assert(math.abs(got(n) - r(n)) < 1e-12,
+        s"node $n: got ${got(n)} expected ${r(n)}")
+    }
+    // rank mass conserved: every node here has out-edges
+    assert(math.abs(got.values.sum - 1.0) < 1e-12)
+  }
+
   test("pageRank rejects a negative tol") {
     import graft.operators.Graph
     val e = intercept[IllegalArgumentException] {
