@@ -1112,4 +1112,76 @@ object Dedup {
       .groupBy(col("__p.src_a").as("src_a"), col("__p.src_b").as("src_b"))
       .agg(count(lit(1)).as("n_shared"))
   }
+
+  // --------------------------------------------------- edit-distance pairs
+
+  /** All pairs of rows whose `textCol` strings are within Levenshtein
+    * distance `maxDist` (1 or 2) — exact record-linkage over SHORT keys
+    * (names, titles, codes); long-document near-dup belongs to the
+    * shingle/MinHash family above.
+    *
+    * Blocking is the deletion-neighborhood family (FastSS, Bocek et al.
+    * 2007): each string emits every variant reachable by deleting up to
+    * `maxDist` character positions (incl. the string itself), candidates
+    * are pairs sharing ANY variant, survivors are verified with the real
+    * `levenshtein`. The filter is LOSSLESS: an edit script of length
+    * d ≤ k touches ≤ d positions on each side — deleting exactly those
+    * positions from each string yields a common variant, so every true
+    * pair collides in some bucket (recall exactly 1 by construction; the
+    * spec fuzz-proves it against a brute-force driver loop).
+    *
+    * Scale shape: one explode (Σ_{j≤k} C(L,j) variants per row — O(L)
+    * for k=1, O(L²) for k=2), one variant-keyed self-join (candidate
+    * mass Σ_bucket C(|bucket|,2) — proportional to genuine near-dup
+    * structure, never n²), one distinct, one codegen levenshtein per
+    * surviving candidate. Hot buckets come from exact-duplicate mass in
+    * the corpus (all copies share all variants) — run [[dedupExact]]
+    * first if the corpus has heavy exact duplication.
+    *
+    * Returns `(id_a, id_b, text_a, text_b, dist)` with `id_a < id_b`,
+    * one row per pair, `dist` the exact Levenshtein distance (0 for
+    * exact dups whose ids differ) — texts ride along because every
+    * downstream consumer (diff position, survivor choice) needs them
+    * and they are short by contract. Null and empty texts are dropped.
+    */
+  def editDistancePairs(df: DataFrame, idCol: String, textCol: String,
+      maxDist: Int): DataFrame = {
+    require(maxDist >= 1 && maxDist <= 2,
+      s"maxDist must be 1 or 2 (got $maxDist): the deletion neighborhood " +
+        "has C(len, k) variants per string — past k=2 use the MinHash path")
+    val base = df
+      .select(col(idCol).as("__id"), col(textCol).as("__s"))
+      .filter(col("__s").isNotNull && length(col("__s")) > 0)
+    // Deletion variants as ONE generated array: the identity, every
+    // single-position deletion, and (k=2) every two-position deletion.
+    val del1 =
+      "transform(sequence(1, length(__s)), i -> " +
+        "concat(substr(__s, 1, i - 1), substr(__s, i + 1)))"
+    // NB sequence(a, b) DESCENDS when a > b — the inner range must be
+    // guarded empty at i = length or it fabricates j < i deletions.
+    val del2 =
+      "flatten(transform(sequence(1, length(__s)), i -> " +
+        "transform(if(i < length(__s), sequence(i + 1, length(__s)), " +
+        "cast(array() as array<int>)), j -> " +
+        "concat(substr(__s, 1, i - 1), substr(__s, i + 1, j - i - 1), " +
+        "substr(__s, j + 1)))))"
+    val variants =
+      if (maxDist == 1) s"array_append($del1, __s)"
+      else s"array_append(concat($del1, if(length(__s) >= 2, $del2, " +
+        s"cast(array() as array<string>))), __s)"
+    val exploded = base
+      .select(col("__id"), col("__s"),
+        explode(array_distinct(expr(variants))).as("__v"))
+    val a = exploded.select(col("__id").as("id_a"), col("__s").as("__sa"),
+      col("__v"))
+    val b = exploded.select(col("__id").as("id_b"), col("__s").as("__sb"),
+      col("__v"))
+    a.join(b, Seq("__v")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("__sa"), col("__sb"))
+      .distinct()
+      .select(col("id_a"), col("id_b"), col("__sa").as("text_a"),
+        col("__sb").as("text_b"),
+        levenshtein(col("__sa"), col("__sb")).as("dist"))
+      .filter(col("dist") <= maxDist)
+  }
 }

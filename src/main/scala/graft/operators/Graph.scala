@@ -137,4 +137,74 @@ object Graph {
     edges.groupBy(nodeCol.as("node"))
       .agg(countDistinct(neighborCol).as("degree"))
       .groupBy(col("degree")).agg(count(lit(1)).as("n_nodes"))
+
+  /** Per-node triangle count + degree over an UNDIRECTED edge list —
+    * the local-density signal behind clustering coefficients and
+    * community pruning. Input edges may carry duplicates, reversals and
+    * self-loops; they are canonicalized (`u < v`, distinct, loops
+    * dropped) first. Returns `(node, degree, triangles)` for every
+    * edge-incident node (triangles = 0 included).
+    *
+    * Algorithm: degree-ordered orientation (Schank–Wagner; the
+    * MapReduce form is Suri–Vassilvitskii, WWW'11). Every edge is
+    * oriented from its lower-(degree, id) endpoint to the higher; each
+    * triangle then has EXACTLY one node with two out-edges, so wedges
+    * are enumerated as the self-join of the oriented adjacency on its
+    * source and closed by one more join against the oriented edge set.
+    * Wedge mass is Σ_v C(d⁺(v), 2) with d⁺ ≤ O(√m) on any graph —
+    * the n²-free bound that makes this the standard distributed shape
+    * (an unoriented wedge join pays Σ d(v)², ~4× more here and
+    * unboundedly more under skew: a single hot hub is wedge-quadratic
+    * unoriented, but its out-degree is capped by orientation).
+    *
+    * The oriented relation feeds THREE plan branches (both wedge sides
+    * and the closing probe) — it is localCheckpointed so the upstream
+    * canonicalization + degree join runs once (round-5 branch
+    * re-execution lesson).
+    *
+    * Node ids keep the caller's type; `(degree, id)` ordering makes the
+    * orientation deterministic for any id type with a total order.
+    */
+  def triangleCounts(edges: DataFrame, srcCol: Column,
+      dstCol: Column): DataFrame = {
+    val e = edges.select(
+        least(srcCol, dstCol).as("u"), greatest(srcCol, dstCol).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint() // feeds degrees AND the orientation join
+    val deg = e.select(col("u").as("node"))
+      .union(e.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+      .localCheckpoint() // feeds two endpoint joins + the final output
+    // Orient each edge from lower (degree, id) to higher.
+    val du = deg.select(col("node").as("u"), col("degree").as("du"))
+    val dv = deg.select(col("node").as("v"), col("degree").as("dv"))
+    val uFirst = col("du") < col("dv") ||
+      (col("du") === col("dv") && col("u") < col("v"))
+    val oriented = e.join(du, "u").join(dv, "v")
+      .select(
+        when(uFirst, col("u")).otherwise(col("v")).as("src"),
+        when(uFirst, col("v")).otherwise(col("u")).as("dst"),
+        when(uFirst, col("dv")).otherwise(col("du")).as("ddst"))
+      .localCheckpoint() // three consumers below
+    // Wedges at each source: unordered out-neighbor pairs, ordered by
+    // (degree, id) so the closing edge is oriented lo -> hi.
+    val w1 = oriented.select(col("src"), col("dst").as("x"),
+      col("ddst").as("dx"))
+    val w2 = oriented.select(col("src"), col("dst").as("y"),
+      col("ddst").as("dy"))
+    val wedges = w1.join(w2, Seq("src"))
+      .filter(col("dx") < col("dy") ||
+        (col("dx") === col("dy") && col("x") < col("y")))
+      .select(col("src").as("a"), col("x").as("b"), col("y").as("c"))
+    val closing = oriented.select(col("src").as("b"), col("dst").as("c"))
+    val tris = wedges.join(closing, Seq("b", "c"), "left_semi")
+    val perNode = tris.select(col("a").as("node"))
+      .union(tris.select(col("b").as("node")))
+      .union(tris.select(col("c").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("triangles"))
+    deg.join(perNode, Seq("node"), "left_outer")
+      .select(col("node"), col("degree"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"))
+  }
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Per-column profiling — the reference's `stats` CLI command
@@ -272,4 +272,139 @@ object Stats {
         >= minCount)
       .groupBy(col("key")).agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= minCount)
+
+  // ------------------------------------------------- data-quality rules
+
+  /** Declarative row/table constraints for [[checkConstraints]] — the
+    * Deequ-style rule vocabulary a pipeline's admission gate needs.
+    * Row-level rules treat NULL as out of scope (SQL CHECK semantics:
+    * only [[Rule.NotNull]] fails on nulls; a range/set/regex rule over
+    * a null value is vacuously satisfied) — compose with NotNull when
+    * nulls should also fail. [[Rule.Holds]] is the escape hatch: the
+    * violation is any row where the predicate is not TRUE (null
+    * predicate = violation there — the caller wrote the whole clause).
+    */
+  sealed trait Rule { def name: String }
+  object Rule {
+    case class NotNull(column: String) extends Rule {
+      def name = s"not_null($column)"
+    }
+    case class InSet(column: String, values: Seq[String]) extends Rule {
+      def name = s"in_set($column)"
+    }
+    case class InRange(column: String, lo: Double, hi: Double)
+        extends Rule {
+      def name = s"in_range($column)"
+    }
+    case class MatchesRe(column: String, regex: String) extends Rule {
+      def name = s"matches($column)"
+    }
+    case class Holds(label: String,
+        predicate: org.apache.spark.sql.Column) extends Rule {
+      def name = label
+    }
+    case class Unique(columns: Seq[String]) extends Rule {
+      def name = s"unique(${columns.mkString(",")})"
+    }
+  }
+
+  /** One-scan data-quality panel: evaluates every [[Rule]] against `df`
+    * and returns `(rule, n_rows, n_violations, violation_rate)`, one
+    * row per rule, ordered by rule name.
+    *
+    * Scale shape: ALL rules — including [[Rule.Unique]] — reduce to a
+    * single aggregate over ONE scan of `df` (row rules are conditional
+    * counts; uniqueness is `count(*) − count(DISTINCT keys)`, the rows
+    * beyond the first of each duplicated key; the distinct aggregate
+    * rides the same scan via Spark's Expand). A [[Rule.Unique]] key with
+    * a NULL component counts as a violation (count(DISTINCT) skips null
+    * tuples — a null key cannot assert uniqueness); compose with
+    * [[Rule.NotNull]] to report those rows separately. The result is 1 row wide
+    * per rule and reshaped plan-side (explode of a literal-struct
+    * array) — no collect, no per-rule pass. Referential rules are
+    * [[fkAudit]] / [[fkAuditMulti]]'s job (they need the parent
+    * relation); union the two panels downstream.
+    */
+  def checkConstraints(df: DataFrame, rules: Seq[Rule]): DataFrame = {
+    require(rules.nonEmpty, "at least one rule required")
+    require(rules.map(_.name).distinct.size == rules.size,
+      "rule names must be unique (duplicate rule in the panel)")
+    def violation(r: Rule): org.apache.spark.sql.Column = r match {
+      case Rule.NotNull(c) => qcol(c).isNull
+      case Rule.InSet(c, vs) =>
+        qcol(c).isNotNull && !qcol(c).isin(vs: _*)
+      case Rule.InRange(c, lo, hi) =>
+        qcol(c).isNotNull && (qcol(c) < lo || qcol(c) > hi)
+      case Rule.MatchesRe(c, re) =>
+        qcol(c).isNotNull && !qcol(c).rlike(re)
+      case Rule.Holds(_, p) => !coalesce(p, lit(false))
+      case Rule.Unique(_) =>
+        throw new IllegalStateException("handled as an aggregate")
+    }
+    val aggs = count(lit(1)).as("__n") +: rules.zipWithIndex.map {
+      case (Rule.Unique(cols), i) =>
+        (count(lit(1)) - countDistinct(qcol(cols.head),
+          cols.tail.map(qcol): _*)).as(s"__v$i")
+      case (r, i) => count(when(violation(r), 1)).as(s"__v$i")
+    }
+    val entries = rules.zipWithIndex.map { case (r, i) =>
+      struct(lit(r.name).as("rule"), col("__n").as("n_rows"),
+        col(s"__v$i").as("n_violations"))
+    }
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(entries: _*)).as("__e"))
+      .select(col("__e.rule").as("rule"), col("__e.n_rows").as("n_rows"),
+        col("__e.n_violations").as("n_violations"),
+        round(col("__e.n_violations").cast("double") /
+          col("__e.n_rows"), 6).as("violation_rate"))
+      .orderBy(col("rule"))
+  }
+
+  // ------------------------------------------- per-group OLS regression
+
+  /** Per-group simple linear regression `y = slope·x + intercept` with
+    * the fit quality `r2`, computed from EXACT decimal sufficient sums
+    * — the engine-parity shape for regression panels (double Σxy is
+    * summation-order-dependent; decimal Σxy is not).
+    *
+    * `x` and `y` MUST be decimal columns (cast upstream — e.g.
+    * `col("l_quantity").cast("decimal(18,2)")`); their product stays on
+    * the exact decimal grid ((18,s)×(18,s) → (37,2s), no precision
+    * adjustment in Spark OR DuckDB), so the five sufficient sums
+    * n, Σx, Σy, Σxy, Σx², Σy² are order-independent exact values. The
+    * closed forms are evaluated in double AFTER the exact sums, with
+    * one fixed parenthesization an oracle must mirror literally:
+    * `slope = (n·Σxy − Σx·Σy) / (n·Σx² − Σx·Σx)`,
+    * `intercept = (Σy − slope·Σx) / n`,
+    * `r2 = (n·Σxy − Σx·Σy)² / ((n·Σx² − Σx·Σx) · (n·Σy² − Σy·Σy))`.
+    * Degenerate groups (constant x → zero denominator) yield null
+    * slope/intercept/r2 rather than ±Infinity.
+    *
+    * One combinable aggregation — map-side partials, |groups| rows out;
+    * the panel scales to any corpus the groupBy key can shuffle.
+    */
+  def regressionByGroup(df: DataFrame, groupCols: Seq[String],
+      x: Column, y: Column): DataFrame = {
+    val sums = df
+      .select(groupCols.map(qcol) :+ x.as("__x") :+ y.as("__y"): _*)
+      .groupBy(groupCols.map(qcol): _*)
+      .agg(count(lit(1)).cast("double").as("__cn"),
+        sum(col("__x")).cast("double").as("__sx"),
+        sum(col("__y")).cast("double").as("__sy"),
+        sum(col("__x") * col("__y")).cast("double").as("__sxy"),
+        sum(col("__x") * col("__x")).cast("double").as("__sxx"),
+        sum(col("__y") * col("__y")).cast("double").as("__syy"))
+    val covN = col("__cn") * col("__sxy") - col("__sx") * col("__sy")
+    val varX = col("__cn") * col("__sxx") - col("__sx") * col("__sx")
+    val varY = col("__cn") * col("__syy") - col("__sy") * col("__sy")
+    val slope = when(varX =!= 0.0, covN / varX)
+    sums.select(
+      groupCols.map(qcol) :+
+        col("__cn").cast("long").as("n") :+
+        slope.as("slope") :+
+        when(varX =!= 0.0, (col("__sy") - slope * col("__sx")) /
+          col("__cn")).as("intercept") :+
+        when(varX =!= 0.0 && varY =!= 0.0,
+          covN * covN / (varX * varY)).as("r2"): _*)
+  }
 }
