@@ -124,7 +124,47 @@ object Queries17 {
       .limit(20)
   }
 
+  /** Curation yield funnel: the per-stage survivor report a filtering
+    * pipeline run ends with — input → lang gate → length gate →
+    * quality gate → vocab-fingerprint dedup — ALL computed in ONE scan
+    * (the gates are conditional counts over CUMULATIVE predicates; the
+    * dedup stage is a distinct-fingerprint aggregate riding the same
+    * pass, exactly the [[graft.operators.Stats.checkConstraints]]
+    * shape). The dedup fingerprint is q88's sorted-distinct-token md5
+    * (word-shuffled copies collapse; exact-text md5 finds nothing in
+    * this corpus). The quality threshold 0.7 sits on the score grid
+    * (0.05 multiples, 4-dp rounded on both engines — boundary-safe).
+    * 5 rows out at any corpus size.
+    */
+  def q175_curation_funnel(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions
+    val base = t(s, dir, "documents").select(col("lang"), col("text"),
+      TextFunctions.qualityScore(col("text")).as("__q"))
+    val c1 = col("lang") === "en"
+    val c2 = c1 && length(col("text")).between(100, 20000)
+    val c3 = c2 && col("__q") >= 0.7
+    val agg = base.agg(
+      count(lit(1)).as("__n0"),
+      count(when(c1, 1)).as("__n1"),
+      count(when(c2, 1)).as("__n2"),
+      count(when(c3, 1)).as("__n3"),
+      countDistinct(when(c3,
+        TextFunctions.vocabFingerprint(col("text")))).as("__n4"))
+    val stages = Seq("0_input" -> "__n0", "1_lang_en" -> "__n1",
+      "2_length" -> "__n2", "3_quality" -> "__n3",
+      "4_vocab_dedup" -> "__n4")
+    agg.select(explode(array(stages.map { case (name, c) =>
+        struct(lit(name).as("stage"), col(c).as("n_surviving"),
+          round(col(c).cast("double") / col("__n0"), 6).as("yield_pct"))
+      }: _*)).as("__e"))
+      .select(col("__e.stage").as("stage"),
+        col("__e.n_surviving").as("n_surviving"),
+        col("__e.yield_pct").as("yield_pct"))
+      .orderBy(col("stage"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q175_curation_funnel" -> q175_curation_funnel _,
     "q170_name_collisions" -> q170_name_collisions _,
     "q171_quality_rules" -> q171_quality_rules _,
     "q172_copurchase_triangles" -> q172_copurchase_triangles _,
@@ -133,6 +173,50 @@ object Queries17 {
   )
 
   val oracles: Map[String, String] = Map(
+    "q175_curation_funnel" ->
+      """WITH base AS (
+        |  SELECT lang, text, length(text) AS nc,
+        |    regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+        |  FROM documents
+        |), r AS (
+        |  SELECT lang, text, nc, toks,
+        |    (nc - length(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g')))
+        |      / CAST(nc AS DOUBLE) AS punct_r,
+        |    len(list_filter(toks, t -> t IN
+        |      ('the','a','an','and','of','to','in','is')))
+        |      / CAST(len(toks) AS DOUBLE) AS stop_r
+        |  FROM base
+        |), q AS (
+        |  SELECT lang, text, nc, toks, round(
+        |    (CASE WHEN nc BETWEEN 200 AND 20000 THEN 1.0
+        |          WHEN nc >= 50 THEN 0.5 ELSE 0.0 END) * 0.4 +
+        |    (CASE WHEN punct_r <= 0.2 THEN 1.0 ELSE 0.0 END) * 0.3 +
+        |    (CASE WHEN stop_r >= 0.05 THEN 1.0 ELSE 0.0 END) * 0.3, 4)
+        |    AS quality
+        |  FROM r
+        |), s AS (
+        |  SELECT count(*) n0,
+        |    count(CASE WHEN lang = 'en' THEN 1 END) n1,
+        |    count(CASE WHEN lang = 'en'
+        |      AND nc BETWEEN 100 AND 20000 THEN 1 END) n2,
+        |    count(CASE WHEN lang = 'en' AND nc BETWEEN 100 AND 20000
+        |      AND quality >= 0.7 THEN 1 END) n3,
+        |    count(DISTINCT CASE WHEN lang = 'en'
+        |      AND nc BETWEEN 100 AND 20000 AND quality >= 0.7
+        |      THEN md5(array_to_string(list_sort(list_distinct(toks)),
+        |        ' ')) END) n4
+        |  FROM q
+        |), f(stage, n_surviving) AS (
+        |  SELECT '0_input', n0 FROM s
+        |  UNION ALL SELECT '1_lang_en', n1 FROM s
+        |  UNION ALL SELECT '2_length', n2 FROM s
+        |  UNION ALL SELECT '3_quality', n3 FROM s
+        |  UNION ALL SELECT '4_vocab_dedup', n4 FROM s
+        |)
+        |SELECT stage, n_surviving,
+        |  round(CAST(n_surviving AS DOUBLE) /
+        |    (SELECT n0 FROM s), 6) AS yield_pct
+        |FROM f ORDER BY stage""".stripMargin,
     "q170_name_collisions" ->
       """WITH c AS (
         |  SELECT c_custkey id, c_name s FROM customer
