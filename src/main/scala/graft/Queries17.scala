@@ -124,15 +124,20 @@ object Queries17 {
       .limit(20)
   }
 
-  /** Curation yield funnel: the per-stage survivor report a filtering
-    * pipeline run ends with — input → lang gate → length gate →
-    * quality gate → vocab-fingerprint dedup — ALL computed in ONE scan
-    * (the gates are conditional counts over CUMULATIVE predicates; the
-    * dedup stage is a distinct-fingerprint aggregate riding the same
-    * pass, exactly the [[graft.operators.Stats.checkConstraints]]
-    * shape). The dedup fingerprint is q88's sorted-distinct-token md5
+  /** Curation yield funnel, COUNTS-ONLY shape: input → lang gate →
+    * length gate → quality gate → vocab-fingerprint dedup, ALL from ONE
+    * scan — the gates are conditional counts over CUMULATIVE predicates
+    * and the dedup stage is a distinct-fingerprint aggregate riding the
+    * same pass (the [[graft.operators.Stats.checkConstraints]] shape).
+    *
+    * Deliberate contrast with q53 (`Curation.funnel`): q53 produces
+    * PER-ROW survivor verdicts and pays a fingerprint-keyed window for
+    * them; when a run report only needs the YIELD numbers, this
+    * zero-window single-aggregate form is the plan you want at scale
+    * (no per-row rank state, just mergeable partials + one Expand).
+    * The dedup fingerprint here is q88's sorted-distinct-token md5
     * (word-shuffled copies collapse; exact-text md5 finds nothing in
-    * this corpus). The quality threshold 0.7 sits on the score grid
+    * this corpus), and the 0.7 quality threshold sits on the score grid
     * (0.05 multiples, 4-dp rounded on both engines — boundary-safe).
     * 5 rows out at any corpus size.
     */
@@ -163,8 +168,71 @@ object Queries17 {
       .orderBy(col("stage"))
   }
 
+  /** Product-quantization ANN top-k over the planted near-dup corpus —
+    * the 32×-compressed scan path beside LSH (q44) and IVF (q46):
+    * corpus vectors compress to 8 codes, the candidate scan scores
+    * codes directly with the [[graft.functions.VectorExprs.PqAdc]] ADC
+    * kernel, survivors are exactly rescored from the raw vectors
+    * ([[graft.operators.Similarity.pqTopK]]). Rows-only (k-means
+    * codebooks aren't DuckDB-reproducible); the Verify assertion
+    * demands every planted query recover its jittered copy
+    * (cos ≈ 0.9967 vs background ≤ 0.51) AND every emitted cosine
+    * equal the raw-vector recomputation. Fixed 50-source query panel
+    * (no-op filter at oracle SFs, bounds the broadcast at rehearsal
+    * scale — the q44/q46 convention).
+    */
+  def q176_pq_topk(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Similarity
+    val base = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val corpus = QueryFixtures.plantedEmbeddings(base)
+    // codebooks train on the RAW corpus sample (the jittered copies add
+    // no geometry) — train-once cache, q46's discipline
+    val idx = Similarity.PqIndex.trainCached(s"$dir:embeddings:pq",
+      base, "e", m = 8, ksub = 16)
+    val queries = corpus.filter(col("vec_id") % 10 === 0 &&
+      col("vec_id") < 500)
+    Similarity.pqTopK(queries, corpus, "vec_id", "e", k = 5, index = idx)
+      .select(col("query_id"), col("match_id"),
+        round(col("cos"), 6).as("cos"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** IVF-PQ ANN top-k over the planted near-dup corpus — the composite
+    * index every 100 TB vector store runs (coarse inverted lists route
+    * the probe to ~nprobe/nlist of the corpus; PQ residual codes make
+    * the probed scan 32×-compressed): coarse quantizer trained on the
+    * raw corpus sample, PQ codebooks on its coarse RESIDUALS, scoring
+    * entirely through the [[graft.functions.VectorExprs.PqAdc]] kernel,
+    * survivors exactly rescored
+    * ([[graft.operators.Similarity.ivfPqTopK]]). Rows-only (k-means
+    * codebooks aren't DuckDB-reproducible); the Verify assertion
+    * demands planted-copy recovery AND exact-rescore equality, the
+    * q176 contract at a fraction of its scanned mass. Same fixed
+    * 50-source query panel.
+    */
+  def q177_ivfpq_topk(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Similarity
+    val base = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val corpus = QueryFixtures.plantedEmbeddings(base)
+    val coarse = Similarity.IvfIndex.trainCached(
+      s"$dir:embeddings:ivfpq-coarse", base, "e", nlist = 16)
+    val pq = Similarity.trainPqResidualsCached(
+      s"$dir:embeddings:ivfpq-res", base, "e", coarse, m = 8, ksub = 16)
+    val queries = corpus.filter(col("vec_id") % 10 === 0 &&
+      col("vec_id") < 500)
+    Similarity.ivfPqTopK(queries, corpus, "vec_id", "e", k = 5,
+        coarse = coarse, pq = pq, nprobe = 4)
+      .select(col("query_id"), col("match_id"),
+        round(col("cos"), 6).as("cos"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q175_curation_funnel" -> q175_curation_funnel _,
+    "q176_pq_topk" -> q176_pq_topk _,
+    "q177_ivfpq_topk" -> q177_ivfpq_topk _,
     "q170_name_collisions" -> q170_name_collisions _,
     "q171_quality_rules" -> q171_quality_rules _,
     "q172_copurchase_triangles" -> q172_copurchase_triangles _,

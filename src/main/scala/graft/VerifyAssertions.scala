@@ -6,9 +6,10 @@ import org.apache.spark.sql.functions._
 import graft.operators.{Decomp, Dedup, Similarity}
 import graft.plans.GramianAgg
 
-/** Hard driver-side checks for the five rows-only (sketch/ANN) queries —
-  * q31/q32/q44/q46/q49 have no DuckDB-expressible oracle (banding, KMeans
-  * and hyperplane signatures aren't reproducible there), so [[Verify]]
+/** Hard driver-side checks for the rows-only (sketch/ANN) queries —
+  * q31/q32/q44/q46/q49/q119/q126/q128/q176/q177 have no DuckDB-expressible
+  * oracle (banding, KMeans, HLL/GK sketches and hyperplane signatures
+  * aren't reproducible there), so [[Verify]]
   * runs these instead and records them in
   * `<outDir>/rows_only_assertions.json`: the correctness artifact is no
   * longer silent on them.
@@ -278,7 +279,44 @@ object VerifyAssertions {
           f"mean_err=$meanErr%.2e cov_err=$covErr%.2e (caps 1e-9/1e-6/1e-6)")
     }
 
-    Seq(q31, q32, q44, q46, q49, q119, q126, q128)
+    // q176 — PQ ANN over the planted corpus: every planted query must
+    // recover its jittered copy (cos ≈ 0.9967 vs background ≤ 0.51 —
+    // the quantized candidate gate has ~0.45 of cosine headroom, so a
+    // miss means real index degradation, not noise), the panel must be
+    // exactly the 50 fixed sources, and every emitted cosine must equal
+    // the raw-vector recomputation (exact-rescore check, the q46/q49
+    // pattern). Measured recovery 50/50 at sf0.001/0.01/0.1/sf1; floor
+    // 0.98 (= at most one miss) rather than == 1.0 to keep one
+    // borderline quantization flip from failing a healthy index.
+    def plantedAnnCheck(queryName: String, checkName: String): Check = {
+      val planted = QueryFixtures.plantedEmbeddings(
+        emb.select(col("vec_id"),
+          col("embedding").cast("array<double>").as("e")))
+      val out = SparkEntry.queries(queryName)(spark, sfDir)
+      val got = out.select("query_id", "match_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val queryIds = got.map(_._1)
+      val recovered =
+        queryIds.count(q => got.contains((q, q + 10000000L)))
+      val rate = recovered.toDouble / math.max(1, queryIds.size)
+      val badScores = scoreMismatches(spark, out,
+        planted.select(col("vec_id"), col("e").as("embedding")))
+      Check(checkName, queryName,
+        queryIds.size == 50 && rate >= 0.98 && badScores == 0,
+        f"queries=${queryIds.size} recovered=$recovered rate=$rate%.3f " +
+          f"(floor 0.98) score_mismatches=$badScores")
+    }
+    val q176 = plantedAnnCheck("q176_pq_topk",
+      "pq_planted_recovery_and_exact_rescore")
+    // q177 — the same contract over the IVF-PQ composite: the jittered
+    // copy sits at cos ≈ 0.9967, i.e. a tiny angle off its source, so
+    // it must land in the same coarse list (and nprobe=4 of 16 covers
+    // boundary straddles); a miss means routing or residual-code
+    // degradation, not noise.
+    val q177 = plantedAnnCheck("q177_ivfpq_topk",
+      "ivfpq_planted_recovery_and_exact_rescore")
+
+    Seq(q31, q32, q44, q46, q49, q119, q126, q128, q176, q177)
   }
 
   /** Rows of (query_id, match_id, cos) whose cos does NOT equal the

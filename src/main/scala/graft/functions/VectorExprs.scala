@@ -434,6 +434,96 @@ object VectorExprs {
       copy(child = newChild)
   }
 
+  /** pq_adc(vec, codes, flatCodebooks, dsub) → double: the product-
+    * quantization ASYMMETRIC-DISTANCE kernel — the approximate inner
+    * product `Σ_s q[s·dsub..]·cb[s][codes[s]]` of a FULL query vector
+    * against a PQ-ENCODED corpus vector, straight off the m-byte code
+    * array (Jégou et al., TPAMI'11). This is what makes the PQ pair
+    * loop honest at 100 TB: the scan carries codes (m ints), never a
+    * reconstructed d-float vector, and the kernel reads centroid rows
+    * out of one foldable primitive array — no per-pair reconstruction
+    * allocation, no boxed element access (the LshBands lesson).
+    *
+    * `flatCodebooks` is row-major `[m][ksub][dsub]` flattened; `ksub` is
+    * derived as `len/(m·dsub)`. Malformed inputs — query shorter than
+    * m·dsub, a null code slot, a code outside [0, ksub), a codebook
+    * length not divisible by m·dsub — evaluate to null (surface, don't
+    * fabricate; the AffineMap convention).
+    */
+  case class PqAdc(left: Expression, right: Expression,
+      mat: Array[Double], dsub: Int) extends VectorBinary {
+    require(dsub > 0, "pq_adc: dsub must be positive")
+    override def prettyName: String = "pq_adc"
+    override def nullable: Boolean = true
+
+    override def nullSafeEval(a: Any, c: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val codes = c.asInstanceOf[ArrayData]
+      val m = codes.numElements()
+      if (m == 0 || mat.length % (m * dsub) != 0) return null
+      val ksub = mat.length / (m * dsub)
+      if (x.numElements() < m * dsub) return null
+      var s = 0.0d
+      var si = 0
+      while (si < m) {
+        if (codes.isNullAt(si)) return null
+        val code = codes.getInt(si)
+        if (code < 0 || code >= ksub) return null
+        val base = (si * ksub + code) * dsub
+        val xoff = si * dsub
+        var j = 0
+        while (j < dsub) {
+          s += elemEval(x, leftElemType, xoff + j) * mat(base + j)
+          j += 1
+        }
+        si += 1
+      }
+      s
+    }
+
+    override protected def doGenCode(ctx: CodegenContext,
+        ev: ExprCode): ExprCode = {
+      val matRef = ctx.addReferenceObj("pqMat", mat, "double[]")
+      nullSafeCodeGen(ctx, ev, (a, c) => {
+        val m = ctx.freshName("m")
+        val ksub = ctx.freshName("ksub")
+        val s = ctx.freshName("s")
+        val si = ctx.freshName("si")
+        val j = ctx.freshName("j")
+        val code = ctx.freshName("code")
+        val base = ctx.freshName("base")
+        val xoff = ctx.freshName("xoff")
+        val bad = ctx.freshName("bad")
+        s"""
+          int $m = $c.numElements();
+          boolean $bad = ($m == 0) || ($matRef.length % ($m * $dsub) != 0);
+          int $ksub = $bad ? 1 : $matRef.length / ($m * $dsub);
+          if ($bad || $a.numElements() < $m * $dsub) {
+            ${ev.isNull} = true;
+          } else {
+            double $s = 0.0;
+            for (int $si = 0; $si < $m && !${ev.isNull}; $si++) {
+              if ($c.isNullAt($si)) { ${ev.isNull} = true; break; }
+              int $code = $c.getInt($si);
+              if ($code < 0 || $code >= $ksub) { ${ev.isNull} = true; break; }
+              int $base = ($si * $ksub + $code) * $dsub;
+              int $xoff = $si * $dsub;
+              for (int $j = 0; $j < $dsub; $j++) {
+                $s += ${elem(a, leftElemType, s"$xoff + $j")} *
+                  $matRef[$base + $j];
+              }
+            }
+            ${ev.value} = $s;
+          }
+        """
+      })
+    }
+
+    override protected def withNewChildrenInternal(newLeft: Expression,
+        newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
   // registered once per session (WeakHashMap so dropped sessions release);
   // the per-call createOrReplaceTempFunction churn spammed "replaced a
   // previously registered function" warnings and re-built FunctionBuilders
@@ -473,6 +563,10 @@ object VectorExprs {
           LshBands(exprs(0), intLit(exprs(1)), intLit(exprs(2)),
             intLit(exprs(3)), exprs(4).eval().asInstanceOf[Number].longValue())
         }, "built-in")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "pq_adc", exprs => PqAdc(exprs(0), exprs(1),
+          exprs(2).eval().asInstanceOf[ArrayData].toDoubleArray(),
+          exprs(3).eval().asInstanceOf[Number].intValue()), "built-in")
     }
   }
 
@@ -517,6 +611,17 @@ object VectorExprs {
     ensureRegistered()
     import org.apache.spark.sql.functions.lit
     call_function("affine_map", vec, lit(mat), lit(bias))
+  }
+
+  /** PQ asymmetric-distance inner product of a full query vector
+    * against an m-code array, with a flat `[m][ksub][dsub]` codebook
+    * literal (see [[PqAdc]]).
+    */
+  def pq_adc(vec: Column, codes: Column, flatCodebooks: Array[Double],
+      dsub: Int): Column = {
+    ensureRegistered()
+    import org.apache.spark.sql.functions.lit
+    call_function("pq_adc", vec, codes, lit(flatCodebooks), lit(dsub))
   }
 
   def lsh_bands(vec: Column, planesPerBand: Int, bands: Int, dim: Int,

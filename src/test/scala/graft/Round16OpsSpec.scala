@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Graph, Stats}
+import graft.functions.VectorExprs
+import graft.operators.{Dedup, Graph, Similarity, Stats}
 
 /** Round-16 batch: the q170–q174 operator families against driver
   * brute force — FastSS edit-distance pairs (lossless-blocking proof by
@@ -206,5 +207,165 @@ class Round16OpsSpec extends SparkSpec {
     }
     val (_, nc, sc, icc, r2c) = got("const")
     assert(nc === 10L && sc.isEmpty && icc.isEmpty && r2c.isEmpty)
+  }
+
+  // ------------------------------------------------ product quantization
+
+  private def pqCorpus(seed: Long, n: Int, dim: Int): Seq[(Long, Seq[Double])] = {
+    val rng = new Lcg(seed)
+    (0L until n).map(id =>
+      (id, Seq.fill(dim)((rng.nextInt(2001) - 1000) / 250.0)))
+  }
+
+  test("PqIndex encode/decode and the pq_adc kernel match a driver " +
+    "brute force bit-for-bit") {
+    val vecs = pqCorpus(21L, 40, 8)
+    val df = vecs.toDF("vec_id", "e")
+    val idx = Similarity.PqIndex.train(df, "e", m = 4, ksub = 4,
+      sampleLimit = 40)
+    assert(idx.dsub === 2 && idx.dim === 8)
+    // driver encode: same bias form, same accumulation order, FIRST max
+    def encodeDriver(v: Seq[Double]): Seq[Int] = (0 until idx.m).map { s =>
+      val scores = idx.codebooks(s).map { c =>
+        var t = -0.5 * c.map(x => x * x).sum
+        var j = 0
+        while (j < idx.dsub) { t += c(j) * v(s * idx.dsub + j); j += 1 }
+        t
+      }
+      scores.indexOf(scores.max)
+    }
+    def reconDriver(codes: Seq[Int]): Seq[Double] =
+      (0 until idx.m).flatMap(s => idx.codebooks(s)(codes(s)))
+    val enc = idx.encode(col("e"))
+    val got = df.select(col("vec_id"), enc.as("codes"),
+        idx.decode(enc).as("recon"),
+        VectorExprs.pq_adc(col("e"), enc, idx.flat, idx.dsub).as("adc"),
+        VectorExprs.pq_adc(typedLit(Seq.fill(idx.dim)(1.0)), enc,
+          idx.flatSq, idx.dsub).as("rn2"))
+      .as[(Long, Seq[Int], Seq[Double], Double, Double)].collect()
+    for ((id, codes, recon, adc, rn2) <- got) {
+      val v = vecs(id.toInt)._2
+      val expCodes = encodeDriver(v)
+      assert(codes === expCodes, s"codes id=$id")
+      val expRecon = reconDriver(expCodes)
+      assert(recon === expRecon, s"recon id=$id")
+      // kernel accumulates subspace-major, j ascending — the same
+      // left-to-right order as a flat dot over the reconstruction
+      var expAdc = 0.0
+      for (j <- 0 until idx.dim) expAdc += v(j) * expRecon(j)
+      assert(adc === expAdc, s"adc id=$id")
+      var expRn2 = 0.0
+      for (j <- 0 until idx.dim) expRn2 += expRecon(j) * expRecon(j)
+      assert(rn2 === expRn2, s"rn2 id=$id")
+    }
+  }
+
+  test("pq_adc surfaces malformed input as null; train rejects a dim " +
+    "not divisible by m") {
+    val vecs = pqCorpus(22L, 20, 8)
+    val df = vecs.toDF("vec_id", "e")
+    val idx = Similarity.PqIndex.train(df, "e", m = 4, ksub = 4,
+      sampleLimit = 20)
+    val shortVec = typedLit(Seq(1.0, 2.0)) // < m·dsub
+    val badCodes = typedLit(Seq(0, 1, 99, 0)) // 99 ∉ [0, ksub)
+    val okCodes = typedLit(Seq(0, 1, 2, 3))
+    val r = df.limit(1).select(
+        VectorExprs.pq_adc(shortVec, okCodes, idx.flat, idx.dsub).as("a"),
+        VectorExprs.pq_adc(col("e"), badCodes, idx.flat, idx.dsub).as("b"),
+        VectorExprs.pq_adc(col("e"), okCodes, idx.flat, idx.dsub).as("c"))
+      .head()
+    assert(r.isNullAt(0) && r.isNullAt(1) && !r.isNullAt(2))
+    intercept[IllegalArgumentException] {
+      Similarity.PqIndex.train(df, "e", m = 3, ksub = 4, sampleLimit = 20)
+    }
+  }
+
+  test("pqTopK with a corpus-covering rescore budget equals brute-force " +
+    "top-k exactly") {
+    val vecs = pqCorpus(23L, 40, 8) :+ (40L, Seq.fill(8)(0.0)) // zero-norm
+    val df = vecs.toDF("vec_id", "e")
+    val idx = Similarity.PqIndex.train(df, "e", m = 4, ksub = 4,
+      sampleLimit = 41)
+    val q = df.filter(col("vec_id") < 5)
+    // 3·20 = 60 ≥ |corpus|: every candidate is exactly rescored, so the
+    // PQ path must reduce to brute force (the IvfSpec nprobe==nlist idiom)
+    val got = Similarity.pqTopK(q, df, "vec_id", "e", k = 3, index = idx,
+        rescoreFactor = 20)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val exact = Similarity.bruteForceTopK(q, df, "vec_id", "e", k = 3)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(got === exact)
+    assert(!got.exists(_._2 == 40L)) // the zero-norm row never surfaces
+  }
+
+  test("ivfPqTopK with nprobe == nlist and a corpus-covering rescore " +
+    "budget equals brute-force top-k exactly") {
+    val vecs = pqCorpus(24L, 60, 8) :+ (60L, Seq.fill(8)(0.0)) // zero-norm
+    val df = vecs.toDF("vec_id", "e")
+    val coarse = Similarity.IvfIndex.train(df, "e", nlist = 4,
+      sampleLimit = 61)
+    val pq = Similarity.trainPqResidualsCached("spec:24:res", df, "e",
+      coarse, m = 4, ksub = 4)
+    val q = df.filter(col("vec_id") < 5)
+    // nprobe = nlist: every list is probed; rescore budget ≥ |corpus|:
+    // every candidate exactly rescored — the composite must reduce to
+    // brute force (the IvfSpec nprobe==nlist idiom)
+    val got = Similarity.ivfPqTopK(q, df, "vec_id", "e", k = 3,
+        coarse = coarse, pq = pq, nprobe = 4, rescoreFactor = 30)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val exact = Similarity.bruteForceTopK(q, df, "vec_id", "e", k = 3)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(got === exact)
+    assert(!got.exists(_._2 == 60L)) // the zero-norm row never surfaces
+  }
+
+  test("IVF-PQ reconstruction-norm decomposition matches the decoded " +
+    "vector, and residual codebooks beat raw-vector codebooks on " +
+    "quantization error") {
+    val vecs = pqCorpus(25L, 50, 8)
+    val df = vecs.toDF("vec_id", "e")
+    val coarse = Similarity.IvfIndex.train(df, "e", nlist = 4,
+      sampleLimit = 50)
+    val pq = Similarity.trainPqResidualsCached("spec:25:res", df, "e",
+      coarse, m = 4, ksub = 8)
+    val cents = typedLit(coarse.centroids.map(_.toSeq).toSeq)
+    val ones = typedLit(Seq.fill(8)(1.0))
+    val rows = df.select(col("e"),
+        element_at(cents, coarse.assign(col("e"), 1)(0) + 1).as("c"))
+      .withColumn("codes",
+        pq.encode(zip_with(col("e"), col("c"), (a, b) => a - b)))
+      .select(col("e"), col("c"), col("codes"),
+        // the ivfPqTopK encode-side identity:
+        // ‖c+r̂‖² = ‖c‖² + 2·c·r̂ + ‖r̂‖², all read off the codes
+        (VectorExprs.vec_dot(col("c"), col("c")) +
+          lit(2.0) * VectorExprs.pq_adc(col("c"), col("codes"),
+            pq.flat, pq.dsub) +
+          VectorExprs.pq_adc(ones, col("codes"), pq.flatSq, pq.dsub))
+          .as("rn2_kernel"),
+        zip_with(col("c"), pq.decode(col("codes")), (a, b) => a + b)
+          .as("recon"))
+      .as[(Seq[Double], Seq[Double], Seq[Int], Double, Seq[Double])]
+      .collect()
+    var residErr = 0.0
+    for ((v, c, _, rn2, recon) <- rows) {
+      val rn2Direct = recon.map(x => x * x).sum
+      assert(math.abs(rn2 - rn2Direct) <=
+        1e-12 * math.max(1.0, rn2Direct), s"rn2 $rn2 vs $rn2Direct")
+      residErr += v.zip(recon).map { case (a, b) =>
+        (a - b) * (a - b) }.sum
+      assert(c.indices.forall(i => !c(i).isNaN))
+    }
+    // raw-vector PQ at the same budget: quantization error must be
+    // strictly worse than coarse+residual coding (the reason IVF-PQ
+    // codes residuals at all)
+    val rawPq = Similarity.PqIndex.train(df, "e", m = 4, ksub = 8,
+      sampleLimit = 50)
+    val rawErr = df.select(col("e"),
+        rawPq.decode(rawPq.encode(col("e"))).as("recon"))
+      .as[(Seq[Double], Seq[Double])].collect()
+      .map { case (v, r) =>
+        v.zip(r).map { case (a, b) => (a - b) * (a - b) }.sum }.sum
+    assert(residErr < rawErr,
+      f"residual MSE $residErr%.4f !< raw MSE $rawErr%.4f")
   }
 }
