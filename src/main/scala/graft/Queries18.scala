@@ -1,0 +1,187 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextExprs, TextFunctions}
+import graft.operators.Classify
+
+/** Eighteenth query batch (round 11, session 3): the supervised stage
+  * of a curation pipeline — a distributed logistic-regression quality
+  * classifier fit via mergeable IRLS sufficient statistics
+  * ([[graft.operators.Classify.logisticFit]]), and the exact
+  * model-evaluation panel (ROC-AUC / Gini / KS) every scoring stage
+  * reports ([[graft.operators.Classify.binaryScorePanel]]).
+  *
+  * GROUND TRUTH IS PLANTED (the q49/q92/q32 precedent): the corpus's
+  * own labels (`lang`, `source`) are statistically independent of the
+  * text — measured AUC ≈ 0.5 for every text feature — so a fit against
+  * them would be the q32 vacuity all over again. Instead the label is
+  * drawn from a KNOWN logistic model over the computed features
+  * ([[Queries18.PlantedBeta]]) with deterministic md5-uniform noise
+  * (the q73 hex-uniform parity trick), which makes the task learnable
+  * (Bayes accuracy ≈ 0.75, measured), the optimum finite, and the
+  * whole construction reproducible in DuckDB for the q179 oracle.
+  *
+  * Float parity notes: features are exact rationals (marker-hit ratios,
+  * n_chars/256 — no transcendentals), the planted margin is spelled
+  * with ONE fixed parenthesization `b0 + ((b1·x1 + b5·x5) + (−3)·x6)`
+  * in both engines, and q179's AUC keeps every cumulative count in
+  * exact longs, converting each factor to double once — round(·,6)
+  * only on the genuinely irrational outputs (auc/gini/ks).
+  */
+object Queries18 {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  /** The planted model: intercept + weights over the 6 features
+    * (en/de/fr/es marker ratios, n_chars/256, chars-per-token). The
+    * de/fr/es ratios are identically zero on this corpus (no marker
+    * hits) — deliberately kept as degenerate columns so the fit
+    * exercises the ridge path for constant features. Weights scale
+    * each live feature to ~1–2σ of margin spread (measured), giving a
+    * balanced label (pos rate ≈ 0.49) and margin σ ≈ 1.9.
+    */
+  val PlantedBeta: Array[Double] = Array(12.0, 30.0, 0.0, 0.0, 0.0, 2.0, -3.0)
+
+  /** Coefficient row names of the q178 model card, intercept first —
+    * shared with the Verify driver-refit assertion.
+    */
+  val classifierTerms: Seq[String] = Seq("intercept", "c1_en_markers",
+    "c2_de_markers", "c3_fr_markers", "c4_es_markers", "c5_chars_scaled",
+    "c6_chars_per_tok")
+
+  /** Per-document feature vector, true-model score, and planted binary
+    * label for q178/q179. Shared by both queries and the Verify
+    * driver-refit assertion so all three read the IDENTICAL relation.
+    * Columns: `(doc_id, features array<double>[6], true_score, label)`.
+    */
+  def docFeatures(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .filter(length(trim(col("text"))) > 0)
+    val toks = TextFunctions.tokenCountWs(col("text")).cast("double")
+    val marks = TextExprs.lang_marker_scores(lower(col("text")))
+    val x1 = marks(0).cast("double") / toks
+    val x5 = col("n_chars").cast("double") / 256.0
+    val x6 = col("n_chars").cast("double") / toks
+    // one fixed parenthesization, mirrored verbatim in the q179 oracle
+    val margin = lit(PlantedBeta(0)) +
+      (lit(PlantedBeta(1)) * x1 + lit(PlantedBeta(5)) * x5 +
+        lit(PlantedBeta(6)) * x6)
+    val score = lit(1.0) / (lit(1.0) + exp(-margin))
+    // q73's md5 hex-prefix uniform: exact integer in double, same +0.5
+    // offset both engines
+    val ui = conv(substring(
+      md5(concat(lit("q178:"), col("doc_id").cast("string"))), 1, 8),
+      16, 10).cast("long")
+    val u = (ui.cast("double") + 0.5) / 4294967296.0
+    docs.select(col("doc_id"),
+      array(x1,
+        marks(1).cast("double") / toks,
+        marks(2).cast("double") / toks,
+        marks(3).cast("double") / toks,
+        x5, x6).as("features"),
+      score.as("true_score"),
+      (u < score).cast("int").as("label"))
+  }
+
+  /** Train-a-quality-filter report: L2-regularized logistic regression
+    * over the 6 text-shape features against the planted label, fit
+    * with ONE mergeable [[graft.plans.GramianAgg]] pass per IRLS
+    * iteration — at 100 TB each Newton step ships (d+2)²/2 doubles per
+    * partition and nothing else; the 7-dim solve happens on the
+    * driver. Output is the long-format model card: 7 coefficient rows
+    * (UNROUNDED — the Verify assertion refits on the driver and
+    * demands coefficient agreement, the k-means/PCA precedent) plus
+    * n / iterations / converged / train-accuracy metric rows. Rows-only
+    * (IRLS isn't DuckDB-expressible); measured: converges in 6 Newton
+    * steps, accuracy 0.73–0.77 ≈ the Bayes rate, recovers PlantedBeta.
+    */
+  def q178_quality_classifier(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val feats = docFeatures(s, dir)
+    val model = Classify.logisticFit(feats, "features", "label", dim = 6)
+    val acc = feats.select(
+        ((model.predictProba(col("features")) >= 0.5).cast("int") ===
+          col("label")).cast("long").as("hit"))
+      .agg(avg(col("hit"))).head().getDouble(0)
+    val rows = classifierTerms.zip(model.coef.toSeq) ++ Seq(
+      "m1_n" -> model.n.toDouble,
+      "m2_iters" -> model.iters.toDouble,
+      "m3_converged" -> (if (model.converged) 1.0 else 0.0),
+      "m4_train_accuracy" -> acc)
+    rows.toDF("term", "value").orderBy(col("term"))
+  }
+
+  /** Score-quality evaluation panel: exact ROC-AUC / Gini / KS of the
+    * planted true-model score against its own noisy label (the
+    * calibration view a scoring stage reports; AUC ≈ 0.82–0.85
+    * measured), over a ≤1001-value bucket grid — the
+    * [[Classify.binaryScorePanel]] shape: the corpus reduces in one
+    * aggregate; the ordered cumulative window touches only the bounded
+    * per-bucket relation (q84 precedent). Fully DuckDB-oracled.
+    */
+  def q179_score_auc_panel(s: SparkSession, dir: String): DataFrame = {
+    val f = docFeatures(s, dir)
+    Classify.binaryScorePanel(f,
+      floor(col("true_score") * 1000).cast("int"), col("label"))
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q178_quality_classifier" -> q178_quality_classifier _,
+    "q179_score_auc_panel" -> q179_score_auc_panel _)
+
+  val oracles: Map[String, String] = Map(
+    "q179_score_auc_panel" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    len(list_filter(regexp_split_to_array(lower(trim(text)),'\s+'),
+        |      t -> t IN ('the','a','is','and','of')))::DOUBLE
+        |      / len(regexp_split_to_array(lower(trim(text)),'\s+')) AS x1,
+        |    n_chars::DOUBLE / 256.0 AS x5,
+        |    n_chars::DOUBLE
+        |      / len(regexp_split_to_array(lower(trim(text)),'\s+')) AS x6,
+        |    (sum((strpos('0123456789abcdef',
+        |        substr(substr(md5('q178:' || doc_id::VARCHAR),1,8), g, 1))
+        |        - 1) * power(16, 8 - g)) + 0.5) / 4294967296.0 AS u
+        |  FROM documents, unnest(generate_series(1,8)) AS t(g)
+        |  WHERE length(trim(text)) > 0
+        |  GROUP BY doc_id, text, n_chars
+        |), s AS (
+        |  SELECT 1.0 / (1.0 + exp(-(12.0 +
+        |    (30.0*x1 + 2.0*x5 + (-3.0)*x6)))) AS score, u
+        |  FROM f
+        |), b AS (
+        |  SELECT CASE WHEN u < score THEN 1 ELSE 0 END AS y,
+        |    CAST(floor(score * 1000) AS INT) AS bkt
+        |  FROM s
+        |), g AS (
+        |  SELECT bkt, count(*)::BIGINT AS n,
+        |    count(CASE WHEN y = 1 THEN 1 END)::BIGINT AS np
+        |  FROM b GROUP BY 1
+        |), c AS (
+        |  SELECT np, n - np AS nn,
+        |    coalesce(sum(n - np) OVER (ORDER BY bkt
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS negbelow,
+        |    sum(np) OVER (ORDER BY bkt
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumpos,
+        |    sum(n - np) OVER (ORDER BY bkt
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumneg
+        |  FROM g
+        |), t AS (
+        |  SELECT sum(np)::BIGINT AS p, sum(nn)::BIGINT AS nneg FROM c
+        |), fin AS (
+        |  SELECT
+        |    sum(np::DOUBLE * (2 * negbelow + nn)::DOUBLE) /
+        |      (2.0 * max(p)::DOUBLE * max(nneg)::DOUBLE) AS auc_raw,
+        |    max(abs(cumpos::DOUBLE * nneg::DOUBLE -
+        |      cumneg::DOUBLE * p::DOUBLE)) /
+        |      (max(p)::DOUBLE * max(nneg)::DOUBLE) AS ks_raw,
+        |    max(p) AS n_pos, max(nneg) AS n_neg
+        |  FROM c, t
+        |)
+        |SELECT round(auc_raw, 6) AS auc, round(2 * auc_raw - 1, 6) AS gini,
+        |  round(ks_raw, 6) AS ks, n_pos, n_neg FROM fin""".stripMargin)
+}

@@ -7,7 +7,7 @@ import graft.operators.{Decomp, Dedup, Similarity}
 import graft.plans.GramianAgg
 
 /** Hard driver-side checks for the rows-only (sketch/ANN) queries —
-  * q31/q32/q44/q46/q49/q119/q126/q128/q176/q177 have no DuckDB-expressible
+  * q31/q32/q44/q46/q49/q119/q126/q128/q176/q177/q178 have no DuckDB-expressible
   * oracle (banding, KMeans, HLL/GK sketches and hyperplane signatures
   * aren't reproducible there), so [[Verify]]
   * runs these instead and records them in
@@ -316,7 +316,35 @@ object VerifyAssertions {
     val q177 = plantedAnnCheck("q177_ivfpq_topk",
       "ivfpq_planted_recovery_and_exact_rescore")
 
-    Seq(q31, q32, q44, q46, q49, q119, q126, q128, q176, q177)
+    // q178 — the distributed sufficient-stats IRLS must produce the
+    // SAME model a driver-side refit computes on the collected rows
+    // (k-means/PCA parity precedent: the distributed path's only
+    // liberty is double-sum order, ~1e-13 relative), it must report
+    // convergence, and the fitted filter must actually learn the
+    // PLANTED logistic task (measured accuracy 0.73–0.77 ≈ the Bayes
+    // rate at every oracle SF; floor 0.70 — a broken optimizer lands
+    // at the ~0.5 base rate).
+    val q178 = {
+      import graft.operators.Classify
+      val out = SparkEntry.queries("q178_quality_classifier")(spark, sfDir)
+        .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+      val rows = Queries18.docFeatures(spark, sfDir)
+        .select(col("features"), col("label")).collect()
+      val xs = rows.map(_.getSeq[Double](0).toArray)
+      val ys = rows.map(_.getInt(1).toDouble)
+      val local = Classify.logisticFitLocal(xs, ys)
+      val distCoef = Queries18.classifierTerms.map(out)
+      val scale = math.max(1.0, local.coef.map(math.abs).max)
+      val coefErr = distCoef.zip(local.coef)
+        .map { case (a, b) => math.abs(a - b) }.max / scale
+      val acc = out("m4_train_accuracy")
+      Check("logistic_irls_driver_refit_parity", "q178_quality_classifier",
+        coefErr <= 1e-6 && out("m3_converged") == 1.0 && acc >= 0.70,
+        f"n=${out("m1_n")}%.0f iters=${out("m2_iters")}%.0f " +
+          f"coef_rel_err=$coefErr%.2e (cap 1e-6) acc=$acc%.4f (floor 0.70)")
+    }
+
+    Seq(q31, q32, q44, q46, q49, q119, q126, q128, q176, q177, q178)
   }
 
   /** Rows of (query_id, match_id, cos) whose cos does NOT equal the

@@ -1,0 +1,299 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.plans.GramianAgg
+
+/** Distributed supervised scoring — the quality-classifier stage of a
+  * training-data curation pipeline (fastText-style linear filters,
+  * reference `src/ts/` has no learner; this is a Spark-first extension
+  * like the sketches). The design constraint at 100 TB is the same as
+  * PCA's ([[graft.plans.GramianAgg]]): the optimizer must see only
+  * MERGEABLE SUFFICIENT STATISTICS, never rows — each IRLS iteration
+  * reduces the corpus to one (d+2)-dim Gramian buffer
+  * ((d+2)(d+3)/2 + d + 3 doubles per partition), and the Newton system
+  * solves on the driver in O(d³) independent of corpus size.
+  */
+object Classify {
+
+  /** Fitted L2-regularized logistic model. `coef(0)` is the intercept,
+    * `coef(i)` the weight of feature i−1. `gradNorm` is the final L∞
+    * norm of the PER-ROW-SCALED regularized gradient (‖g‖∞ / n) — the
+    * convergence measure; `converged` iff it dipped below `tol` within
+    * `maxIter` Newton steps.
+    */
+  final case class LogisticModel(coef: Array[Double], iters: Int,
+      gradNorm: Double, converged: Boolean, n: Long) {
+
+    /** σ(β₀ + β·x) as a Column over an array<double> features column. */
+    def predictProba(features: Column): Column = {
+      val margin = lit(coef(0)) +
+        graft.functions.VectorExprs.vec_dot(features,
+          typedlit(coef.drop(1).toSeq))
+      lit(1.0) / (lit(1.0) + exp(-margin))
+    }
+  }
+
+  private val ClipEps = 1e-7 // p clipped to [eps, 1−eps]: keeps w = p(1−p)
+                             // bounded away from 0 so the √w / 1/√w
+                             // augmentation never divides by ~0
+
+  /** L2-regularized logistic regression via IRLS (Newton-Raphson) with
+    * ONE mergeable aggregate per iteration.
+    *
+    * The trick: per row build the augmented vector
+    * `u = [√w·x̃ , (y−p)/√w]` with `x̃ = [1, x]`, `p = σ(β·x̃)` clipped,
+    * `w = p(1−p)`. The Gramian Σuuᵀ then carries BOTH Newton terms —
+    * its top-left (d+1)² block is the Hessian `Σ w x̃x̃ᵀ` and its last
+    * column is the gradient `Σ (y−p) x̃` (the √w cancels) — so each
+    * iteration is a single [[graft.plans.GramianAgg]] pass: map-side
+    * partials, one tiny shuffle, a collect of ~(d+2)²/2 doubles. The
+    * ridge term (`+ridge·I` on the Hessian, `−ridge·β` on the gradient,
+    * intercept unpenalized) is added on the driver; it also makes the
+    * optimum finite and unique on linearly separable data, where plain
+    * logistic loss diverges.
+    *
+    * Rows with a null/short features array, a null slot, or a null
+    * label are skipped (the GramianAgg policy — malformed rows must not
+    * fold fabricated zeros into the model); `n` reports the rows fitted.
+    *
+    * The input relation is localCheckpoint'ed once: maxIter scans read
+    * executor-cached (features, label) rows, never the upstream plan
+    * (the PageRank iteration discipline).
+    */
+  def logisticFit(df: DataFrame, featuresCol: String, labelCol: String,
+      dim: Int, maxIter: Int = 25, tol: Double = 1e-9,
+      ridge: Double = 1e-3): LogisticModel = {
+    require(dim > 0, "dim must be positive")
+    require(maxIter > 0 && tol > 0 && ridge >= 0,
+      "maxIter/tol must be positive, ridge non-negative")
+    val d1 = dim + 1 // [1, x]
+    val ad = dim + 2 // [√w·x̃, (y−p)/√w]
+    val data = df
+      .filter(col(labelCol).isNotNull)
+      .select(col(featuresCol).cast("array<double>").as("__x"),
+        col(labelCol).cast("double").as("__y"))
+      .localCheckpoint()
+
+    val beta = new Array[Double](d1)
+    var iter = 0
+    var gradNorm = Double.MaxValue
+    var n = 0L
+    while (iter < maxIter && gradNorm > tol) {
+      val margin = lit(beta(0)) +
+        graft.functions.VectorExprs.vec_dot(col("__x"),
+          typedlit(beta.drop(1).toSeq))
+      val p = least(greatest(lit(1.0) / (lit(1.0) + exp(-margin)),
+        lit(ClipEps)), lit(1.0 - ClipEps))
+      val sw = sqrt(p * (lit(1.0) - p))
+      val u = concat(
+        array(sw),
+        transform(col("__x"), e => e * sw),
+        array((col("__y") - p) / sw))
+      val buf = data.agg(GramianAgg.gramian_agg(u, ad).as("g"))
+        .head().getSeq[Double](0).toArray
+      n = buf(0).toLong
+      require(n > 0, s"logisticFit: no usable rows (dim=$dim)")
+      // upper-triangle index of (i,j), i <= j, into the Gramian block
+      def tri(i: Int, j: Int): Double =
+        buf(1 + ad + i * ad - i * (i - 1) / 2 + (j - i))
+      val h = Array.ofDim[Double](d1, d1)
+      val g = new Array[Double](d1)
+      var i = 0
+      while (i < d1) {
+        g(i) = tri(i, d1) // cross column with the (y−p)/√w slot
+        var j = i
+        while (j < d1) {
+          h(i)(j) = tri(i, j); h(j)(i) = h(i)(j)
+          j += 1
+        }
+        i += 1
+      }
+      i = 1 // intercept unpenalized
+      while (i < d1) {
+        g(i) -= ridge * beta(i)
+        h(i)(i) += ridge
+        i += 1
+      }
+      gradNorm = g.map(math.abs).max / n
+      if (gradNorm > tol) {
+        val delta = solve(h, g)
+        var k = 0
+        while (k < d1) { beta(k) += delta(k); k += 1 }
+      }
+      iter += 1
+    }
+    LogisticModel(beta, iter, gradNorm, gradNorm <= tol, n)
+  }
+
+  /** Driver-side reference fit over in-memory rows — the SAME IRLS
+    * update rule on plain arrays (used by the q178 Verify assertion to
+    * prove the distributed sufficient-stats path computes the identical
+    * model, and by the specs together with an independent
+    * finite-difference optimality check that guards against a shared
+    * algebra bug passing both paths).
+    */
+  def logisticFitLocal(xs: Array[Array[Double]], ys: Array[Double],
+      maxIter: Int = 25, tol: Double = 1e-9,
+      ridge: Double = 1e-3): LogisticModel = {
+    require(xs.nonEmpty && xs.length == ys.length, "xs/ys mismatch")
+    val dim = xs.head.length
+    val d1 = dim + 1
+    val beta = new Array[Double](d1)
+    var iter = 0
+    var gradNorm = Double.MaxValue
+    while (iter < maxIter && gradNorm > tol) {
+      val h = Array.ofDim[Double](d1, d1)
+      val g = new Array[Double](d1)
+      var r = 0
+      while (r < xs.length) {
+        val x = xs(r)
+        var m = beta(0)
+        var k = 0
+        while (k < dim) { m += beta(k + 1) * x(k); k += 1 }
+        val p0 = 1.0 / (1.0 + math.exp(-m))
+        val p = math.min(math.max(p0, ClipEps), 1.0 - ClipEps)
+        val w = p * (1.0 - p)
+        val e = ys(r) - p
+        var i = 0
+        while (i < d1) {
+          val xi = if (i == 0) 1.0 else x(i - 1)
+          g(i) += e * xi
+          var j = i
+          while (j < d1) {
+            val xj = if (j == 0) 1.0 else x(j - 1)
+            h(i)(j) += w * xi * xj
+            j += 1
+          }
+          i += 1
+        }
+        r += 1
+      }
+      var i = 0
+      while (i < d1) {
+        var j = 0
+        while (j < i) { h(i)(j) = h(j)(i); j += 1 }
+        i += 1
+      }
+      i = 1
+      while (i < d1) {
+        g(i) -= ridge * beta(i)
+        h(i)(i) += ridge
+        i += 1
+      }
+      gradNorm = g.map(math.abs).max / xs.length
+      if (gradNorm > tol) {
+        val delta = solve(h, g)
+        var k = 0
+        while (k < d1) { beta(k) += delta(k); k += 1 }
+      }
+      iter += 1
+    }
+    LogisticModel(beta, iter, gradNorm, gradNorm <= tol, xs.length.toLong)
+  }
+
+  /** Binary-score evaluation panel — exact ROC-AUC (Mann-Whitney with
+    * the standard ½ tie credit), Gini, and the KS statistic of a
+    * BUCKETED score against a 0/1 label, in one aggregate + one window
+    * over the per-bucket relation. Output is ONE row:
+    * `(auc, gini, ks, n_pos, n_neg)`.
+    *
+    * `bucket` must have a BOUNDED domain (e.g. `floor(score·1000)` for
+    * a [0,1] score → ≤1001 rows): the ordered cumulative window runs on
+    * the |buckets|-row AGGREGATE only — the q84 bounded-window shape —
+    * never on the corpus. AUC over buckets is exact for the bucketed
+    * score (ties inside a bucket get the ½ credit, which IS the
+    * tie-aware Mann-Whitney definition applied to the bucketed value).
+    *
+    * Count arithmetic: window sums stay in exact longs; the final
+    * AUC/KS terms convert each factor to double BEFORE multiplying —
+    * per-bucket products reach (corpus count)² which overflows long
+    * under ANSI at ~3·10⁹ rows, while doubles carry them with ~1e-16
+    * relative error, invisible at 6 dp.
+    */
+  def binaryScorePanel(df: DataFrame, bucket: Column,
+      label: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = df.select(bucket.as("__b"), label.cast("int").as("__y"))
+      .filter(col("__b").isNotNull && col("__y").isNotNull)
+      .groupBy(col("__b"))
+      .agg(count(lit(1)).as("__n"), sum(col("__y")).as("__np"))
+      .select(col("__b"), col("__np"), (col("__n") - col("__np")).as("__nn"))
+      .localCheckpoint() // ≤|buckets| rows; feeds the window AND totals
+    val below = Window.orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val upTo = Window.orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val c = g.select(col("__np"), col("__nn"),
+      coalesce(sum(col("__nn")).over(below), lit(0L)).as("__negBelow"),
+      sum(col("__np")).over(upTo).as("__cumPos"),
+      sum(col("__nn")).over(upTo).as("__cumNeg"))
+    val totals = g.agg(sum(col("__np")).as("__p"), sum(col("__nn")).as("__nneg"))
+    c.crossJoin(broadcast(totals))
+      .select(
+        (col("__np").cast("double") *
+          (lit(2) * col("__negBelow") + col("__nn")).cast("double"))
+          .as("__aucTerm"),
+        abs(col("__cumPos").cast("double") * col("__nneg").cast("double") -
+          col("__cumNeg").cast("double") * col("__p").cast("double"))
+          .as("__ksTerm"),
+        col("__p"), col("__nneg"))
+      .agg(
+        (sum(col("__aucTerm")) /
+          (lit(2.0) * max(col("__p")).cast("double") *
+            max(col("__nneg")).cast("double"))).as("__auc"),
+        (max(col("__ksTerm")) /
+          (max(col("__p")).cast("double") * max(col("__nneg")).cast("double")))
+          .as("__ks"),
+        max(col("__p")).as("n_pos"), max(col("__nneg")).as("n_neg"))
+      .select(round(col("__auc"), 6).as("auc"),
+        round(lit(2.0) * col("__auc") - 1.0, 6).as("gini"),
+        round(col("__ks"), 6).as("ks"),
+        col("n_pos"), col("n_neg"))
+  }
+
+  /** Gaussian elimination with partial pivoting for the (d+1)-dim
+    * Newton system — H is SPD + ridge here, but pivoting costs nothing
+    * at this size and guards degenerate feature columns. Mutates `a`.
+    */
+  private def solve(a: Array[Array[Double]], b: Array[Double]): Array[Double] = {
+    val n = b.length
+    val x = b.clone()
+    var colI = 0
+    while (colI < n) {
+      var piv = colI
+      var i = colI + 1
+      while (i < n) {
+        if (math.abs(a(i)(colI)) > math.abs(a(piv)(colI))) piv = i
+        i += 1
+      }
+      require(math.abs(a(piv)(colI)) > 1e-300,
+        "logisticFit: singular Hessian (constant or duplicated feature?)")
+      if (piv != colI) {
+        val t = a(piv); a(piv) = a(colI); a(colI) = t
+        val tb = x(piv); x(piv) = x(colI); x(colI) = tb
+      }
+      i = colI + 1
+      while (i < n) {
+        val f = a(i)(colI) / a(colI)(colI)
+        if (f != 0.0) {
+          var j = colI
+          while (j < n) { a(i)(j) -= f * a(colI)(j); j += 1 }
+          x(i) -= f * x(colI)
+        }
+        i += 1
+      }
+      colI += 1
+    }
+    var bi = n - 1
+    while (bi >= 0) {
+      var s = x(bi)
+      var j = bi + 1
+      while (j < n) { s -= a(bi)(j) * x(j); j += 1 }
+      x(bi) = s / a(bi)(bi)
+      bi -= 1
+    }
+    x
+  }
+}
