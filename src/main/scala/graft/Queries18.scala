@@ -128,9 +128,24 @@ object Queries18 {
       floor(col("true_score") * 1000).cast("int"), col("label"))
   }
 
+  /** Decile lift / capture table of the planted score — the ranking
+    * report beside q179's scalar panel ("the top 2 deciles hold 39% of
+    * the positives"): per descending score decile, size, positive
+    * rate, cumulative capture of positives and share of corpus
+    * ([[Classify.liftTable]]; cumulative window on the ≤11-row bucket
+    * aggregate only). Monotone pos_rate top-to-bottom on this corpus —
+    * the planted model actually ranks. Fully DuckDB-oracled.
+    */
+  def q180_lift_table(s: SparkSession, dir: String): DataFrame = {
+    val f = docFeatures(s, dir)
+    Classify.liftTable(f,
+      floor(col("true_score") * 10).cast("int"), col("label"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q178_quality_classifier" -> q178_quality_classifier _,
-    "q179_score_auc_panel" -> q179_score_auc_panel _)
+    "q179_score_auc_panel" -> q179_score_auc_panel _,
+    "q180_lift_table" -> q180_lift_table _)
 
   val oracles: Map[String, String] = Map(
     "q179_score_auc_panel" ->
@@ -183,5 +198,44 @@ object Queries18 {
         |  FROM c, t
         |)
         |SELECT round(auc_raw, 6) AS auc, round(2 * auc_raw - 1, 6) AS gini,
-        |  round(ks_raw, 6) AS ks, n_pos, n_neg FROM fin""".stripMargin)
+        |  round(ks_raw, 6) AS ks, n_pos, n_neg FROM fin""".stripMargin,
+    "q180_lift_table" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    len(list_filter(regexp_split_to_array(lower(trim(text)),'\s+'),
+        |      t -> t IN ('the','a','is','and','of')))::DOUBLE
+        |      / len(regexp_split_to_array(lower(trim(text)),'\s+')) AS x1,
+        |    n_chars::DOUBLE / 256.0 AS x5,
+        |    n_chars::DOUBLE
+        |      / len(regexp_split_to_array(lower(trim(text)),'\s+')) AS x6,
+        |    (sum((strpos('0123456789abcdef',
+        |        substr(substr(md5('q178:' || doc_id::VARCHAR),1,8), g, 1))
+        |        - 1) * power(16, 8 - g)) + 0.5) / 4294967296.0 AS u
+        |  FROM documents, unnest(generate_series(1,8)) AS t(g)
+        |  WHERE length(trim(text)) > 0
+        |  GROUP BY doc_id, text, n_chars
+        |), s AS (
+        |  SELECT 1.0 / (1.0 + exp(-(12.0 +
+        |    (30.0*x1 + 2.0*x5 + (-3.0)*x6)))) AS score, u
+        |  FROM f
+        |), b AS (
+        |  SELECT CASE WHEN u < score THEN 1 ELSE 0 END AS y,
+        |    CAST(floor(score * 10) AS INT) AS bucket
+        |  FROM s
+        |), g AS (
+        |  SELECT bucket, count(*)::BIGINT AS n,
+        |    count(CASE WHEN y = 1 THEN 1 END)::BIGINT AS np
+        |  FROM b GROUP BY 1
+        |), c AS (
+        |  SELECT bucket, n, np,
+        |    sum(np) OVER (ORDER BY bucket DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumpos,
+        |    sum(n) OVER (ORDER BY bucket DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumn
+        |  FROM g
+        |), t AS (SELECT sum(np)::BIGINT AS p, sum(n)::BIGINT AS tot FROM g)
+        |SELECT bucket, n, round(np::DOUBLE / n::DOUBLE, 6) AS pos_rate,
+        |  round(cumpos::DOUBLE / p::DOUBLE, 6) AS cum_capture,
+        |  round(cumn::DOUBLE / tot::DOUBLE, 6) AS cum_share
+        |FROM c, t ORDER BY bucket DESC""".stripMargin)
 }

@@ -288,32 +288,14 @@ object VerifyAssertions {
     // pattern). Measured recovery 50/50 at sf0.001/0.01/0.1/sf1; floor
     // 0.98 (= at most one miss) rather than == 1.0 to keep one
     // borderline quantization flip from failing a healthy index.
-    def plantedAnnCheck(queryName: String, checkName: String): Check = {
-      val planted = QueryFixtures.plantedEmbeddings(
-        emb.select(col("vec_id"),
-          col("embedding").cast("array<double>").as("e")))
-      val out = SparkEntry.queries(queryName)(spark, sfDir)
-      val got = out.select("query_id", "match_id").collect()
-        .map(r => (r.getLong(0), r.getLong(1))).toSet
-      val queryIds = got.map(_._1)
-      val recovered =
-        queryIds.count(q => got.contains((q, q + 10000000L)))
-      val rate = recovered.toDouble / math.max(1, queryIds.size)
-      val badScores = scoreMismatches(spark, out,
-        planted.select(col("vec_id"), col("e").as("embedding")))
-      Check(checkName, queryName,
-        queryIds.size == 50 && rate >= 0.98 && badScores == 0,
-        f"queries=${queryIds.size} recovered=$recovered rate=$rate%.3f " +
-          f"(floor 0.98) score_mismatches=$badScores")
-    }
-    val q176 = plantedAnnCheck("q176_pq_topk",
+    val q176 = plantedAnnCheck(spark, sfDir, "q176_pq_topk",
       "pq_planted_recovery_and_exact_rescore")
     // q177 — the same contract over the IVF-PQ composite: the jittered
     // copy sits at cos ≈ 0.9967, i.e. a tiny angle off its source, so
     // it must land in the same coarse list (and nprobe=4 of 16 covers
     // boundary straddles); a miss means routing or residual-code
     // degradation, not noise.
-    val q177 = plantedAnnCheck("q177_ivfpq_topk",
+    val q177 = plantedAnnCheck(spark, sfDir, "q177_ivfpq_topk",
       "ivfpq_planted_recovery_and_exact_rescore")
 
     // q178 — the distributed sufficient-stats IRLS must produce the
@@ -345,6 +327,36 @@ object VerifyAssertions {
     }
 
     Seq(q31, q32, q44, q46, q49, q119, q126, q128, q176, q177, q178)
+  }
+
+  /** Planted-recovery + exact-rescore check for the compressed-scan ANN
+    * queries (q176 PQ, q177 IVF-PQ): every planted query must recover
+    * its jittered copy (cos ≈ 0.9967 vs background ≤ 0.51 — ~0.45 of
+    * cosine headroom, so a miss means real index degradation), the
+    * panel must be exactly the 50 fixed sources, and every emitted
+    * cosine must equal the raw-vector recomputation. Shared by the
+    * Verify gate and [[graft.tools.ProbePq]] (the SimhashCheck
+    * precedent: the rehearsal probe can't drift from the gate).
+    */
+  def plantedAnnCheck(spark: SparkSession, sfDir: String,
+      queryName: String, checkName: String): Check = {
+    val emb = Tables(spark, sfDir, "embeddings")
+    val planted = QueryFixtures.plantedEmbeddings(
+      emb.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("e")))
+    val out = SparkEntry.queries(queryName)(spark, sfDir)
+    val got = out.select("query_id", "match_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val queryIds = got.map(_._1)
+    val recovered =
+      queryIds.count(q => got.contains((q, q + 10000000L)))
+    val rate = recovered.toDouble / math.max(1, queryIds.size)
+    val badScores = scoreMismatches(spark, out,
+      planted.select(col("vec_id"), col("e").as("embedding")))
+    Check(checkName, queryName,
+      queryIds.size == 50 && rate >= 0.98 && badScores == 0,
+      f"queries=${queryIds.size} recovered=$recovered rate=$rate%.3f " +
+        f"(floor 0.98) score_mismatches=$badScores")
   }
 
   /** Rows of (query_id, match_id, cos) whose cos does NOT equal the

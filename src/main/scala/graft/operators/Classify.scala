@@ -54,9 +54,11 @@ object Classify {
     * optimum finite and unique on linearly separable data, where plain
     * logistic loss diverges.
     *
-    * Rows with a null/short features array, a null slot, or a null
-    * label are skipped (the GramianAgg policy — malformed rows must not
-    * fold fabricated zeros into the model); `n` reports the rows fitted.
+    * Rows with a features array not EXACTLY `dim` long, a null slot,
+    * or a null label are skipped (the GramianAgg policy — malformed
+    * rows must not fold fabricated values into the model; a LONGER
+    * vector would displace the augmented error slot and silently
+    * corrupt the gradient); `n` reports the rows fitted.
     *
     * The input relation is localCheckpoint'ed once: maxIter scans read
     * executor-cached (features, label) rows, never the upstream plan
@@ -70,8 +72,13 @@ object Classify {
       "maxIter/tol must be positive, ridge non-negative")
     val d1 = dim + 1 // [1, x]
     val ad = dim + 2 // [√w·x̃, (y−p)/√w]
+    // size must be EXACTLY dim: a longer vector would displace the
+    // augmented error slot inside the Gramian read window and silently
+    // corrupt the gradient column; shorter/null-slot rows are skipped
+    // by the GramianAgg policy anyway
     val data = df
-      .filter(col(labelCol).isNotNull)
+      .filter(col(labelCol).isNotNull &&
+        size(col(featuresCol)) === dim)
       .select(col(featuresCol).cast("array<double>").as("__x"),
         col(labelCol).cast("double").as("__y"))
       .localCheckpoint()
@@ -239,18 +246,66 @@ object Classify {
           col("__cumNeg").cast("double") * col("__p").cast("double"))
           .as("__ksTerm"),
         col("__p"), col("__nneg"))
-      .agg(
-        (sum(col("__aucTerm")) /
-          (lit(2.0) * max(col("__p")).cast("double") *
-            max(col("__nneg")).cast("double"))).as("__auc"),
-        (max(col("__ksTerm")) /
-          (max(col("__p")).cast("double") * max(col("__nneg")).cast("double")))
-          .as("__ks"),
+      .agg(sum(col("__aucTerm")).as("__aucNum"),
+        max(col("__ksTerm")).as("__ksNum"),
         max(col("__p")).as("n_pos"), max(col("__nneg")).as("n_neg"))
-      .select(round(col("__auc"), 6).as("auc"),
-        round(lit(2.0) * col("__auc") - 1.0, 6).as("gini"),
-        round(col("__ks"), 6).as("ks"),
+      .select(guarded(round(aucRaw, 6)).as("auc"),
+        guarded(round(lit(2.0) * aucRaw - 1.0, 6)).as("gini"),
+        guarded(round(col("__ksNum") /
+          (col("n_pos").cast("double") * col("n_neg").cast("double")), 6))
+          .as("ks"),
         col("n_pos"), col("n_neg"))
+  }
+
+  private def aucRaw: Column =
+    col("__aucNum") / (lit(2.0) * col("n_pos").cast("double") *
+      col("n_neg").cast("double"))
+
+  // single-class input has no ranking to evaluate — and Spark 4 ANSI
+  // throws DIVIDE_BY_ZERO even for doubles, so the divisions must sit
+  // INSIDE the otherwise-branch (CaseWhen evaluates branches lazily);
+  // q159/targetMixture idiom: a guard in its own pruned-away column
+  // never fires
+  private def guarded(value: Column): Column =
+    when(col("n_pos") === 0 || col("n_neg") === 0, raise_error(lit(
+      "binaryScorePanel: both classes required (n_pos or n_neg is 0)")))
+      .otherwise(value)
+
+  /** Lift / capture table — the decile report a scoring stage ships
+    * beside [[binaryScorePanel]]: one row per BUCKET (descending
+    * score), with the bucket's size, positive rate, and the cumulative
+    * capture of positives and share of corpus from the TOP bucket down
+    * ("the top 20% of scores holds 54% of the positives"). Same
+    * contract as the panel: `bucket` must be bounded (the cumulative
+    * window runs on the per-bucket aggregate only), counts stay exact
+    * longs, ratios are single double divisions. Requires at least one
+    * positive (capture is x/0 otherwise — loud raise_error inside the
+    * value).
+    */
+  def liftTable(df: DataFrame, bucket: Column, label: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = df.select(bucket.as("bucket"), label.cast("int").as("__y"))
+      .filter(col("bucket").isNotNull && col("__y").isNotNull)
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("__y")).as("__np"))
+      .localCheckpoint() // ≤|buckets| rows; feeds the window AND totals
+    val top = Window.orderBy(col("bucket").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val c = g.select(col("bucket"), col("n"), col("__np"),
+      sum(col("__np")).over(top).as("__cumPos"),
+      sum(col("n")).over(top).as("__cumN"))
+    val totals = g.agg(sum(col("__np")).as("__p"), sum(col("n")).as("__tot"))
+    c.crossJoin(broadcast(totals))
+      .select(col("bucket"), col("n"),
+        round(col("__np").cast("double") / col("n").cast("double"), 6)
+          .as("pos_rate"),
+        when(col("__p") === 0, raise_error(lit(
+          "liftTable: at least one positive required")))
+          .otherwise(round(col("__cumPos").cast("double") /
+            col("__p").cast("double"), 6)).as("cum_capture"),
+        round(col("__cumN").cast("double") / col("__tot").cast("double"), 6)
+          .as("cum_share"))
+      .orderBy(col("bucket").desc)
   }
 
   /** Gaussian elimination with partial pivoting for the (d+1)-dim

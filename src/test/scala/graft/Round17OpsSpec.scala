@@ -118,7 +118,11 @@ class Round17OpsSpec extends SparkSpec {
       clean.map { case (f, y) => (f.map(Option(_)), Some(y)) } ++ Seq(
         (Seq(Option(0.4)), Some(1)),                 // short
         (Seq(Option(2.0), Option(3.0)), None),       // null label
-        (Seq(Option(1.0), None), Some(0)))           // null slot
+        (Seq(Option(1.0), None), Some(0)),           // null slot
+        // LONG vector: without the exact-dim filter this row's third
+        // element would displace the augmented error slot inside the
+        // Gramian window and silently corrupt the gradient
+        (Seq(Option(9.0), Option(9.0), Option(9.0)), Some(1)))
     val dfDirty = dirty.toDF("features", "label")
     val dfClean = clean.toDF("features", "label")
     val a = Classify.logisticFit(dfDirty, "features", "label", dim = 2)
@@ -182,5 +186,43 @@ class Round17OpsSpec extends SparkSpec {
     val gc = Classify.binaryScorePanel(const, col("b"), col("y"))
       .as[(Double, Double, Double, Long, Long)].head()
     assert(gc._1 === 0.5 && gc._2 === 0.0 && gc._3 === 0.0)
+  }
+
+  test("liftTable == driver cumulative arithmetic on fuzz data; " +
+    "requires at least one positive") {
+    def r6(x: Double): Double = BigDecimal(x)
+      .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+    for (seed <- Seq(51L, 52L)) {
+      val rng = new Lcg(seed)
+      val n = 300
+      val buckets = Array.fill(n)(rng.nextInt(8))
+      val ys = buckets.map(b => if (rng.nextInt(10) < b + 1) 1 else 0)
+      val df = buckets.zip(ys).toSeq.toDF("b", "y")
+      val got = Classify.liftTable(df, col("b"), col("y"))
+        .as[(Int, Long, Double, Double, Double)].collect()
+      val byB = buckets.zip(ys).groupBy(_._1).toSeq.sortBy(-_._1)
+      val p = ys.sum.toDouble
+      var cumPos = 0L; var cumN = 0L
+      val exp = byB.map { case (b, rows) =>
+        val np = rows.count(_._2 == 1)
+        cumPos += np; cumN += rows.length
+        (b, rows.length.toLong, r6(np.toDouble / rows.length),
+          r6(cumPos / p), r6(cumN.toDouble / n))
+      }
+      assert(got.toSeq === exp, s"seed=$seed")
+    }
+    val nopos = Seq((1, 0), (2, 0)).toDF("b", "y")
+    val e = intercept[Exception] {
+      Classify.liftTable(nopos, col("b"), col("y")).collect()
+    }
+    assert(e.getMessage.contains("at least one positive"))
+  }
+
+  test("binaryScorePanel fails loudly on a single-class label") {
+    val oneClass = Seq((1, 1), (2, 1), (3, 1)).toDF("b", "y")
+    val e = intercept[Exception] {
+      Classify.binaryScorePanel(oneClass, col("b"), col("y")).collect()
+    }
+    assert(e.getMessage.contains("both classes required"))
   }
 }
