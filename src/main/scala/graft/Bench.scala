@@ -120,6 +120,22 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val selected = subset.fold(SparkEntry.queries)(s =>
       SparkEntry.queries.filter { case (k, _) => s(k) })
+    // Orphaned localCheckpoint blocks accumulate across a 180-query
+    // catalog pass (each checkpointed relation leaves MEMORY_AND_DISK
+    // blocks that only the ContextCleaner frees, after a driver GC that
+    // a tight bench loop rarely triggers). By mid-steady-pass the block
+    // manager evicts under pressure and unrelated queries slow 4-13×
+    // (measured: the steady pass degraded from q174 through q36 —
+    // exactly the alphabetical span after q172's 1.2M-edge checkpoints
+    // — and recovered once the cleaner caught up). Blocks from a prior
+    // run of the SAME query are never reused (fresh RDD each run), so
+    // freeing them between queries costs nothing and is not part of the
+    // steady-state signal (shuffle files + codegen caches are).
+    // Catalog-wide there are no intentional cross-query Spark-side
+    // caches — the ANN train-once caches hold driver-side model objects.
+    def dropOrphanBlocks(): Unit =
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
     def runPass(tag: String) = selected.toSeq.sortBy(_._1).map {
       case (name, fn) =>
         val t0 = System.nanoTime()
@@ -130,7 +146,24 @@ object Bench {
               System.err.println(s"[bench] $name FAILED ($tag): ${e.getMessage}")
               false
           }
-        (name, (System.nanoTime() - t0) / 1e9, ok)
+        val dt = (System.nanoTime() - t0) / 1e9
+        dropOrphanBlocks()
+        // The unpersist above only detaches the blocks; the shuffle
+        // files, broadcast pieces and block-manager entries of EVERY
+        // query so far are reclaimed by the ContextCleaner, which acts
+        // on weak references — i.e. only after a driver GC, which a
+        // 24 GiB heap over a ~180-query catalog almost never triggers
+        // on its own. The full-catalog run measurably degrades 4–13×
+        // in the span after the heaviest query block and recovers
+        // "by itself" later (= whenever a GC finally lands); a
+        // 20-query subset with the same heavy block stays clean — the
+        // trigger is accumulated uncollected state, not the block
+        // itself. Forcing a GC after each heavy query (they are few
+        // and already paid seconds) keeps the cleaner's queue drained;
+        // dt is captured above, so reclaim time never enters the
+        // totals.
+        if (dt > 2.0) System.gc()
+        (name, dt, ok)
     }
     val results = runPass("cold")
     // Steady-state second pass (codegen/JIT warm, shuffle-file caches

@@ -42,6 +42,11 @@ object Verify {
           System.err.println(s"[verify] $name error-record failed: $e2")
         }
       }
+      // free orphaned localCheckpoint blocks between queries — across a
+      // 180-query catalog they otherwise accumulate until the block
+      // manager thrashes (see Bench.dropOrphanBlocks)
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

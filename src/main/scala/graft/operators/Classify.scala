@@ -308,6 +308,122 @@ object Classify {
       .orderBy(col("bucket").desc)
   }
 
+  /** Calibration / reliability table of a [0,1] score against a 0/1
+    * label — per equal-width bin: size, observed positive rate, the
+    * bin midpoint as the predicted rate, their gap, plus the expected
+    * calibration error (ECE) as a constant column ("is a 0.7 score
+    * right 70% of the time?"). One corpus aggregate + arithmetic on
+    * the ≤`bins`-row relation — the [[binaryScorePanel]] shape.
+    *
+    * Cross-engine exactness: the bin-midpoint form keeps EVERY
+    * intermediate on the integer grid — gap numerator
+    * `2·bins·np − n·(2b+1)` and the ECE numerator
+    * `Σ|2·bins·np − n·(2b+1)|` are exact longs (a mean-predicted-score
+    * variant would sum doubles in engine-dependent order — the q116
+    * half-boundary hazard), so each output is ONE double division.
+    * `score` must already be in [0,1]; the top edge (score = 1.0)
+    * folds into the last bin via the `least` clamp, mirrored verbatim
+    * in oracles. Requires n > 0 per emitted bin by construction; bins
+    * with no rows are absent (a gap-free grid would fabricate 0/0
+    * rates).
+    */
+  def calibrationTable(df: DataFrame, score: Column, label: Column,
+      bins: Int = 10): DataFrame = {
+    require(bins > 0, "bins must be positive")
+    val b2 = 2L * bins
+    // null filter BEFORE the bin expression: least() SKIPS null operands
+    // (least(null, bins−1) = bins−1), so a null score would otherwise be
+    // fabricated into the last bin instead of dropped
+    val g = df.select(score.cast("double").as("__s"),
+        label.cast("int").as("__y"))
+      .filter(col("__s").isNotNull && col("__y").isNotNull)
+      .select(
+        least(floor(col("__s") * bins).cast("long"), lit(bins - 1L)).as("bin"),
+        col("__y"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("__y")).cast("long").as("__np"))
+      .localCheckpoint() // ≤bins rows; feeds per-bin output AND the ECE
+    val gapNum = lit(b2) * col("__np") - col("n") * (lit(2L) * col("bin") + 1L)
+    val tot = g.agg(
+      sum(abs(lit(b2) * col("__np") - col("n") * (lit(2L) * col("bin") + 1L)))
+        .as("__eceNum"),
+      sum(col("n")).as("__tot"))
+    g.crossJoin(broadcast(tot))
+      .select(col("bin"), col("n"),
+        round(col("__np").cast("double") / col("n").cast("double"), 6)
+          .as("pos_rate"),
+        round((lit(2L) * col("bin") + 1L).cast("double") / b2.toDouble, 6)
+          .as("pred_mid"),
+        round(gapNum.cast("double") /
+          (lit(b2.toDouble) * col("n").cast("double")), 6).as("gap"),
+        round(col("__eceNum").cast("double") /
+          (lit(b2.toDouble) * col("__tot").cast("double")), 6).as("ece"))
+      .orderBy(col("bin"))
+  }
+
+  /** Token–label association panel: the top-k tokens most associated
+    * with a binary label by the 2×2 chi-square statistic over DOCUMENT
+    * frequencies (the classic keyword-selection pass of a quality
+    * classifier — which tokens separate kept from dropped docs), plus
+    * the lift of the positive rate among docs containing the token
+    * over the base rate. One distinct-token explode + one combinable
+    * (token) aggregation + broadcast totals; output is `topK` rows.
+    *
+    * Contingency per token: a = pos docs with it, b = neg docs with
+    * it, c/d the complements; χ² = N(ad−bc)²/((a+b)(c+d)(a+c)(b+d)).
+    * Every count is exact; the χ² factors are each cast to double
+    * BEFORE multiplying (a·d overflows LONG under ANSI at ~3e9 docs)
+    * with ONE fixed parenthesization so engines agree to the last ulp,
+    * and the top-k ORDERS on that unrounded value (the q127 lesson:
+    * rank on the exact/deterministic form, round only display copies),
+    * tie-broken by token. `minDf ≤ df < N` keeps the (c+d) margin
+    * nonzero (an every-doc token carries no signal and would divide by
+    * zero; a symmetric N−minDf upper bound would drop the most-common
+    * tokens — the planted markers — on tiny corpora); a single-class
+    * corpus raises loudly via the guard inside the χ² value
+    * ([[binaryScorePanel]] idiom).
+    */
+  def tokenLabelAssociation(df: DataFrame, textCol: Column, label: Column,
+      minDf: Long = 20, topK: Int = 25): DataFrame = {
+    require(minDf >= 1, "minDf must be >= 1")
+    require(topK >= 1, "topK must be >= 1")
+    val base = df.select(lower(trim(textCol)).as("__t"),
+        label.cast("int").as("__y"))
+      .filter(col("__y").isNotNull && length(col("__t")) > 0)
+      .localCheckpoint() // feeds totals AND the token explode
+    val tot = base.agg(count(lit(1)).as("__n"),
+      sum(col("__y")).cast("long").as("__p"))
+    val g = base.select(
+        explode(array_distinct(filter(split(col("__t"), "\\s+"),
+          x => length(x) > 0))).as("token"),
+        col("__y"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("df"), sum(col("__y")).cast("long").as("a"))
+    val j = g.crossJoin(broadcast(tot))
+      .filter(col("df") >= minDf && col("df") < col("__n"))
+      .select(col("token"), col("df"), col("a"),
+        (col("df") - col("a")).as("b"),
+        (col("__p") - col("a")).as("c"),
+        (col("__n") - col("__p") - (col("df") - col("a"))).as("d"),
+        col("__n"), col("__p"))
+    val adbc = col("a").cast("double") * col("d").cast("double") -
+      col("b").cast("double") * col("c").cast("double")
+    val chi2 = when(col("__p") === 0 || col("__n") === col("__p"),
+      raise_error(lit(
+        "tokenLabelAssociation: both classes required (all-pos or all-neg)")))
+      .otherwise(col("__n").cast("double") * adbc * adbc /
+        (col("df").cast("double") * (col("__n") - col("df")).cast("double") *
+          col("__p").cast("double") * (col("__n") - col("__p")).cast("double")))
+    j.select(col("token"), col("df"), col("a"), chi2.as("__chi2"),
+        ((col("a").cast("double") / col("df").cast("double")) /
+          (col("__p").cast("double") / col("__n").cast("double")))
+          .as("__lift"))
+      .orderBy(col("__chi2").desc, col("token"))
+      .limit(topK)
+      .select(col("token"), col("df"), col("a"),
+        round(col("__chi2"), 6).as("chi2"), round(col("__lift"), 6).as("lift"))
+  }
+
   /** Gaussian elimination with partial pivoting for the (d+1)-dim
     * Newton system — H is SPD + ridge here, but pivoting costs nothing
     * at this size and guards degenerate feature columns. Mutates `a`.

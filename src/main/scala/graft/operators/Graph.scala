@@ -166,7 +166,7 @@ object Graph {
     * orientation deterministic for any id type with a total order.
     */
   def triangleCounts(edges: DataFrame, srcCol: Column,
-      dstCol: Column): DataFrame = {
+      dstCol: Column, broadcastEdgeLimit: Long = 4000000L): DataFrame = {
     val e = edges.select(
         least(srcCol, dstCol).as("u"), greatest(srcCol, dstCol).as("v"))
       .filter(col("u") =!= col("v"))
@@ -197,14 +197,83 @@ object Graph {
       .filter(col("dx") < col("dy") ||
         (col("dx") === col("dy") && col("x") < col("y")))
       .select(col("src").as("a"), col("x").as("b"), col("y").as("c"))
-    val closing = oriented.select(col("src").as("b"), col("dst").as("c"))
+    // The closing probe decides the whole shuffle budget: wedge mass is
+    // Σ C(d⁺,2) ≈ m^1.5-bounded (41M at the sf0.1 co-purchase census vs
+    // 1.2M edges), so a shuffled semi join moves ~34× the edge mass.
+    // Below the cap the edge set (two ids per row) broadcasts instead
+    // and wedges STREAM map-side from generation through the closing
+    // probe into the per-node partial agg — no wedge-mass shuffle at
+    // all. Past the cap (the broadcast no longer fits; ~64 MB of ids at
+    // the default) it falls back to the shuffled semi join, which is
+    // the scale-correct shape. The count is a cheap job: e is already
+    // checkpointed.
+    val closing0 = oriented.select(col("src").as("b"), col("dst").as("c"))
+    val closing =
+      if (e.count() <= broadcastEdgeLimit) broadcast(closing0) else closing0
     val tris = wedges.join(closing, Seq("b", "c"), "left_semi")
-    val perNode = tris.select(col("a").as("node"))
-      .union(tris.select(col("b").as("node")))
-      .union(tris.select(col("c").as("node")))
+    // ONE consumer of the wedge pipeline: a 3-way union of selects would
+    // re-execute the wedge join + semi probe per branch (the round-5
+    // mirrored-pairs lesson — measured 3× on the q172 census); explode
+    // fans the triangle list to its corners inside the same pass
+    val perNode = tris
+      .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("triangles"))
     deg.join(perNode, Seq("node"), "left_outer")
       .select(col("node"), col("degree"),
         coalesce(col("triangles"), lit(0L)).as("triangles"))
+  }
+
+  /** Multi-source BFS hop distances over a DIRECTED edge list (feed a
+    * symmetrized list for undirected semantics, the [[pageRank]]
+    * convention): returns `(node, dist)` with the minimum hop count
+    * from ANY seed, for every node reachable within `maxHops`. Nodes
+    * beyond the cap (or disconnected) are simply absent — callers
+    * wanting an explicit unreached marker left-join against their node
+    * universe. The bounded-cap semantics are deliberate: two engines
+    * running the same cap produce identical results even on graphs
+    * whose true eccentricity exceeds it, which is what makes the
+    * operator oracle-able at any scale.
+    *
+    * Scale shape (the PageRank iteration discipline): the edge list is
+    * repartitioned by src and localCheckpointed ONCE — each round's
+    * frontier join shuffles only the node-sized frontier; the visited
+    * set and each frontier are node-sized and re-checkpointed per round
+    * so lineage never stacks. Per round: one edge-mass join + one
+    * distinct + one node-keyed anti-join. Rounds are bounded by
+    * min(eccentricity, maxHops) — the loop stops as soon as a frontier
+    * comes back empty (the count is the same action that materializes
+    * the round's checkpoint, so the driver check costs no extra job).
+    *
+    * Duplicate edges are deduplicated up front so a multi-edge cannot
+    * fan the frontier join out; seed ids keep the caller's type (must
+    * match the edge endpoint type).
+    */
+  def hopDistances(edges: DataFrame, srcCol: Column, dstCol: Column,
+      seeds: DataFrame, seedCol: Column, maxHops: Int = 12): DataFrame = {
+    require(maxHops >= 0, "maxHops must be >= 0")
+    val e = edges.select(srcCol.as("__u"), dstCol.as("__v"))
+      .filter(col("__u").isNotNull && col("__v").isNotNull)
+      .distinct()
+      .repartition(col("__u"))
+      .localCheckpoint()
+    var visited = seeds.select(seedCol.as("node")).distinct()
+      .withColumn("dist", lit(0)).localCheckpoint()
+    var frontier = visited.select(col("node"))
+    var hop = 0
+    var exhausted = frontier.count() == 0
+    while (hop < maxHops && !exhausted) {
+      val next = e.join(frontier.select(col("node").as("__u")), Seq("__u"))
+        .select(col("__v").as("node")).distinct()
+        .join(visited.select(col("node")), Seq("node"), "left_anti")
+        .withColumn("dist", lit(hop + 1))
+        .localCheckpoint()
+      if (next.count() == 0) exhausted = true
+      else {
+        visited = visited.union(next).localCheckpoint()
+        frontier = next.select(col("node"))
+      }
+      hop += 1
+    }
+    visited
   }
 }
