@@ -1,0 +1,189 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Graph, Retrieval}
+import graft.functions.VectorExprs.vec_dot
+
+/** Twentieth query batch (round 11): attribute-community modularity
+  * (q184) and hybrid lexical+embedding retrieval via reciprocal-rank
+  * fusion (q185). Both fully DuckDB-oracled.
+  *
+  * q184 is the negative-control panel: brand labels explain ~none of
+  * the co-purchase structure (Q ≈ 0.002), and the exact-long rewrite
+  * of the modularity sum is what makes a ~0 quantity oracle-able at
+  * all (engine-ordered double sums drift exactly where the true value
+  * cancels to near zero). q185 fuses two rankings the catalog already
+  * knows how to produce (token-set Jaccard, exact cosine) over the
+  * documents∩embeddings corpus — the standard hybrid-search merge
+  * before RAG curation.
+  */
+object Queries20 {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  /** Modularity of the part-brand partition over the ≥2-shared-orders
+    * co-purchase graph ([[Graph.partitionModularity]]): per brand,
+    * intra-brand edge count, degree sum, shares, contribution, and the
+    * overall Q constant. |brands| rows.
+    */
+  def q184_brand_modularity(s: SparkSession, dir: String): DataFrame = {
+    val op = t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+      .localCheckpoint() // both self-join sides
+    val a = op.select(col("o"), col("p").as("pa"))
+    val b = op.select(col("o"), col("p").as("pb"))
+    val e = a.join(b, Seq("o")).filter(col("pa") < col("pb"))
+      .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("__w"))
+      .filter(col("__w") >= 2)
+      .select(col("pa").as("u"), col("pb").as("v"))
+    Graph.partitionModularity(e, col("u"), col("v"),
+        t(s, dir, "part").select(col("p_partkey"), col("p_brand")),
+        col("p_partkey"), col("p_brand"))
+      .withColumnRenamed("label", "brand")
+      .orderBy(col("brand"))
+  }
+
+  /** Hybrid retrieval: token-set-Jaccard top-50 and exact-cosine
+    * top-50 per panel query, merged by [[Retrieval.rrfFuse]] into a
+    * top-10 — with each source rank carried for display (−1 = absent
+    * from that list). Corpus = documents ⋈ embeddings on id (the two
+    * tables share an id domain; the intersection is the "registered"
+    * corpus), panel = every 40th id. Candidate scoring is two
+    * broadcast-panel NL joins over the checkpointed corpus (panel ×
+    * corpus rows, never corpus²); ranks are panel-keyed windows.
+    *
+    * Parity: Jaccard is an int/int division; cos mirrors q87's
+    * left-to-right `vec_dot`/`list_inner_product` accumulation with
+    * one fixed parenthesization; the RRF fold order is pinned by
+    * rrfFuse (scaladoc) and mirrored as t_lex + t_cos; ranks break
+    * ties on the candidate id, fusion ranks on (score, id).
+    */
+  def q185_hybrid_rrf(s: SparkSession, dir: String): DataFrame = {
+    val corpus = t(s, dir, "documents")
+      .select(col("doc_id"), col("text"))
+      .join(t(s, dir, "embeddings").select(col("vec_id"), col("embedding")),
+        col("doc_id") === col("vec_id"))
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id").as("id"),
+        array_distinct(filter(split(lower(trim(col("text"))), "\\s+"),
+          x => length(x) > 0)).as("toks"),
+        col("embedding").cast("array<double>").as("v"))
+      .localCheckpoint() // feeds the panel + both candidate scans
+    val panel = corpus.filter(col("id") % 40 === 0)
+    val lex = corpus.join(
+        broadcast(panel.select(col("id").as("qid"), col("toks").as("qtoks"))),
+        col("id") =!= col("qid"))
+      .select(col("qid"), col("id").as("cid"),
+        (size(array_intersect(col("qtoks"), col("toks"))).cast("double") /
+          size(array_union(col("qtoks"), col("toks"))).cast("double")).as("j"))
+    val wl = Window.partitionBy(col("qid")).orderBy(col("j").desc, col("cid"))
+    val lexr = lex.withColumn("r", row_number().over(wl))
+      .filter(col("r") <= 50)
+      .select(col("qid").as("query_id"), col("cid").as("match_id"),
+        col("r").as("rank"))
+      .localCheckpoint() // ≤50·|panel| rows; feeds fuse + display join
+    val cos = corpus.join(
+        broadcast(panel.select(col("id").as("qid"), col("v").as("qv"))),
+        col("id") =!= col("qid"))
+      .select(col("qid"), col("id").as("cid"),
+        (vec_dot(col("qv"), col("v")) /
+          (sqrt(vec_dot(col("qv"), col("qv"))) *
+            sqrt(vec_dot(col("v"), col("v"))))).as("cos"))
+    val wc = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
+    val cosr = cos.withColumn("r", row_number().over(wc))
+      .filter(col("r") <= 50)
+      .select(col("qid").as("query_id"), col("cid").as("match_id"),
+        col("r").as("rank"))
+      .localCheckpoint()
+    Retrieval.rrfFuse(Seq(lexr, cosr), k = 10)
+      .join(lexr.withColumnRenamed("rank", "lex_rank"),
+        Seq("query_id", "match_id"), "left_outer")
+      .join(cosr.withColumnRenamed("rank", "cos_rank"),
+        Seq("query_id", "match_id"), "left_outer")
+      .select(col("query_id").as("qid"), col("match_id").as("cid"),
+        round(col("score"), 9).as("rrf"),
+        coalesce(col("lex_rank"), lit(-1)).as("lex_rank"),
+        coalesce(col("cos_rank"), lit(-1)).as("cos_rank"),
+        col("rank"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q184_brand_modularity" -> q184_brand_modularity _,
+    "q185_hybrid_rrf" -> q185_hybrid_rrf _)
+
+  val oracles: Map[String, String] = Map(
+    "q184_brand_modularity" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey o, l_partkey p FROM lineitem),
+        | e AS (SELECT a.p u, b.p v FROM op a JOIN op b ON a.o=b.o AND a.p<b.p
+        |       GROUP BY 1,2 HAVING count(*) >= 2),
+        | m AS (SELECT count(*)::BIGINT m FROM e),
+        | deg AS (SELECT node, count(*)::BIGINT d FROM
+        |   (SELECT u node FROM e UNION ALL SELECT v FROM e) GROUP BY 1),
+        | bp AS (SELECT p_partkey, p_brand FROM part),
+        | intra AS (SELECT pb.p_brand, count(*)::BIGINT ec
+        |   FROM e JOIN bp pa ON pa.p_partkey = e.u
+        |          JOIN bp pb ON pb.p_partkey = e.v
+        |   WHERE pa.p_brand = pb.p_brand GROUP BY 1),
+        | degb AS (SELECT bp.p_brand, sum(deg.d)::BIGINT dc
+        |   FROM deg JOIN bp ON bp.p_partkey = deg.node GROUP BY 1),
+        | br AS (SELECT degb.p_brand, coalesce(intra.ec, 0) ec, degb.dc
+        |   FROM degb LEFT JOIN intra ON intra.p_brand = degb.p_brand),
+        | tot AS (SELECT sum(4*m.m*br.ec - br.dc*br.dc)::BIGINT num
+        |   FROM br, m)
+        |SELECT br.p_brand AS brand, br.ec AS intra_edges,
+        |  br.dc AS degree_sum,
+        |  round(br.ec::DOUBLE / m.m::DOUBLE, 6) AS intra_share,
+        |  round((4*m.m*br.ec - br.dc*br.dc)::DOUBLE
+        |    / (4.0*m.m::DOUBLE*m.m::DOUBLE), 6) AS contribution,
+        |  round(tot.num::DOUBLE / (4.0*m.m::DOUBLE*m.m::DOUBLE), 6)
+        |    AS modularity
+        |FROM br, m, tot ORDER BY brand""".stripMargin,
+    "q185_hybrid_rrf" ->
+      """WITH corpus AS (
+        |  SELECT d.doc_id AS id,
+        |    list_distinct(list_filter(
+        |      regexp_split_to_array(lower(trim(d.text)),'\s+'),
+        |      x -> length(x) > 0)) AS toks,
+        |    e.embedding::DOUBLE[] AS v
+        |  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+        |  WHERE length(trim(d.text)) > 0
+        |), q AS (SELECT * FROM corpus WHERE id % 40 = 0),
+        | lex AS (
+        |  SELECT q.id qid, c.id cid,
+        |    len(list_intersect(q.toks, c.toks))::DOUBLE /
+        |      len(list_distinct(list_concat(q.toks, c.toks)))::DOUBLE AS j
+        |  FROM q JOIN corpus c ON c.id <> q.id
+        |), lexr AS (
+        |  SELECT qid, cid,
+        |    row_number() OVER (PARTITION BY qid ORDER BY j DESC, cid) AS r
+        |  FROM lex QUALIFY r <= 50
+        |), cosv AS (
+        |  SELECT q.id qid, c.id cid,
+        |    list_inner_product(q.v, c.v) /
+        |      (sqrt(list_inner_product(q.v, q.v)) *
+        |        sqrt(list_inner_product(c.v, c.v))) AS cos
+        |  FROM q JOIN corpus c ON c.id <> q.id
+        |), cosr AS (
+        |  SELECT qid, cid,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS r
+        |  FROM cosv QUALIFY r <= 50
+        |), fused AS (
+        |  SELECT coalesce(l.qid, c.qid) qid, coalesce(l.cid, c.cid) cid,
+        |    coalesce(1.0::DOUBLE/(60::DOUBLE + l.r::DOUBLE), 0.0) +
+        |      coalesce(1.0::DOUBLE/(60::DOUBLE + c.r::DOUBLE), 0.0) AS score,
+        |    l.r lr, c.r cr
+        |  FROM lexr l FULL OUTER JOIN cosr c
+        |    ON l.qid = c.qid AND l.cid = c.cid
+        |)
+        |SELECT qid, cid, round(score, 9) AS rrf,
+        |  coalesce(lr, -1) AS lex_rank, coalesce(cr, -1) AS cos_rank,
+        |  row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid)
+        |    AS rank
+        |FROM fused QUALIFY rank <= 10 ORDER BY qid, rank""".stripMargin)
+}

@@ -1169,16 +1169,25 @@ object Dedup {
       if (maxDist == 1) s"array_append($del1, __s)"
       else s"array_append(concat($del1, if(length(__s) >= 2, $del2, " +
         s"cast(array() as array<string>))), __s)"
-    val exploded = base
-      .select(col("__id"), col("__s"),
-        explode(array_distinct(expr(variants))).as("__v"))
-    val a = exploded.select(col("__id").as("id_a"), col("__s").as("__sa"),
-      col("__v"))
-    val b = exploded.select(col("__id").as("id_b"), col("__s").as("__sb"),
-      col("__v"))
-    a.join(b, Seq("__v")).filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("__sa"), col("__sb"))
+    // The variant join fans out to ~Σ bucket² rows (4M at the sf0.1
+    // customer-name census from 285k variants); carrying the two text
+    // payloads through that join and its dedup shuffled ~6× the bytes
+    // of the id-only form. Ids travel through the heavy join/distinct;
+    // texts re-attach afterwards via two joins against the (small,
+    // checkpointed) base relation, paid only per surviving PAIR.
+    val based = base.localCheckpoint() // explode + both text re-joins
+    val exploded = based
+      .select(col("__id"), explode(array_distinct(expr(variants))).as("__v"))
+    val a = exploded.select(col("__id").as("id_a"), col("__v"))
+    val b = exploded.select(col("__id").as("id_b"), col("__v"))
+    val pairs = a.join(b, Seq("__v")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
       .distinct()
+    pairs
+      .join(based.select(col("__id").as("id_a"), col("__s").as("__sa")),
+        Seq("id_a"))
+      .join(based.select(col("__id").as("id_b"), col("__s").as("__sb")),
+        Seq("id_b"))
       .select(col("id_a"), col("id_b"), col("__sa").as("text_a"),
         col("__sb").as("text_b"),
         levenshtein(col("__sa"), col("__sb")).as("dist"))

@@ -223,6 +223,70 @@ object Graph {
         coalesce(col("triangles"), lit(0L)).as("triangles"))
   }
 
+  /** Newman modularity of a GIVEN node partition over an undirected
+    * edge list — the attribute-community health check of an entity
+    * graph ("do co-purchases concentrate within brands?"): per label,
+    * intra-label edge count, degree sum, their shares, the label's
+    * modularity contribution, and the overall Q as a constant column.
+    * Q = Σ_c (e_c/m − (D_c/2m)²); Q ≈ 0 means the labeling explains
+    * none of the edge structure (a negative control every attribute
+    * hypothesis should be run through before clustering on it).
+    *
+    * Cross-engine exactness: the textbook form sums per-label DOUBLE
+    * terms in engine-dependent order. Rewritten over a common
+    * denominator, contribution = (4m·e_c − D_c²) / 4m² — the numerator
+    * is an exact long, the Q numerator Σ_c(4m·e_c − D_c²) is an exact
+    * long, and every output is ONE double division (the q167/q181
+    * integer-grid discipline). |4m·e_c| ≤ 4m² caps the exact range at
+    * m ≈ 1.5e9 edges — past that ANSI long arithmetic raises loudly
+    * rather than drifting.
+    *
+    * Edges are canonicalized (u<v, distinct, loops dropped); nodes
+    * missing from `labels` are dropped WITH their edges' degree
+    * contributions kept (degree is a property of the graph, not the
+    * labeling), and an intra edge requires BOTH endpoints labeled
+    * equal. Output is |labels|-row sized.
+    */
+  def partitionModularity(edges: DataFrame, srcCol: Column, dstCol: Column,
+      labels: DataFrame, nodeCol: Column, labelCol: Column): DataFrame = {
+    val e = edges.select(
+        least(srcCol, dstCol).as("u"), greatest(srcCol, dstCol).as("v"))
+      .filter(col("u").isNotNull && col("v").isNotNull &&
+        col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint() // feeds m, degrees AND the intra-label join
+    val lab = labels.select(nodeCol.as("node"), labelCol.as("label"))
+      .filter(col("node").isNotNull)
+    val lu = lab.select(col("node").as("u"), col("label").as("__la"))
+    val lv = lab.select(col("node").as("v"), col("label").as("__lb"))
+    val intra = e.join(lu, Seq("u")).join(lv, Seq("v"))
+      .filter(col("__la") === col("__lb"))
+      .groupBy(col("__la").as("label"))
+      .agg(count(lit(1)).as("intra_edges"))
+    val degl = e.select(col("u").as("node"))
+      .union(e.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("__d"))
+      .join(lab, Seq("node"))
+      .groupBy(col("label")).agg(sum(col("__d")).as("degree_sum"))
+    val m = e.count()
+    require(m > 0, "partitionModularity: empty edge set")
+    val byLabel = degl.join(intra, Seq("label"), "left_outer")
+      .select(col("label"), coalesce(col("intra_edges"), lit(0L))
+        .as("intra_edges"), col("degree_sum"))
+      .localCheckpoint() // |labels| rows; feeds per-label rows AND Q
+    val num = lit(4L) * lit(m) * col("intra_edges") -
+      col("degree_sum") * col("degree_sum")
+    val qTot = byLabel.agg(sum(num).as("__qnum"))
+    val denom = 4.0 * m.toDouble * m.toDouble
+    byLabel.crossJoin(broadcast(qTot))
+      .select(col("label"), col("intra_edges"), col("degree_sum"),
+        round(col("intra_edges").cast("double") / m.toDouble, 6)
+          .as("intra_share"),
+        round(num.cast("double") / denom, 6).as("contribution"),
+        round(col("__qnum").cast("double") / denom, 6).as("modularity"))
+      .orderBy(col("label"))
+  }
+
   /** Multi-source BFS hop distances over a DIRECTED edge list (feed a
     * symmetrized list for undirected semantics, the [[pageRank]]
     * convention): returns `(node, dist)` with the minimum hop count
