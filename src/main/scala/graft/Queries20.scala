@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Graph, Retrieval}
+import graft.operators.{Graph, Retrieval, Sampling}
 import graft.functions.VectorExprs.vec_dot
 
 /** Twentieth query batch (round 11): attribute-community modularity
@@ -113,9 +113,30 @@ object Queries20 {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** Token-budget mixture plan over the language domains
+    * ([[Sampling.tokenBudgetPlan]]): a 2×-total-tokens budget, an
+    * en/zh-upweighted target (30/30/14/13/13), a 4-epoch repeat cap —
+    * per language: available mass, wanted vs granted allocation,
+    * epoch counts, capped flag. The zh upweight drives that domain
+    * past the cap (~7 wanted epochs at every SF's ~8% zh share) while
+    * en stays under — both polarities live in the panel. |langs| rows,
+    * everything after one token-count aggregate.
+    */
+  def q186_mixture_plan(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("lang"),
+        size(split(lower(trim(col("text"))), "\\s+")).cast("long").as("tk"))
+    Sampling.tokenBudgetPlan(docs, col("lang"), col("tk"),
+      weights = Seq("en" -> 30L, "de" -> 14L, "es" -> 13L, "fr" -> 13L,
+        "zh" -> 30L),
+      budgetNum = 2L, budgetDen = 1L, maxEpochs = 4L)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q184_brand_modularity" -> q184_brand_modularity _,
-    "q185_hybrid_rrf" -> q185_hybrid_rrf _)
+    "q185_hybrid_rrf" -> q185_hybrid_rrf _,
+    "q186_mixture_plan" -> q186_mixture_plan _)
 
   val oracles: Map[String, String] = Map(
     "q184_brand_modularity" ->
@@ -185,5 +206,32 @@ object Queries20 {
         |  coalesce(lr, -1) AS lex_rank, coalesce(cr, -1) AS cos_rank,
         |  row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid)
         |    AS rank
-        |FROM fused QUALIFY rank <= 10 ORDER BY qid, rank""".stripMargin)
+        |FROM fused QUALIFY rank <= 10 ORDER BY qid, rank""".stripMargin,
+    "q186_mixture_plan" ->
+      """WITH d AS (
+        |  SELECT lang AS domain,
+        |    sum(len(regexp_split_to_array(lower(trim(text)),'\s+')))::BIGINT
+        |      AS toks
+        |  FROM documents WHERE length(trim(text)) > 0 GROUP BY 1
+        |  HAVING sum(len(regexp_split_to_array(lower(trim(text)),'\s+'))) > 0
+        |), w AS (
+        |  SELECT domain, toks,
+        |    CASE domain WHEN 'en' THEN 30 WHEN 'de' THEN 14
+        |      WHEN 'es' THEN 13 WHEN 'fr' THEN 13 WHEN 'zh' THEN 30
+        |      ELSE 0 END::BIGINT AS weight
+        |  FROM d
+        |), t AS (SELECT sum(toks)::BIGINT tot FROM w),
+        | p AS (
+        |  SELECT w.domain, w.toks, w.weight,
+        |    (w.weight * 2 * t.tot) // (100 * 1) AS alloc,
+        |    least((w.weight * 2 * t.tot) // (100 * 1), 4 * w.toks)
+        |      AS granted
+        |  FROM w, t
+        |), g AS (SELECT sum(granted)::BIGINT gt FROM p)
+        |SELECT domain, toks, weight, alloc, granted,
+        |  round(alloc::DOUBLE / toks::DOUBLE, 6) AS epochs_wanted,
+        |  round(granted::DOUBLE / toks::DOUBLE, 6) AS epochs,
+        |  CASE WHEN alloc > 4 * toks THEN 1 ELSE 0 END AS capped,
+        |  g.gt AS granted_total
+        |FROM p, g ORDER BY domain""".stripMargin)
 }

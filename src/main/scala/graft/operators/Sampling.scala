@@ -610,4 +610,66 @@ object Sampling {
       .filter(col("__rn") <= col("__q"))
       .drop("__rn", "__dom", "__q")
   }
+
+  /** Token-denominated mixture PLAN — the data-mixing table a training
+    * run is provisioned from: given per-domain available token mass,
+    * integer percentage weights, a budget expressed as the exact
+    * rational `budgetNum/budgetDen` of the total available mass, and a
+    * repeat cap (`maxEpochs` passes over a domain — the standard
+    * repeated-data bound), emit per domain: available tokens, weight,
+    * the wanted allocation, the granted (cap-clamped) allocation, both
+    * epoch counts, a capped flag, and the granted total. The sibling of
+    * [[targetMixture]] (which REBALANCES rows); this one PLANS token
+    * budgets and says which domains will repeat and which cap out.
+    *
+    * Exactness: weights are integer percents and the budget a rational
+    * of the total, so `alloc = weight·budgetNum·T / (100·budgetDen)`
+    * is one exact integer division; granted/capped are exact long
+    * comparisons; the only doubles are the two epoch displays (one
+    * division each). ANSI long arithmetic raises loudly on overflow
+    * (weight·budgetNum·T caps the exact range at ~3e15 tokens with
+    * default-scale operands — raise budgetDen rather than overflow).
+    *
+    * `df` is the raw corpus: one row per document. Domains missing
+    * from `weights` get weight 0 (explicit zero-allocation rows, not
+    * silent drops). Input sized |corpus|, everything after the first
+    * aggregate is |domains|-row.
+    */
+  def tokenBudgetPlan(df: DataFrame, domainCol: Column, tokensCol: Column,
+      weights: Seq[(String, Long)], budgetNum: Long, budgetDen: Long,
+      maxEpochs: Long = 4L): DataFrame = {
+    require(weights.nonEmpty, "tokenBudgetPlan: weights required")
+    require(weights.map(_._2).forall(_ >= 0), "weights must be >= 0")
+    require(weights.map(_._2).sum == 100L,
+      s"weights must sum to 100 (got ${weights.map(_._2).sum})")
+    require(budgetNum > 0 && budgetDen > 0, "budget must be positive")
+    require(maxEpochs >= 1, "maxEpochs must be >= 1")
+    val d = df.select(domainCol.as("domain"), tokensCol.cast("long").as("__tk"))
+      .filter(col("domain").isNotNull && col("__tk").isNotNull)
+      .groupBy(col("domain")).agg(sum(col("__tk")).as("toks"))
+      .filter(col("toks") > 0) // zero-mass domains can't be planned
+    val wExpr = weights.foldLeft(lit(0L)) { case (acc, (dom, w)) =>
+      when(col("domain") === dom, lit(w)).otherwise(acc)
+    }
+    val w = d.select(col("domain"), col("toks"), wExpr.as("weight"))
+      .localCheckpoint() // |domains| rows; feeds totals AND the plan
+    val tot = w.agg(sum(col("toks")).as("__tot"))
+    val alloc = expr(s"(weight * $budgetNum * __tot) div (100 * $budgetDen)")
+    val p = w.crossJoin(broadcast(tot))
+      .select(col("domain"), col("toks"), col("weight"), alloc.as("alloc"),
+        least(alloc, lit(maxEpochs) * col("toks")).as("granted"))
+      .localCheckpoint() // |domains| rows; feeds rows AND granted_total
+    val g = p.agg(sum(col("granted")).as("__gt"))
+    p.crossJoin(broadcast(g))
+      .select(col("domain"), col("toks"), col("weight"), col("alloc"),
+        col("granted"),
+        round(col("alloc").cast("double") / col("toks").cast("double"), 6)
+          .as("epochs_wanted"),
+        round(col("granted").cast("double") / col("toks").cast("double"), 6)
+          .as("epochs"),
+        when(col("alloc") > lit(maxEpochs) * col("toks"), lit(1))
+          .otherwise(lit(0)).as("capped"),
+        col("__gt").as("granted_total"))
+      .orderBy(col("domain"))
+  }
 }

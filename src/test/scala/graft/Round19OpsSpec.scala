@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Graph, Retrieval}
+import graft.operators.{Graph, Retrieval, Sampling}
 
 /** Round-19 batch: partition modularity vs a driver brute force on
   * labeled fuzz graphs (canonicalization, unlabeled-node policy, the
@@ -150,5 +150,37 @@ class Round19OpsSpec extends SparkSpec {
     assert(got(0)._2 === (0.0 + 1.0 / 62) + 1.0 / 61)
     assert(got(1)._2 === 1.0 / 61)
     assert(got(2)._2 === 1.0 / 62)
+  }
+
+  test("tokenBudgetPlan: exact allocation arithmetic, cap polarity, " +
+    "zero-weight and zero-mass domains, weight-sum guard") {
+    // rows: (domain, tokens). Totals: a=1000, b=8000, c=1000 -> 10000.
+    // budget = 3/2 of total = 15000. weights a=60 b=30 c=10 (+d absent
+    // from data, e in data but not in weights -> weight 0; z zero-mass)
+    val rows = Seq(("a", 600L), ("a", 400L), ("b", 8000L), ("c", 1000L),
+      ("e", 500L), ("z", 0L))
+    val df = rows.toDF("dom", "tk")
+    val got = Sampling.tokenBudgetPlan(df, col("dom"), col("tk"),
+      weights = Seq("a" -> 60L, "b" -> 30L, "c" -> 10L),
+      budgetNum = 3L, budgetDen = 2L, maxEpochs = 4L)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6), r.getInt(7),
+        r.getLong(8)))
+      .toSeq
+    // total = 10500 (e's 500 counts toward the budget base);
+    // alloc_a = 60*3*10500 / (100*2) = 9450 -> cap 4000; b = 4725;
+    // c = 1575; e = 0
+    val gt = 4000L + 4725L + 1575L + 0L
+    assert(got === Seq(
+      ("a", 1000L, 60L, 9450L, 4000L, 9.45, 4.0, 1, gt),
+      ("b", 8000L, 30L, 4725L, 4725L, rnd6(4725.0 / 8000), rnd6(4725.0 / 8000), 0, gt),
+      ("c", 1000L, 10L, 1575L, 1575L, 1.575, 1.575, 0, gt),
+      ("e", 500L, 0L, 0L, 0L, 0.0, 0.0, 0, gt)))
+    // z (zero mass) dropped; weight-sum guard raises
+    intercept[IllegalArgumentException] {
+      Sampling.tokenBudgetPlan(df, col("dom"), col("tk"),
+        weights = Seq("a" -> 50L), budgetNum = 1L, budgetDen = 1L)
+    }
   }
 }
