@@ -74,7 +74,11 @@ object Queries17 {
     val op = t(s, dir, "lineitem")
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
       .distinct()
-      .localCheckpoint() // both self-join sides
+      // corpus-sized (57M rows at the 100× rehearsal) and feeding the
+      // densest downstream in the catalog — DISK_ONLY keeps the
+      // storage pool free for the wedge stage (see triangleCounts)
+      .localCheckpoint(true,
+        org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val a = op.select(col("o"), col("p").as("pa"))
     val b = op.select(col("o"), col("p").as("pb"))
     val edges = a.join(b, Seq("o")).filter(col("pa") < col("pb"))

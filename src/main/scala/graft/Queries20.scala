@@ -74,7 +74,11 @@ object Queries20 {
           x => length(x) > 0)).as("toks"),
         col("embedding").cast("array<double>").as("v"))
       .localCheckpoint() // feeds the panel + both candidate scans
-    val panel = corpus.filter(col("id") % 40 === 0)
+    // FIXED panel: the bare modulo grows the panel with the corpus
+    // (5000 queries at sf10 — 464 s; the r8 q33/q44/q46 lesson). The
+    // id cap is a no-op at every oracle SF (ids < 2000 there) and pins
+    // the panel at 50 queries at any scale.
+    val panel = corpus.filter(col("id") % 40 === 0 && col("id") < 2000)
     val lex = corpus.join(
         broadcast(panel.select(col("id").as("qid"), col("toks").as("qtoks"))),
         col("id") =!= col("qid"))
@@ -174,7 +178,7 @@ object Queries20 {
         |    e.embedding::DOUBLE[] AS v
         |  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
         |  WHERE length(trim(d.text)) > 0
-        |), q AS (SELECT * FROM corpus WHERE id % 40 = 0),
+        |), q AS (SELECT * FROM corpus WHERE id % 40 = 0 AND id < 2000),
         | lex AS (
         |  SELECT q.id qid, c.id cid,
         |    len(list_intersect(q.toks, c.toks))::DOUBLE /

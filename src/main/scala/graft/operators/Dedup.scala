@@ -1169,28 +1169,47 @@ object Dedup {
       if (maxDist == 1) s"array_append($del1, __s)"
       else s"array_append(concat($del1, if(length(__s) >= 2, $del2, " +
         s"cast(array() as array<string>))), __s)"
-    // The variant join fans out to ~Σ bucket² rows (4M at the sf0.1
-    // customer-name census from 285k variants); carrying the two text
-    // payloads through that join and its dedup shuffled ~6× the bytes
-    // of the id-only form. Ids travel through the heavy join/distinct;
-    // texts re-attach afterwards via two joins against the (small,
-    // checkpointed) base relation, paid only per surviving PAIR.
-    val based = base.localCheckpoint() // explode + both text re-joins
-    val exploded = based
-      .select(col("__id"), explode(array_distinct(expr(variants))).as("__v"))
-    val a = exploded.select(col("__id").as("id_a"), col("__v"))
-    val b = exploded.select(col("__id").as("id_b"), col("__v"))
-    val pairs = a.join(b, Seq("__v")).filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"))
+    // Dedup-before-linkage: the variant join runs on DISTINCT TEXTS,
+    // never ids. Duplicate strings multiply every variant bucket — k
+    // copies per string square the join fan-out k× and reverify
+    // identical pairs k²× (the sf10 rehearsal corpus carries ~4 exact
+    // copies of every name — its 100-replicas ÷ 26-rotations structure
+    // — and the id-level join spilled past 63 GB of scratch there; the
+    // text-level join is 16× lighter and value-identical). Levenshtein
+    // is paid once per TEXT pair; id pairs are produced afterwards by
+    // expanding each verified text pair across its two copy groups,
+    // and exact-duplicate (dist 0) id pairs come from a per-text-group
+    // self-join — output mass, not intermediate mass.
+    val based = base.localCheckpoint() // text groups + both expansions
+    val texts = based.select(col("__s")).distinct()
+      .localCheckpoint() // both variant-join sides
+    val exploded = texts
+      .select(col("__s"), explode(array_distinct(expr(variants))).as("__v"))
+    val ta = exploded.select(col("__s").as("__sa"), col("__v"))
+    val tb = exploded.select(col("__s").as("__sb"), col("__v"))
+    val tpairs = ta.join(tb, Seq("__v")).filter(col("__sa") < col("__sb"))
+      .select(col("__sa"), col("__sb"))
       .distinct()
-    pairs
-      .join(based.select(col("__id").as("id_a"), col("__s").as("__sa")),
-        Seq("id_a"))
-      .join(based.select(col("__id").as("id_b"), col("__s").as("__sb")),
-        Seq("id_b"))
-      .select(col("id_a"), col("id_b"), col("__sa").as("text_a"),
-        col("__sb").as("text_b"),
+      .select(col("__sa"), col("__sb"),
         levenshtein(col("__sa"), col("__sb")).as("dist"))
-      .filter(col("dist") <= maxDist)
+      .filter(col("dist") >= 1 && col("dist") <= maxDist)
+    val ea = based.select(col("__id").as("__ia"), col("__s").as("__sa"))
+    val eb = based.select(col("__id").as("__ib"), col("__s").as("__sb"))
+    val crossed = tpairs.join(ea, Seq("__sa")).join(eb, Seq("__sb"))
+      .filter(col("__ia") =!= col("__ib")) // dup-id inputs: no self-pair
+      .select(
+        least(col("__ia"), col("__ib")).as("id_a"),
+        greatest(col("__ia"), col("__ib")).as("id_b"),
+        when(col("__ia") < col("__ib"), col("__sa")).otherwise(col("__sb"))
+          .as("text_a"),
+        when(col("__ia") < col("__ib"), col("__sb")).otherwise(col("__sa"))
+          .as("text_b"),
+        col("dist"))
+    val g1 = based.select(col("__s"), col("__id").as("id_a"))
+    val g2 = based.select(col("__s"), col("__id").as("id_b"))
+    val exactDup = g1.join(g2, Seq("__s")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("__s").as("text_a"),
+        col("__s").as("text_b"), lit(0).as("dist"))
+    crossed.unionByName(exactDup)
   }
 }

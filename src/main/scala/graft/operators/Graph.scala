@@ -167,11 +167,20 @@ object Graph {
     */
   def triangleCounts(edges: DataFrame, srcCol: Column,
       dstCol: Column, broadcastEdgeLimit: Long = 4000000L): DataFrame = {
+    // Edge-sized checkpoints go DISK_ONLY: the default MEMORY_AND_DISK
+    // unroll copies each partition's UnsafeRows into a heap buffer
+    // before caching, and at the 100× census (119.6M edges; e + the
+    // oriented relation ≈ 14 GB of blocks) that tipped a 24 GB heap
+    // into task OOM — DISK_ONLY streams partitions straight to local
+    // scratch with no unroll cliff and no storage-pool pressure on the
+    // joins that follow. Node-sized checkpoints (deg) keep the default.
     val e = edges.select(
         least(srcCol, dstCol).as("u"), greatest(srcCol, dstCol).as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
-      .localCheckpoint() // feeds degrees AND the orientation join
+      .localCheckpoint(true,
+        org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      // feeds degrees AND the orientation join
     val deg = e.select(col("u").as("node"))
       .union(e.select(col("v").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("degree"))
@@ -186,7 +195,9 @@ object Graph {
         when(uFirst, col("u")).otherwise(col("v")).as("src"),
         when(uFirst, col("v")).otherwise(col("u")).as("dst"),
         when(uFirst, col("dv")).otherwise(col("du")).as("ddst"))
-      .localCheckpoint() // three consumers below
+      .localCheckpoint(true,
+        org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      // three consumers below; edge-sized -> DISK_ONLY (see e above)
     // Wedges at each source: unordered out-neighbor pairs, ordered by
     // (degree, id) so the closing edge is oriented lo -> hi.
     val w1 = oriented.select(col("src"), col("dst").as("x"),
@@ -199,18 +210,63 @@ object Graph {
       .select(col("src").as("a"), col("x").as("b"), col("y").as("c"))
     // The closing probe decides the whole shuffle budget: wedge mass is
     // Σ C(d⁺,2) ≈ m^1.5-bounded (41M at the sf0.1 co-purchase census vs
-    // 1.2M edges), so a shuffled semi join moves ~34× the edge mass.
-    // Below the cap the edge set (two ids per row) broadcasts instead
-    // and wedges STREAM map-side from generation through the closing
-    // probe into the per-node partial agg — no wedge-mass shuffle at
-    // all. Past the cap (the broadcast no longer fits; ~64 MB of ids at
-    // the default) it falls back to the shuffled semi join, which is
-    // the scale-correct shape. The count is a cheap job: e is already
-    // checkpointed.
+    // 1.2M edges; 4.1B at its 100× rehearsal over 119.6M edges), so a
+    // naive shuffled semi join moves ~34× the edge mass — at the 100×
+    // point that is an ~80 GB shuffle that outgrows local scratch.
+    // Below the cap the edge set (two ids per row) broadcasts and
+    // wedges STREAM map-side from generation through the closing probe
+    // into the per-node partial agg — no wedge-mass shuffle at all.
+    // Past the cap, a BLOOM filter over the closing keys (the q118
+    // machinery; ~0.3 GB at 120M edges / fpp 0.02) prunes the wedge
+    // stream map-side to ~triangles + fpp·wedges BEFORE the shuffled
+    // semi join — the standard distributed-triangle shape at edge
+    // counts where the exact edge set no longer broadcasts. The count
+    // is a cheap job: e is already checkpointed.
+    val m = e.count()
     val closing0 = oriented.select(col("src").as("b"), col("dst").as("c"))
-    val closing =
-      if (e.count() <= broadcastEdgeLimit) broadcast(closing0) else closing0
-    val tris = wedges.join(closing, Seq("b", "c"), "left_semi")
+    val tris =
+      if (m <= broadcastEdgeLimit)
+        wedges.join(broadcast(closing0), Seq("b", "c"), "left_semi")
+      else {
+        log.info(s"triangleCounts: $m edges > broadcast cap " +
+          s"$broadcastEdgeLimit — bloom-pruning the wedge stream")
+        // stat.bloomFilter SILENTLY clamps the filter at
+        // spark.sql.optimizer.runtime.bloomFilter.maxNumBits (default
+        // 64M bits = 8 MiB): at 119.6M closing keys that is 0.56
+        // bits/key, realized fpp ≈ 1, ZERO pruning — measured as a
+        // 48 GB wedge shuffle that filled local scratch. Unclamp
+        // around the build (save/restore); the filter is then sized by
+        // (m, fpp) as requested — 116 MiB at the 100× census, riding
+        // the wedge stage's task binary, vs the ~80 GB shuffle it
+        // replaces.
+        // BOTH clamps matter: maxNumBits caps the filter size, and
+        // maxNumItems (default 4M) caps the ITEM count the hash-count
+        // formula sees — at 119.6M real keys that yields ~170 hash
+        // functions and a SATURATED filter (measured fpp 1.000, zero
+        // pruning) even after the bits unclamp.
+        val conf = edges.sparkSession.conf
+        val bitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+        val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+        val prevBits = conf.get(bitsKey, "67108864")
+        val prevItems = conf.get(itemsKey, "4000000")
+        val bloom =
+          try {
+            conf.set(bitsKey, "4294967296")
+            conf.set(itemsKey, "4294967296")
+            closing0.stat.bloomFilter(xxhash64(col("b"), col("c")), m, 0.02)
+          } finally {
+            conf.set(bitsKey, prevBits)
+            conf.set(itemsKey, prevItems)
+          }
+        if (bloom.expectedFpp() > 0.2)
+          log.warn(f"triangleCounts: realized bloom fpp " +
+            f"${bloom.expectedFpp()}%.3f — pruning will be weak")
+        val bytes = graft.functions.SketchGate.serializeBloom(bloom)
+        wedges
+          .filter(graft.functions.SketchGate.bloom_contains(bytes,
+            xxhash64(col("b"), col("c"))))
+          .join(closing0, Seq("b", "c"), "left_semi")
+      }
     // ONE consumer of the wedge pipeline: a 3-way union of selects would
     // re-execute the wedge join + semi probe per branch (the round-5
     // mirrored-pairs lesson — measured 3× on the q172 census); explode

@@ -124,6 +124,13 @@ class Round16OpsSpec extends SparkSpec {
         .as[(Int, Long, Long)].collect()
         .map { case (n, d, t) => n -> (d, t) }.toMap
       assert(got === bruteTriangles(raw), s"seed=$seed")
+      // force the past-the-cap branch (bloom-pruned shuffled semi):
+      // must be value-identical to the broadcast branch
+      val gotBloom = Graph.triangleCounts(df, col("src"), col("dst"),
+          broadcastEdgeLimit = 0L)
+        .as[(Int, Long, Long)].collect()
+        .map { case (n, d, t) => n -> (d, t) }.toMap
+      assert(gotBloom === got, s"seed=$seed bloom branch")
     }
   }
 
