@@ -64,7 +64,9 @@ object Queries19 {
     val op = t(s, dir, "lineitem")
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
       .distinct()
-      .localCheckpoint() // both self-join sides
+      // corpus-sized: DISK_ONLY (q172's unroll-cliff lesson)
+      .localCheckpoint(true,
+        org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val a = op.select(col("o"), col("p").as("pa"))
     val b = op.select(col("o"), col("p").as("pb"))
     val e = a.join(b, Seq("o")).filter(col("pa") < col("pb"))

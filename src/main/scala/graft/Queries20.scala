@@ -34,7 +34,9 @@ object Queries20 {
     val op = t(s, dir, "lineitem")
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
       .distinct()
-      .localCheckpoint() // both self-join sides
+      // corpus-sized: DISK_ONLY (q172's unroll-cliff lesson)
+      .localCheckpoint(true,
+        org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val a = op.select(col("o"), col("p").as("pa"))
     val b = op.select(col("o"), col("p").as("pb"))
     val e = a.join(b, Seq("o")).filter(col("pa") < col("pb"))
@@ -91,15 +93,20 @@ object Queries20 {
       .select(col("qid").as("query_id"), col("cid").as("match_id"),
         col("r").as("rank"))
       .localCheckpoint() // ≤50·|panel| rows; feeds fuse + display join
+    // zero-norm guard INSIDE the value (round-5 rule: NaN cos would
+    // head every desc top-k; null ranks last) — mirrored in the oracle
     val cos = corpus.join(
         broadcast(panel.select(col("id").as("qid"), col("v").as("qv"))),
         col("id") =!= col("qid"))
       .select(col("qid"), col("id").as("cid"),
-        (vec_dot(col("qv"), col("v")) /
-          (sqrt(vec_dot(col("qv"), col("qv"))) *
-            sqrt(vec_dot(col("v"), col("v"))))).as("cos"))
+        when(vec_dot(col("qv"), col("qv")) > 0 &&
+            vec_dot(col("v"), col("v")) > 0,
+          vec_dot(col("qv"), col("v")) /
+            (sqrt(vec_dot(col("qv"), col("qv"))) *
+              sqrt(vec_dot(col("v"), col("v"))))).as("cos"))
     val wc = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
-    val cosr = cos.withColumn("r", row_number().over(wc))
+    val cosr = cos.filter(col("cos").isNotNull)
+      .withColumn("r", row_number().over(wc))
       .filter(col("r") <= 50)
       .select(col("qid").as("query_id"), col("cid").as("match_id"),
         col("r").as("rank"))
@@ -190,14 +197,16 @@ object Queries20 {
         |  FROM lex QUALIFY r <= 50
         |), cosv AS (
         |  SELECT q.id qid, c.id cid,
-        |    list_inner_product(q.v, c.v) /
+        |    CASE WHEN list_inner_product(q.v, q.v) > 0
+        |          AND list_inner_product(c.v, c.v) > 0
+        |    THEN list_inner_product(q.v, c.v) /
         |      (sqrt(list_inner_product(q.v, q.v)) *
-        |        sqrt(list_inner_product(c.v, c.v))) AS cos
+        |        sqrt(list_inner_product(c.v, c.v))) END AS cos
         |  FROM q JOIN corpus c ON c.id <> q.id
         |), cosr AS (
         |  SELECT qid, cid,
         |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS r
-        |  FROM cosv QUALIFY r <= 50
+        |  FROM cosv WHERE cos IS NOT NULL QUALIFY r <= 50
         |), fused AS (
         |  SELECT coalesce(l.qid, c.qid) qid, coalesce(l.cid, c.cid) cid,
         |    coalesce(1.0::DOUBLE/(60::DOUBLE + l.r::DOUBLE), 0.0) +

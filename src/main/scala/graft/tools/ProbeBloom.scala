@@ -14,8 +14,12 @@ object ProbeBloom {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
     val df = (0L until 100000L).toDF("k")
+    // BOTH clamps (the items clamp alone saturates large filters via
+    // a ~170-hash-function sizing — the Graph.triangleCounts lesson)
     spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.maxNumBits",
-      "1073741824")
+      "4294967296")
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.maxNumItems",
+      "4294967296")
     for (n <- Seq(1000000L, 10000000L, 119600000L)) {
       val bf = df.stat.bloomFilter(col("k"), n, 0.02)
       val bytes = graft.functions.SketchGate.serializeBloom(bf)
