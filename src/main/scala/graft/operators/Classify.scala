@@ -266,8 +266,12 @@ object Classify {
   // INSIDE the otherwise-branch (CaseWhen evaluates branches lazily);
   // q159/targetMixture idiom: a guard in its own pruned-away column
   // never fires
+  // coalesce first: EMPTY/all-null input reaches here as ONE row of null
+  // aggregates, and when(null === 0, raise) is null → otherwise(), so the
+  // bare form would silently emit an all-null panel instead of raising
   private def guarded(value: Column): Column =
-    when(col("n_pos") === 0 || col("n_neg") === 0, raise_error(lit(
+    when(coalesce(col("n_pos"), lit(0L)) === 0 ||
+        coalesce(col("n_neg"), lit(0L)) === 0, raise_error(lit(
       "binaryScorePanel: both classes required (n_pos or n_neg is 0)")))
       .otherwise(value)
 
@@ -299,7 +303,7 @@ object Classify {
       .select(col("bucket"), col("n"),
         round(col("__np").cast("double") / col("n").cast("double"), 6)
           .as("pos_rate"),
-        when(col("__p") === 0, raise_error(lit(
+        when(coalesce(col("__p"), lit(0L)) === 0, raise_error(lit(
           "liftTable: at least one positive required")))
           .otherwise(round(col("__cumPos").cast("double") /
             col("__p").cast("double"), 6)).as("cum_capture"),

@@ -81,8 +81,30 @@ object Graph {
     require(typed.schema(0).dataType == typed.schema(1).dataType,
       s"src/dst types must agree, got ${typed.schema.map(_.dataType)}")
     val e = typed.repartition(col("__src")).localCheckpoint()
-    val out = e.groupBy(col("__src")).agg(sum(col("__w")).as("__od"))
-      .localCheckpoint()
+    // weighted path: validate the scaladoc contract LOUDLY inside the
+    // out-strength value (a zero/negative strength would make
+    // rate = r/0 = Inf and NaN-poison the rank vector SILENTLY —
+    // double division doesn't ANSI-throw; null weights would silently
+    // drop edges from the contribution join). The check rides the
+    // aggregate the path already pays: count(__w) < count(*) detects
+    // nulls (min() skips them), min ≤ 0 detects the corrupting weights,
+    // isnan catches NaN (which compares ABOVE all doubles in Spark, so
+    // min ≤ 0 alone would miss it). Unweighted keeps the bare plan.
+    val out = (weightCol match {
+      case None => e.groupBy(col("__src")).agg(sum(col("__w")).as("__od"))
+      case Some(_) => e.groupBy(col("__src"))
+        .agg(sum(col("__w")).as("__odRaw"), min(col("__w")).as("__wmin"),
+          count(lit(1)).as("__ne"), count(col("__w")).as("__nw"))
+        .select(col("__src"),
+          when(col("__nw") < col("__ne") || col("__wmin") <= 0.0 ||
+              isnan(col("__wmin")) || isnan(col("__odRaw")) ||
+              col("__odRaw") === lit(Double.PositiveInfinity),
+            raise_error(concat(
+              lit("pageRank: edge weights must be non-null, finite and " +
+                "> 0 (violating src node: "),
+              col("__src").cast("string"), lit(")"))))
+            .otherwise(col("__odRaw")).as("__od"))
+    }).localCheckpoint()
     val nodes = e.select(col("__src").as("node"))
       .union(e.select(col("__dst").as("node")))
       .distinct().localCheckpoint()

@@ -632,8 +632,12 @@ object Sampling {
     *
     * `df` is the raw corpus: one row per document. Domains missing
     * from `weights` get weight 0 (explicit zero-allocation rows, not
-    * silent drops). Input sized |corpus|, everything after the first
-    * aggregate is |domains|-row.
+    * silent drops). The OPPOSITE direction is loud: a domain carrying
+    * positive weight but absent from the corpus (or with zero token
+    * mass) raises — its weight·budget share could never be delivered
+    * and granted_total would silently under-shoot the budget (the
+    * [[targetMixture]] infeasible-domain convention). Input sized
+    * |corpus|, everything after the first aggregate is |domains|-row.
     */
   def tokenBudgetPlan(df: DataFrame, domainCol: Column, tokensCol: Column,
       weights: Seq[(String, Long)], budgetNum: Long, budgetDen: Long,
@@ -650,11 +654,31 @@ object Sampling {
     val d = df.select(domainCol.as("domain"), tokensCol.cast("long").as("__tk"))
       .filter(col("domain").isNotNull && col("__tk").isNotNull)
       .groupBy(col("domain")).agg(sum(col("__tk")).as("toks"))
+    // full outer against the weight list: a weighted domain the corpus
+    // can't supply must RAISE (the toks guard fires at the eager
+    // checkpoint below), while unweighted zero-mass corpus domains are
+    // simply unplannable and drop
+    val spark = df.sparkSession
+    // no broadcast hint: BHJ doesn't do FULL OUTER, and both sides are
+    // |domains|-row after the aggregate anyway
+    val wdf = spark.createDataFrame(
+      scala.jdk.CollectionConverters.SeqHasAsJava(
+        weights.map { case (dom, wt) => Row(dom, wt) }).asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("__wdom",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("__ww",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+    val w = d.join(wdf, col("domain") === col("__wdom"), "full_outer")
+      .select(coalesce(col("domain"), col("__wdom")).as("domain"),
+        when(coalesce(col("__ww"), lit(0L)) > 0 &&
+            coalesce(col("toks"), lit(0L)) <= 0,
+          raise_error(concat(lit("tokenBudgetPlan: weighted domain '"),
+            coalesce(col("domain"), col("__wdom")),
+            lit("' has no token mass in the corpus"))))
+          .otherwise(col("toks")).as("toks"),
+        coalesce(col("__ww"), lit(0L)).as("weight"))
       .filter(col("toks") > 0) // zero-mass domains can't be planned
-    val wExpr = weights.foldLeft(lit(0L)) { case (acc, (dom, w)) =>
-      when(col("domain") === dom, lit(w)).otherwise(acc)
-    }
-    val w = d.select(col("domain"), col("toks"), wExpr.as("weight"))
       .localCheckpoint() // |domains| rows; feeds totals AND the plan
     val tot = w.agg(sum(col("toks")).as("__tot"))
     val alloc = expr(s"(weight * $budgetNum * __tot) div (100 * $budgetDen)")
