@@ -48,19 +48,12 @@ object Queries16 {
     * scale), a combinable pair count, and a TakeOrdered top-k with a
     * total (n DESC, part_a, part_b) tie-break on both engines.
     */
-  def q166_copurchase_pairs(s: SparkSession, dir: String): DataFrame = {
-    val op = t(s, dir, "lineitem")
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-      .distinct()
-      .localCheckpoint()
-    val a = op.select(col("o"), col("p").as("part_a"))
-    val b = op.select(col("o"), col("p").as("part_b"))
-    a.join(b, Seq("o")).filter(col("part_a") < col("part_b"))
-      .groupBy(col("part_a"), col("part_b"))
-      .agg(count(lit(1)).as("n_orders"))
+  def q166_copurchase_pairs(s: SparkSession, dir: String): DataFrame =
+    CoPurchase.pairCounts(s, dir)
+      .select(col("pa").as("part_a"), col("pb").as("part_b"),
+        col("n_orders"))
       .orderBy(col("n_orders").desc, col("part_a"), col("part_b"))
       .limit(20)
-  }
 
   /** Per-nation Gini concentration of customer account balances via
     * the rank-weighted closed form `Σ(2i−n−1)·x_(i) / (n·Σx)` — a

@@ -71,18 +71,9 @@ object Queries17 {
     * catalog (~1.2M edges / 1.9M triangles at sf0.1).
     */
   def q172_copurchase_triangles(s: SparkSession, dir: String): DataFrame = {
-    val op = t(s, dir, "lineitem")
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-      .distinct()
-      // corpus-sized (57M rows at the 100× rehearsal) and feeding the
-      // densest downstream in the catalog — DISK_ONLY keeps the
-      // storage pool free for the wedge stage (see triangleCounts)
-      .localCheckpoint(true,
-        org.apache.spark.storage.StorageLevel.DISK_ONLY)
-    val a = op.select(col("o"), col("p").as("pa"))
-    val b = op.select(col("o"), col("p").as("pb"))
-    val edges = a.join(b, Seq("o")).filter(col("pa") < col("pb"))
-      .select(col("pa"), col("pb"))
+    // shared materialized pair relation (CoPurchase) — already
+    // distinct pa < pb pairs, so the census skips its dedup shuffle
+    val edges = CoPurchase.pairCounts(s, dir).select(col("pa"), col("pb"))
     Graph.triangleCounts(edges, col("pa"), col("pb"))
       .select(col("node").as("part"), col("degree"), col("triangles"),
         when(col("degree") >= 2,

@@ -61,17 +61,10 @@ object Queries19 {
     * join + node-sized state; |distinct distances|+1 rows out.
     */
   def q183_copurchase_reach(s: SparkSession, dir: String): DataFrame = {
-    val op = t(s, dir, "lineitem")
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-      .distinct()
-      // corpus-sized: DISK_ONLY (q172's unroll-cliff lesson)
-      .localCheckpoint(true,
-        org.apache.spark.storage.StorageLevel.DISK_ONLY)
-    val a = op.select(col("o"), col("p").as("pa"))
-    val b = op.select(col("o"), col("p").as("pb"))
-    val e = a.join(b, Seq("o")).filter(col("pa") < col("pb"))
-      .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("__w"))
-      .filter(col("__w") >= 2)
+    // shared materialized pair relation; the ≥2 filter pushes down to
+    // the parquet scan of the ~|pairs|-row relation
+    val e = CoPurchase.pairCounts(s, dir)
+      .filter(col("n_orders") >= 2)
       .select(col("pa"), col("pb"))
     val sym = e.select(col("pa").as("u"), col("pb").as("v"))
       .union(e.select(col("pb").as("u"), col("pa").as("v")))

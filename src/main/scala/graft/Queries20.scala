@@ -31,17 +31,9 @@ object Queries20 {
     * overall Q constant. |brands| rows.
     */
   def q184_brand_modularity(s: SparkSession, dir: String): DataFrame = {
-    val op = t(s, dir, "lineitem")
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-      .distinct()
-      // corpus-sized: DISK_ONLY (q172's unroll-cliff lesson)
-      .localCheckpoint(true,
-        org.apache.spark.storage.StorageLevel.DISK_ONLY)
-    val a = op.select(col("o"), col("p").as("pa"))
-    val b = op.select(col("o"), col("p").as("pb"))
-    val e = a.join(b, Seq("o")).filter(col("pa") < col("pb"))
-      .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("__w"))
-      .filter(col("__w") >= 2)
+    // shared materialized pair relation; ≥2 filter pushed to the scan
+    val e = CoPurchase.pairCounts(s, dir)
+      .filter(col("n_orders") >= 2)
       .select(col("pa").as("u"), col("pb").as("v"))
     Graph.partitionModularity(e, col("u"), col("v"),
         t(s, dir, "part").select(col("p_partkey"), col("p_brand")),
