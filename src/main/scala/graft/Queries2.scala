@@ -116,13 +116,17 @@ object Queries2 {
     */
   def q46_ivf_topk(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
-    val idx = Similarity.IvfIndex.trainCached(
-      s"$dir:embeddings", emb, "embedding", nlist = 8)
+    // corpus-size geometry (scaledIvfGeometry — MEASURED √n rule; the
+    // static nlist=8 lost recall as its cells grew: 0.82 at 200k
+    // vectors vs 0.995 scaled) — train-once cache returns the paired
+    // nprobe so the probe fraction stays pinned at ~1/8
+    val (idx, nprobe) = Similarity.IvfIndex.trainCachedScaled(
+      s"$dir:embeddings", emb, "embedding")
     // fixed query panel (see q33/q44): no-op at oracle SFs, keeps the
     // probe side broadcast-sized at rehearsal scale
     Similarity.ivfTopK(
         emb.filter(col("vec_id") % 50 === 0 && col("vec_id") < 2500), emb,
-        "vec_id", "embedding", k = 5, nlist = 8, nprobe = 2,
+        "vec_id", "embedding", k = 5, nprobe = nprobe,
         index = Some(idx))
       .select(col("query_id"), col("match_id"), round(col("cos"), 6).as("cos"),
         col("rank"))

@@ -40,12 +40,35 @@ private[graft] object SimhashCheck {
         s"missed_rots=$missedRots hamming_1_3=$near13"
   }
 
-  def run(spark: SparkSession, sfDir: String): Result = {
+  def run(spark: SparkSession, sfDir: String): Result =
+    runSampled(spark, sfDir, 1L)
+
+  /** [[run]] restricted to every `everyKthFamily`-th planted FAMILY —
+    * the past-the-brute-ceiling mode (r11 verdict item 5): the O(n²)
+    * brute force tops out around sf1's 65k signatures, so at sf10 the
+    * banded path ran value-UNverified. Sampling whole families (the
+    * base source id shared by a doc, its +1e7 dup, +2e7 rotation and
+    * +3e7 near-miss, across every ScaleUp replica — id arithmetic
+    * below) keeps planted pairs INSIDE the sample, so
+    * `banded ∩ (S×S) == brute-over-S` still exercises recovery, while
+    * an id-uniform sample of 5k/650k would keep ~0 pairs. The q32
+    * banded query still runs over the FULL corpus — only the
+    * comparison is restricted.
+    */
+  def runSampled(spark: SparkSession, sfDir: String,
+      everyKthFamily: Long): Result = {
+    // family(d): strip the ScaleUp replica offset (1e8·r), then the
+    // planted-variant offset (1e7/2e7/3e7) — what remains is the base
+    // source id every variant of a document shares
+    def fam(id: Long): Long = (id % 100000000L) % 10000000L
+    def in(id: Long): Boolean =
+      everyKthFamily <= 1L || fam(id) % everyKthFamily == 0L
     val docs = Tables(spark, sfDir, "documents")
     val planted = QueryFixtures.plantedDocuments(
       docs.select(col("doc_id"), col("text")))
     val t0 = System.nanoTime()
     val sigRows = Dedup.simhash64(planted, "doc_id", "text").collect()
+      .filter(r => in(r.getLong(0)))
     val sigSecs = (System.nanoTime() - t0) / 1e9
     val ids = sigRows.map(_.getLong(0))
     val sigs = sigRows.map(_.getLong(1))
@@ -68,14 +91,15 @@ private[graft] object SimhashCheck {
     val bruteSecs = (System.nanoTime() - t1) / 1e9
     val t2 = System.nanoTime()
     val banded = SparkEntry.queries("q32_simhash_neardup")(spark, sfDir)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .filter(t => in(t._1) && in(t._2)).toSet
     val bandedSecs = (System.nanoTime() - t2) / 1e9
     // planted sources from the BASE table, not an id-range filter of the
     // collected ids: scaled corpora (ScaleUp) offset replica ids by
     // 1e8·r, so %10==0 sources exist far above the 10M namespace
     val srcIds = docs.select(col("doc_id"))
       .filter(col("doc_id") % 10 === 0)
-      .collect().map(_.getLong(0))
+      .collect().map(_.getLong(0)).filter(in)
     Result(ids.length, banded, brute.toSet,
       srcIds.map(s => (s, s + 10000000L)).toSet,
       srcIds.map(s => (s, s + 20000000L)).toSet,

@@ -7,9 +7,9 @@ import graft.operators.{Decomp, Dedup, Similarity}
 import graft.plans.GramianAgg
 
 /** Hard driver-side checks for the rows-only (sketch/ANN) queries —
-  * q31/q32/q44/q46/q49/q119/q126/q128/q176/q177/q178 have no DuckDB-expressible
-  * oracle (banding, KMeans, HLL/GK sketches and hyperplane signatures
-  * aren't reproducible there), so [[Verify]]
+  * q31/q32/q44/q46/q49/q119/q126/q128/q176/q177/q178/q187/q188 have no
+  * DuckDB-expressible oracle (banding, KMeans, HLL/GK sketches and
+  * hyperplane signatures aren't reproducible there), so [[Verify]]
   * runs these instead and records them in
   * `<outDir>/rows_only_assertions.json`: the correctness artifact is no
   * longer silent on them.
@@ -133,14 +133,14 @@ object VerifyAssertions {
       val recall = (got & brute).size.toDouble / math.max(1, brute.size)
       val badScores = scoreMismatches(spark, out, emb)
       val n = emb.count()
+      // measured-minus-margin per tier under the scaledIvfGeometry √n
+      // rule (round-12 ProbeIvf sweep — table in the scaladoc there);
+      // every tier is MEASURED now, no placeholder branch remains
       val floor =
-        if (n <= 1000) 0.30 // 500-vec corpora measured 0.38 / 0.56
-        else if (n <= 5000) 0.45 // 2k vectors measured 0.53
-        else if (n <= 30000) 0.75 // 20k vectors measured 0.88
-        else 0.30 // UNMEASURED tier (recall beyond 20k vectors was
-        // never probed) — conservative floor rather than extrapolating
-        // the 20k number to a regime where nlist=8 partitions hold
-        // ever-larger cells; re-measure (ProbeRecall) before raising
+        if (n <= 1000) 0.40 // 22×3 measured 0.50 / 0.52 (two 500-vec corpora)
+        else if (n <= 5000) 0.45 // 45×6 measured 0.555 at 2k
+        else if (n <= 30000) 0.85 // 141×18 measured 0.975 at 20k
+        else 0.90 // 245×31 → 1.000 at 60k; 447×56 → 0.995 at 200k
       Check("ivf_recall_and_exact_rescore", "q46_ivf_topk",
         recall >= floor && badScores == 0,
         f"recall@5=$recall%.3f (floor $floor%.2f at n=$n) " +
@@ -326,7 +326,81 @@ object VerifyAssertions {
           f"coef_rel_err=$coefErr%.2e (cap 1e-6) acc=$acc%.4f (floor 0.70)")
     }
 
-    Seq(q31, q32, q44, q46, q49, q119, q126, q128, q176, q177, q178)
+    // q187/q188 — the persisted-index twins: an IndexStore round trip
+    // (train → save → load → query off loaded artifacts) must reproduce
+    // the in-memory q176/q177 outputs ROW-FOR-ROW. Codes are ints and
+    // centroids parquet doubles, so equality here is exact, not
+    // tolerance-based — any diff means the store dropped or mangled
+    // something.
+    def storeTwinCheck(name: String, storeQ: String, memQ: String): Check = {
+      def rows(q: String) = SparkEntry.queries(q)(spark, sfDir)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+        .toSet
+      val mem = rows(memQ)
+      val st = rows(storeQ)
+      Check(name, storeQ, mem.nonEmpty && st == mem,
+        s"store_rows=${st.size} mem_rows=${mem.size} " +
+          s"sym_diff=${(st diff mem).size + (mem diff st).size}")
+    }
+    val q187 = storeTwinCheck("pq_store_roundtrip_equals_trained",
+      "q187_pq_store_topk", "q176_pq_topk")
+    val q188 = storeTwinCheck("ivfpq_store_roundtrip_equals_trained",
+      "q188_ivfpq_store_topk", "q177_ivfpq_topk")
+
+    // q189 — the composed curation gate: recompute the WHOLE pipeline
+    // tail driver-side (score → decile lift walk → cutoff → funnel)
+    // from the collected scored rows and demand exact stage-count
+    // equality, plus the contract invariants (capture target met, the
+    // cutoff row's capture == the captured-stage pct — both are
+    // round6(cumPos/p) by construction — and funnel monotonicity).
+    val q189 = {
+      import graft.operators.Classify
+      val out = SparkEntry.queries("q189_curation_gate")(spark, sfDir)
+        .collect().map(r => (r.getString(0), (r.getLong(1), r.getDouble(2))))
+        .toMap
+      val feats = Queries18.docFeatures(spark, sfDir)
+      val model = Classify.logisticFit(feats, "features", "label", dim = 6)
+      val rows = feats
+        .select(model.predictProba(col("features")).as("s"), col("label"))
+        .collect().map(r => (r.getDouble(0), r.getInt(1)))
+      val nRaw = Tables(spark, sfDir, "documents").count()
+      val p = rows.count(_._2 == 1).toLong
+      def rnd6(x: Double): Double = new java.math.BigDecimal(x)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      def bucket(s: Double): Long = math.min(math.floor(s * 10).toLong, 9L)
+      val byB = rows.groupBy(r => bucket(r._1))
+      var cum = 0L
+      var cutB = -1L
+      var cutCap = 0.0
+      for (b <- 9L to 0L by -1L if cutB < 0) {
+        cum += byB.getOrElse(b, Array.empty[(Double, Int)])
+          .count(_._2 == 1).toLong
+        if (rnd6(cum.toDouble / p.toDouble) >= 0.8) {
+          cutB = b; cutCap = rnd6(cum.toDouble / p.toDouble)
+        }
+      }
+      val na = rows.count(r => bucket(r._1) >= cutB).toLong
+      val pa = rows.count(r => bucket(r._1) >= cutB && r._2 == 1).toLong
+      val ok = out("s1_corpus")._1 == nRaw &&
+        out("s2_scored")._1 == rows.length.toLong &&
+        out("s3_admitted")._1 == na &&
+        out("s4_captured_pos")._1 == pa &&
+        out("s5_cutoff_bucket")._1 == cutB &&
+        out("s5_cutoff_bucket")._2 == cutCap &&
+        out("s4_captured_pos")._2 >= 0.8 &&
+        out("s4_captured_pos")._2 == out("s5_cutoff_bucket")._2 &&
+        na <= rows.length && pa <= na && cutB >= 1
+      Check("curation_gate_driver_recompute_parity", "q189_curation_gate",
+        ok,
+        s"cutoff=$cutB cap=$cutCap admitted=$na/${rows.length} " +
+          s"captured=$pa/$p (target 0.8) " +
+          s"query=(${out("s3_admitted")._1},${out("s4_captured_pos")._1}," +
+          s"${out("s5_cutoff_bucket")._1})")
+    }
+
+    Seq(q31, q32, q44, q46, q49, q119, q126, q128, q176, q177, q178,
+      q187, q188, q189)
   }
 
   /** Planted-recovery + exact-rescore check for the compressed-scan ANN

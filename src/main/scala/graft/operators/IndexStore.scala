@@ -1,0 +1,133 @@
+package graft.operators
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.operators.Similarity.{IvfIndex, PqIndex}
+
+/** Persistence for the ANN index family — a 100 TB index must outlive
+  * the job that trained it (the r11 verdict item: `trainCached` is
+  * session-scoped, so every new cluster job re-trained codebooks and
+  * re-encoded the corpus). Layout under a store directory:
+  *
+  *   - `meta.json`               — scalar geometry only (kind, m, ksub,
+  *     dsub, dim, nlist). No floating-point ever rides through JSON —
+  *     doubles round-trip bit-exactly through PARQUET, not text.
+  *   - `pq_codebooks.parquet`    — (s, ci, centroid array<double>)
+  *   - `coarse_centroids.parquet`— (ci, centroid array<double>) [ivfpq]
+  *   - `codes.parquet`           — the ENCODED corpus: (id, codes) for
+  *     PQ, (id, list, codes) for IVF-PQ. This is the artifact that
+  *     matters at scale: the m-byte-per-vector code column is the
+  *     thing you cannot afford to recompute per job over 100 TB.
+  *
+  * Loaded == trained is EXACT: codes are ints, centroids are parquet
+  * doubles, and the reconstruction norms are re-derived from
+  * (codes, centroids) with the same kernel arithmetic — so a query
+  * riding a loaded index is bit-identical to the training session's
+  * (spec-pinned, and q187/q188 assert it end-to-end in Verify).
+  */
+object IndexStore {
+
+  private val centroidSchema = StructType(Seq(
+    StructField("s", IntegerType, nullable = false),
+    StructField("ci", IntegerType, nullable = false),
+    StructField("centroid", ArrayType(DoubleType, containsNull = false),
+      nullable = false)))
+
+  private def writeBooks(spark: SparkSession, path: String,
+      books: Array[Array[Array[Double]]]): Unit = {
+    val rows = for {
+      (book, s) <- books.zipWithIndex
+      (c, ci) <- book.zipWithIndex
+    } yield Row(s, ci, c.toSeq)
+    spark.createDataFrame(
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows.toSeq).asJava,
+        centroidSchema)
+      .repartition(1).write.mode("overwrite").parquet(path)
+  }
+
+  private def readBooks(spark: SparkSession,
+      path: String): Array[Array[Array[Double]]] =
+    spark.read.parquet(path)
+      .select(col("s"), col("ci"), col("centroid"))
+      .collect()
+      .groupBy(_.getInt(0)).toSeq.sortBy(_._1)
+      .map { case (_, rs) =>
+        rs.sortBy(_.getInt(1))
+          .map(_.getSeq[Double](2).toArray)
+      }.toArray
+
+  private def writeMeta(dir: String, json: String): Unit =
+    Files.writeString(Paths.get(dir, "meta.json"), json): Unit
+
+  private def readMeta(dir: String): Map[String, String] = {
+    // scalars-only flat JSON — parsed with a grep-shaped regex rather
+    // than a JSON library (none is on the classpath; the writer below
+    // is the only producer)
+    val s = Files.readString(Paths.get(dir, "meta.json"))
+    "\"([a-zA-Z]+)\"\\s*:\\s*\"?([a-zA-Z0-9]+)\"?".r
+      .findAllMatchIn(s).map(m => m.group(1) -> m.group(2)).toMap
+  }
+
+  /** Persist a PQ index + the encoded corpus. `codes` must carry
+    * (`idCol`, `codes` array<int>) — the [[Similarity.pqEncode]]
+    * output.
+    */
+  def savePq(spark: SparkSession, dir: String, index: PqIndex,
+      codes: DataFrame, idCol: String): Unit = {
+    new java.io.File(dir).mkdirs()
+    writeBooks(spark, s"$dir/pq_codebooks.parquet", index.codebooks)
+    codes.select(col(idCol), col("codes"))
+      .write.mode("overwrite").parquet(s"$dir/codes.parquet")
+    writeMeta(dir, s"""{"kind": "pq", "m": ${index.m}, """ +
+      s""""ksub": ${index.ksub}, "dsub": ${index.dsub}, """ +
+      s""""dim": ${index.dim}, "idCol": "$idCol"}""")
+  }
+
+  /** Load a PQ store: (index, codes relation). */
+  def loadPq(spark: SparkSession, dir: String): (PqIndex, DataFrame) = {
+    val meta = readMeta(dir)
+    require(meta.get("kind").contains("pq"),
+      s"$dir is not a PQ store (kind=${meta.get("kind")})")
+    val idx = PqIndex(readBooks(spark, s"$dir/pq_codebooks.parquet"))
+    require(idx.m == meta("m").toInt && idx.ksub == meta("ksub").toInt,
+      s"codebook shape ${idx.m}x${idx.ksub} != meta ${meta("m")}x${meta("ksub")}")
+    (idx, spark.read.parquet(s"$dir/codes.parquet"))
+  }
+
+  /** Persist an IVF-PQ composite: coarse centroids, residual PQ books,
+    * and the encoded corpus (`idCol`, `list`, `codes`) — the
+    * [[Similarity.ivfPqEncode]] output.
+    */
+  def saveIvfPq(spark: SparkSession, dir: String, coarse: IvfIndex,
+      pq: PqIndex, enc: DataFrame, idCol: String): Unit = {
+    new java.io.File(dir).mkdirs()
+    writeBooks(spark, s"$dir/pq_codebooks.parquet", pq.codebooks)
+    writeBooks(spark, s"$dir/coarse_centroids.parquet",
+      Array(coarse.centroids))
+    enc.select(col(idCol), col("list"), col("codes"))
+      .write.mode("overwrite").parquet(s"$dir/codes.parquet")
+    writeMeta(dir, s"""{"kind": "ivfpq", "m": ${pq.m}, """ +
+      s""""ksub": ${pq.ksub}, "dsub": ${pq.dsub}, "dim": ${pq.dim}, """ +
+      s""""nlist": ${coarse.nlist}, "idCol": "$idCol"}""")
+  }
+
+  /** Load an IVF-PQ store: (coarse, pq, enc relation). */
+  def loadIvfPq(spark: SparkSession,
+      dir: String): (IvfIndex, PqIndex, DataFrame) = {
+    val meta = readMeta(dir)
+    require(meta.get("kind").contains("ivfpq"),
+      s"$dir is not an IVF-PQ store (kind=${meta.get("kind")})")
+    val coarse = IvfIndex(
+      readBooks(spark, s"$dir/coarse_centroids.parquet").head)
+    val pq = PqIndex(readBooks(spark, s"$dir/pq_codebooks.parquet"))
+    require(coarse.nlist == meta("nlist").toInt,
+      s"coarse nlist ${coarse.nlist} != meta ${meta("nlist")}")
+    require(pq.m == meta("m").toInt && pq.ksub == meta("ksub").toInt,
+      s"codebook shape ${pq.m}x${pq.ksub} != meta ${meta("m")}x${meta("ksub")}")
+    (coarse, pq, spark.read.parquet(s"$dir/codes.parquet"))
+  }
+}

@@ -523,6 +523,36 @@ object Similarity {
       }
       transform(slice(array_sort(array(scored.toSeq: _*)), 1, n), _.getField("i"))
     }
+
+    /** Kernel variant of [[assign]] for LARGE nlist: the per-centroid
+      * struct form above bakes nlist separate `vec_dot` Columns into
+      * one projection — plan size and boxed per-coefficient element
+      * access both grow with nlist (the LshBands lesson: 144 vec_dot
+      * columns paid ~500M unboxings); this computes ALL centroid dots
+      * in ONE [[graft.functions.VectorExprs.AffineMap]] call over a
+      * primitive flat matrix and ranks with array HOFs. Ranking is
+      * bit-identical to [[assign]] — same `|c|² − 2·v·c` arithmetic
+      * (0-seeded left-to-right dot, multiply-before-subtract), same
+      * (d, then centroid id) tie order — spec-pinned in IvfSpec.
+      * Malformed (short/null-slot) vectors yield null rather than a
+      * fabricated assignment (the AffineMap convention).
+      */
+    def assignK(vec: Column, n: Int): Column = {
+      val half = centroids.map(c => c.map(x => x * x).sum)
+      val dots = graft.functions.VectorExprs.affine_map(
+        vec, centroids.flatten, new Array[Double](centroids.length))
+      val scored = transform(dots, (d, i) => struct(
+        (element_at(lit(half), i + lit(1)) - lit(2.0) * d).as("d"),
+        i.as("i")))
+      transform(slice(array_sort(scored), 1, n), _.getField("i"))
+    }
+
+    /** [[assign]] below the kernel knee, [[assignK]] past it: the
+      * struct form wins tiny plans (no array materialization), the
+      * kernel wins as soon as nlist stops being a handful.
+      */
+    def assignAuto(vec: Column, n: Int): Column =
+      if (nlist <= 16) assign(vec, n) else assignK(vec, n)
   }
 
   object IvfIndex {
@@ -619,6 +649,59 @@ object Similarity {
       // must not share a quantizer
       cache.computeIfAbsent((cacheKey, vecCol, nlist, seed),
         _ => train(corpus, vecCol, nlist, seed))
+
+    private val scaledCache = new java.util.concurrent.ConcurrentHashMap[
+      (String, String, Long), (IvfIndex, Int)]()
+
+    /** [[trainCached]] under the MEASURED corpus-size geometry
+      * ([[Similarity.scaledIvfGeometry]]): counts the corpus once per
+      * cacheKey, picks (nlist, nprobe), trains the quantizer at that
+      * nlist. Returns the index and the nprobe the caller should probe
+      * with — the pair is one decision, keeping the fraction pinned
+      * as the corpus scales (the r11 verdict item: nlist=8 static at
+      * 200k+ vectors left recall in the scaled regime unmeasured).
+      */
+    def trainCachedScaled(cacheKey: String, corpus: DataFrame,
+        vecCol: String, seed: Long = 42L): (IvfIndex, Int) =
+      scaledCache.computeIfAbsent((cacheKey, vecCol, seed), _ => {
+        val n = corpus.count()
+        val (nlist, nprobe) = scaledIvfGeometry(n)
+        log.info(s"ivf scaled geometry: n=$n -> nlist=$nlist nprobe=$nprobe")
+        (trainCached(cacheKey, corpus, vecCol, nlist, seed), nprobe)
+      })
+  }
+
+  /** √n IVF geometry, MEASURED (round 12, ProbeIvf over the q46 fixed
+    * panel vs brute-force truth): `nlist = clamp(8, 512, round(√n))`,
+    * `nprobe = clamp(2, nlist, round(nlist/8))` — a pinned ~1/8 probe
+    * fraction with per-query probe cost ~n/8·dim regardless of scale,
+    * while the static 8×2 form probed n/4 AND lost recall as its 8
+    * cells grew unboundedly:
+    *
+    * | n       | scaled geometry | recall@5 | static 8×2 |
+    * |---------|-----------------|----------|------------|
+    * | 500     | 22×3            | 0.50/0.52| 0.56/0.38  |
+    * | 2,000   | 45×6            | 0.555    | 0.53       |
+    * | 20,000  | 141×18          | 0.975    | 0.88       |
+    * | 60,000  | 245×31          | 1.000    | 0.85       |
+    * | 200,000 | 447×56          | 0.995    | 0.82       |
+    *
+    * (500-vector cells are ~23 vectors — at that size IVF recall is
+    * noise-dominated on RAW corpora either way; the scaled regime is
+    * where the rule earns its keep, and there it is uniformly better
+    * on both axes.) The 512 cap keeps ≥8 training samples per centroid
+    * at the 4096 sample limit; past n ≈ 262k the fraction grows again —
+    * the log line above flags it (raise sampleLimit and the cap
+    * together if that regime becomes real).
+    */
+  def scaledIvfGeometry(n: Long): (Int, Int) = {
+    val root = math.round(math.sqrt(math.max(1L, n).toDouble)).toInt
+    val nlist = math.max(8, math.min(512, root))
+    if (root > 512)
+      log.info(s"scaledIvfGeometry: √n=$root clamped to nlist=512 — " +
+        "probe fraction grows past n≈262k; raise sampleLimit+cap together")
+    val nprobe = math.max(2, math.min(nlist, math.round(nlist / 8.0).toInt))
+    (nlist, nprobe)
   }
 
   /** IVF (inverted-file) ANN: k-means coarse quantizer over the corpus;
@@ -636,12 +719,12 @@ object Similarity {
     val idx = index.getOrElse(IvfIndex.train(corpus, vecCol, nlist))
     val bucketedCorpus = corpus.select(col(idCol).as("match_id"),
       col(vecCol).as("__cv"),
-      idx.assign(col(vecCol), 1)(0).as("__list"),
+      idx.assignAuto(col(vecCol), 1)(0).as("__list"),
       vec_l2norm(col(vecCol)).as("__cn"))
       .filter(col("__cn") > 0) // zero-norm guard (see bruteForceTopK)
     val probes = queries.select(col(idCol).as("query_id"),
       col(vecCol).as("__qv"),
-      explode(idx.assign(col(vecCol), nprobe)).as("__list"),
+      explode(idx.assignAuto(col(vecCol), nprobe)).as("__list"),
       vec_l2norm(col(vecCol)).as("__qn"))
       .filter(col("__qn") > 0)
 
@@ -852,17 +935,19 @@ object Similarity {
   def pqTopK(
       queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int,
-      index: PqIndex, rescoreFactor: Int = 4): DataFrame = {
+      index: PqIndex, rescoreFactor: Int = 4,
+      codes: Option[DataFrame] = None): DataFrame = {
     import graft.functions.VectorExprs.pq_adc
     val ones = typedlit(Seq.fill(index.dim)(1.0))
     val q = broadcast(queries.select(col(idCol).as("query_id"),
       col(vecCol).as("__qv"), vec_l2norm(col(vecCol)).as("__qn"))
       .filter(col("__qn") > 0 && size(col(vecCol)) === index.dim))
-    val codes = corpus
-      .filter(size(col(vecCol)) === index.dim &&
-        vec_l2norm(col(vecCol)) > 0) // zero-norm guard (see bruteForceTopK)
-      .select(col(idCol).as("match_id"),
-        index.encode(col(vecCol)).as("__codes"))
+    // `codes` = a PERSISTED encoded corpus ([[pqEncode]] shape, e.g.
+    // loaded via IndexStore) — the scan then never touches the encode
+    // tree at all; reconstruction norms are re-derived from the codes
+    // with the same kernel arithmetic, so loaded == trained bit-for-bit
+    val codesRel = codes.getOrElse(pqEncode(corpus, idCol, vecCol, index))
+      .select(col(idCol).as("match_id"), col("codes").as("__codes"))
       .select(col("match_id"), col("__codes"),
         sqrt(pq_adc(ones, col("__codes"), index.flatSq, index.dsub))
           .as("__rn"))
@@ -871,7 +956,7 @@ object Similarity {
     // alias-substituted down to the scan by predicate pushdown,
     // inlining the entire encode tree into the Filter condition —
     // measured 1.8 MB plan lines and a 7× slowdown on the IVF-PQ twin
-    val cand = codes.crossJoin(q.select(col("query_id"), col("__qv"),
+    val cand = codesRel.crossJoin(q.select(col("query_id"), col("__qv"),
         col("__qn")))
       .filter(col("match_id") =!= col("query_id"))
       .select(col("query_id"), col("match_id"),
@@ -880,6 +965,19 @@ object Similarity {
             (col("__qn") * col("__rn"))).as("__acos"))
     rescoreExact(cand, q, corpus, idCol, vecCol, k, rescoreFactor)
   }
+
+  /** The guarded PQ-encoded corpus relation `(idCol, codes)` — exactly
+    * what [[pqTopK]] scans (its default path calls this) and what
+    * [[IndexStore.savePq]] persists. Zero-norm / wrong-dim vectors are
+    * dropped here, so a persisted code column carries only encodable
+    * rows.
+    */
+  def pqEncode(corpus: DataFrame, idCol: String, vecCol: String,
+      index: PqIndex): DataFrame =
+    corpus
+      .filter(size(col(vecCol)) === index.dim &&
+        vec_l2norm(col(vecCol)) > 0) // zero-norm guard (see bruteForceTopK)
+      .select(col(idCol), index.encode(col(vecCol)).as("codes"))
 
   /** Shared tail of the compressed-scan ANN paths ([[pqTopK]],
     * [[ivfPqTopK]]): keep the `rescoreFactor·k` best approximate
@@ -924,7 +1022,7 @@ object Similarity {
     val resid = corpus
       .filter(vec_l2norm(col(vecCol)) > 0)
       .select(zip_with(col(vecCol),
-        element_at(cents, coarse.assign(col(vecCol), 1)(0) + 1),
+        element_at(cents, coarse.assignAuto(col(vecCol), 1)(0) + 1),
         (a, b) => a - b).as("__res"))
     PqIndex.trainCached(cacheKey, resid, "__res", m, ksub, seed)
   }
@@ -950,19 +1048,21 @@ object Similarity {
       queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int,
       coarse: IvfIndex, pq: PqIndex,
-      nprobe: Int = 4, rescoreFactor: Int = 4): DataFrame = {
+      nprobe: Int = 4, rescoreFactor: Int = 4,
+      enc: Option[DataFrame] = None): DataFrame = {
     import graft.functions.VectorExprs.pq_adc
     require(coarse.centroids.head.length == pq.dim,
       s"coarse dim ${coarse.centroids.head.length} != PQ dim ${pq.dim}")
     val cents = typedlit(coarse.centroids.map(_.toSeq).toSeq)
     val ones = typedlit(Seq.fill(pq.dim)(1.0))
-    val enc = corpus
-      .filter(size(col(vecCol)) === pq.dim && vec_l2norm(col(vecCol)) > 0)
-      .select(col(idCol).as("match_id"), col(vecCol).as("__cv"),
-        coarse.assign(col(vecCol), 1)(0).as("__list"))
+    // `enc` = a PERSISTED encoded corpus ([[ivfPqEncode]] shape, e.g.
+    // loaded via IndexStore); reconstruction norms are re-derived from
+    // (list, codes) + the centroid literals with identical arithmetic,
+    // so a loaded index reproduces the training session bit-for-bit
+    val encRel = enc.getOrElse(ivfPqEncode(corpus, idCol, vecCol, coarse, pq))
+      .select(col(idCol).as("match_id"), col("list").as("__list"),
+        col("codes").as("__codes"))
       .withColumn("__c", element_at(cents, col("__list") + 1))
-      .withColumn("__codes",
-        pq.encode(zip_with(col("__cv"), col("__c"), (a, b) => a - b)))
       .select(col("match_id"), col("__list"), col("__codes"),
         sqrt(vec_dot(col("__c"), col("__c")) +
           lit(2.0) * pq_adc(col("__c"), col("__codes"), pq.flat, pq.dsub) +
@@ -977,12 +1077,12 @@ object Similarity {
       .select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
         vec_l2norm(col(vecCol)).as("__qn"))
     val probes = broadcast(q
-      .withColumn("__list", explode(coarse.assign(col("__qv"), nprobe)))
+      .withColumn("__list", explode(coarse.assignAuto(col("__qv"), nprobe)))
       .withColumn("__qc",
         vec_dot(col("__qv"), element_at(cents, col("__list") + 1))))
     // a corpus row lives in exactly one list, so each (query, match)
     // pair surfaces at most once — no post-join dedup needed
-    val cand = enc.join(probes, Seq("__list"))
+    val cand = encRel.join(probes, Seq("__list"))
       .filter(col("match_id") =!= col("query_id"))
       .select(col("query_id"), col("match_id"),
         when(col("__rn") > 0,
@@ -990,5 +1090,22 @@ object Similarity {
             pq_adc(col("__qv"), col("__codes"), pq.flat, pq.dsub)) /
             (col("__qn") * col("__rn"))).as("__acos"))
     rescoreExact(cand, q, corpus, idCol, vecCol, k, rescoreFactor)
+  }
+
+  /** The guarded IVF-PQ-encoded corpus relation `(idCol, list, codes)`
+    * — [[ivfPqTopK]]'s default scan (its `enc` parameter accepts a
+    * persisted copy) and what [[IndexStore.saveIvfPq]] persists.
+    */
+  def ivfPqEncode(corpus: DataFrame, idCol: String, vecCol: String,
+      coarse: IvfIndex, pq: PqIndex): DataFrame = {
+    val cents = typedlit(coarse.centroids.map(_.toSeq).toSeq)
+    corpus
+      .filter(size(col(vecCol)) === pq.dim && vec_l2norm(col(vecCol)) > 0)
+      .select(col(idCol), col(vecCol).as("__cv"),
+        coarse.assignAuto(col(vecCol), 1)(0).as("list"))
+      .withColumn("__c", element_at(cents, col("list") + 1))
+      .select(col(idCol), col("list"),
+        pq.encode(zip_with(col("__cv"), col("__c"), (a, b) => a - b))
+          .as("codes"))
   }
 }

@@ -29,8 +29,9 @@ object ProbeRecall {
     val bf20 = topk(Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", 20))
     val ann = topk(Similarity.annTopK(q, emb, "vec_id", "embedding", k = 5, dim = 64, planes = 8))
     println(s"PROBE q44: ann=${ann.size} recall5=${(ann & bf5).size.toDouble / bf5.size} subset20=${ann.subsetOf(bf20)} outside=${ann.diff(bf20).size}")
-    val idx = Similarity.IvfIndex.trainCached(s"$dir:embeddings", emb, "embedding", nlist = 8)
-    val ivf = topk(Similarity.ivfTopK(q, emb, "vec_id", "embedding", k = 5, nlist = 8, nprobe = 2, index = Some(idx)))
+    // scaled geometry — must stay aligned with the q46 catalog path
+    val (idx, np) = Similarity.IvfIndex.trainCachedScaled(s"$dir:embeddings", emb, "embedding")
+    val ivf = topk(Similarity.ivfTopK(q, emb, "vec_id", "embedding", k = 5, nprobe = np, index = Some(idx)))
     println(s"PROBE q46: ivf=${ivf.size} recall5=${(ivf & bf5).size.toDouble / bf5.size} subset20=${ivf.subsetOf(bf20)} outside=${ivf.diff(bf20).size}")
     val exTop = pairs(Similarity.topPairs(emb, "vec_id", "embedding", 80))
     val exTop20 = pairs(Similarity.topPairs(emb, "vec_id", "embedding", 20))

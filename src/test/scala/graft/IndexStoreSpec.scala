@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{IndexStore, Similarity}
+
+/** IndexStore round trips: codebooks/centroids/codes must come back
+  * bit-identical, and the ANN queries must produce IDENTICAL results
+  * riding a loaded store vs the in-memory trained index (the property
+  * q187/q188 assert in Verify at catalog scale).
+  */
+class IndexStoreSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def tmpDir(name: String): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graftspec")
+    SparkSpec.cleanupAtExit(dir.toFile)
+    dir.resolve(name).toString
+  }
+
+  private def fuzzCorpus(seed: Long, n: Int, dim: Int) = {
+    val rnd = new java.util.SplittableRandom(seed)
+    (0 until n).map { i =>
+      (i.toLong, Array.fill(dim)(rnd.nextDouble() * 2 - 1))
+    }.toDF("vec_id", "e")
+  }
+
+  test("PQ store round trip: codebooks bit-equal, codes relation equal, " +
+    "pqTopK(loaded) == pqTopK(trained) row-for-row") {
+    val corpus = fuzzCorpus(31L, 120, 16)
+    val idx = Similarity.PqIndex.train(corpus, "e", m = 4, ksub = 8)
+    val dir = tmpDir("pqstore")
+    IndexStore.savePq(spark, dir, idx,
+      Similarity.pqEncode(corpus, "vec_id", "e", idx), "vec_id")
+    val (loaded, codes) = IndexStore.loadPq(spark, dir)
+    assert(loaded.m == idx.m && loaded.ksub == idx.ksub &&
+      loaded.dsub == idx.dsub)
+    for (s <- 0 until idx.m; c <- 0 until idx.ksub)
+      assert(java.util.Arrays.equals(loaded.codebooks(s)(c),
+        idx.codebooks(s)(c)), s"codebook ($s,$c) drifted")
+    // codes relation: equal as (id, codes) sets
+    val fresh = Similarity.pqEncode(corpus, "vec_id", "e", idx)
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](1))).toSet
+    val stored = codes.collect()
+      .map(r => (r.getLong(0), r.getSeq[Int](1))).toSet
+    assert(stored == fresh)
+    val queries = corpus.filter(col("vec_id") % 10 === 0)
+    def rows(codesOpt: Option[org.apache.spark.sql.DataFrame],
+        i: Similarity.PqIndex) =
+      Similarity.pqTopK(queries, corpus, "vec_id", "e", k = 3,
+          index = i, codes = codesOpt)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+        .toSet
+    val trained = rows(None, idx)
+    val viaStore = rows(Some(codes), loaded)
+    assert(trained.nonEmpty && viaStore == trained)
+  }
+
+  test("IVF-PQ store round trip: coarse + residual books + " +
+    "(id, list, codes) come back exact; ivfPqTopK(loaded) == trained") {
+    val corpus = fuzzCorpus(47L, 150, 16)
+    val coarse = Similarity.IvfIndex.train(corpus, "e", nlist = 6)
+    val pq = Similarity.trainPqResidualsCached("spec:ivfpq", corpus, "e",
+      coarse, m = 4, ksub = 8)
+    val enc = Similarity.ivfPqEncode(corpus, "vec_id", "e", coarse, pq)
+    val dir = tmpDir("ivfpqstore")
+    IndexStore.saveIvfPq(spark, dir, coarse, pq, enc, "vec_id")
+    val (lc, lp, lenc) = IndexStore.loadIvfPq(spark, dir)
+    assert(lc.nlist == coarse.nlist)
+    for (c <- 0 until coarse.nlist)
+      assert(java.util.Arrays.equals(lc.centroids(c), coarse.centroids(c)))
+    for (s <- 0 until pq.m; c <- 0 until pq.ksub)
+      assert(java.util.Arrays.equals(lp.codebooks(s)(c),
+        pq.codebooks(s)(c)))
+    val fresh = enc.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Int](2))).toSet
+    val stored = lenc.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Int](2))).toSet
+    assert(stored == fresh)
+    val queries = corpus.filter(col("vec_id") % 10 === 0)
+    def rows(encOpt: Option[org.apache.spark.sql.DataFrame],
+        c: Similarity.IvfIndex, p: Similarity.PqIndex) =
+      Similarity.ivfPqTopK(queries, corpus, "vec_id", "e", k = 3,
+          coarse = c, pq = p, nprobe = 3, enc = encOpt)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+        .toSet
+    val trained = rows(None, coarse, pq)
+    val viaStore = rows(Some(lenc), lc, lp)
+    assert(trained.nonEmpty && viaStore == trained)
+  }
+
+  test("load rejects a store of the wrong kind, and meta/codebook " +
+    "shape mismatches are loud") {
+    val corpus = fuzzCorpus(53L, 60, 8)
+    val idx = Similarity.PqIndex.train(corpus, "e", m = 2, ksub = 4)
+    val dir = tmpDir("wrongkind")
+    IndexStore.savePq(spark, dir, idx,
+      Similarity.pqEncode(corpus, "vec_id", "e", idx), "vec_id")
+    val e = intercept[Exception] { IndexStore.loadIvfPq(spark, dir) }
+    assert(e.getMessage.contains("not an IVF-PQ store"))
+  }
+}

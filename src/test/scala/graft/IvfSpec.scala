@@ -94,4 +94,41 @@ class IvfSpec extends SparkSpec {
       Streams.dedupStream(stream, "ts", "1 minute", Seq("k")), "ddtest")
     assert(out.collect().map(_.getString(0)).sorted.toSeq == Seq("A", "B"))
   }
+
+  test("assignK (kernel) == assign (struct columns) bit-for-bit: same " +
+    "lists, same order, at several nlist/nprobe geometries; malformed " +
+    "vectors yield null not a fabricated assignment") {
+    import spark.implicits._
+    val rnd = new java.util.SplittableRandom(11L)
+    val dim = 16
+    val vecs = (0 until 300).map { i =>
+      (i.toLong, Array.fill(dim)((rnd.nextDouble() * 2 - 1).toFloat))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    for (nlist <- Seq(4, 8, 23, 64); nprobe <- Seq(1, 3, nlist)) {
+      val idx = Similarity.IvfIndex.train(df, "embedding", nlist,
+        seed = 5L)
+      val both = df.select(col("vec_id"),
+        idx.assign(col("embedding"), nprobe).as("a"),
+        idx.assignK(col("embedding"), nprobe).as("b")).collect()
+      both.foreach { r =>
+        assert(r.getSeq[Int](1) == r.getSeq[Int](2),
+          s"nlist=$nlist nprobe=$nprobe vec=${r.getLong(0)}: " +
+            s"${r.getSeq[Int](1)} vs ${r.getSeq[Int](2)}")
+      }
+    }
+    // duplicate centroids force distance ties -> the (d, i) tie order
+    // must match between the two forms
+    val dup = Similarity.IvfIndex(Array(
+      Array(1.0, 0.0), Array(0.0, 1.0), Array(1.0, 0.0)))
+    val tiny = Seq((1L, Array(0.9f, 0.1f)), (2L, Array(0.1f, 0.9f)))
+      .toDF("vec_id", "embedding")
+    val t = tiny.select(dup.assign(col("embedding"), 3).as("a"),
+      dup.assignK(col("embedding"), 3).as("b")).collect()
+    t.foreach(r => assert(r.getSeq[Int](0) == r.getSeq[Int](1)))
+    // short vector: kernel form surfaces null
+    val short = Seq((1L, Array(0.5f))).toDF("vec_id", "embedding")
+    val sh = short.select(dup.assignK(col("embedding"), 1).as("b")).collect()
+    assert(sh.head.isNullAt(0))
+  }
 }
