@@ -1222,4 +1222,164 @@ object Dedup {
         col("__s").as("text_b"), lit(0).as("dist"))
     crossed.unionByName(exactDup)
   }
+
+  // ------------------------------------------------------- winnowing
+
+  /** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    * SIGMOD'03 — the MOSS algorithm): hash every k-token gram, slide a
+    * window of `w` consecutive gram hashes, keep each window's MINIMUM
+    * — the selected set is guaranteed to share a fingerprint with any
+    * other document containing a common token run of length
+    * ≥ w + k − 1, at ~2/(w+1) of the gram density. The classic
+    * local-fingerprinting middle ground between exact-hash dedup
+    * (whole-doc) and shingle Jaccard (all grams).
+    *
+    * Pure per-row expression work — tokens → grams → md5 →
+    * window minima via `transform(sequence)` + `array_min(slice)` —
+    * NO shuffle until the caller aggregates; output one row per
+    * DISTINCT (id, fingerprint). Hashes stay 15-hex-char md5 prefix
+    * STRINGS (lexicographic minima) — both engines share md5 and
+    * varchar ordering, so the whole construction is DuckDB-mirrorable
+    * with zero float or hash-function divergence (the q73 md5
+    * precedent, minus the hex-parse arithmetic).
+    *
+    * Deterministic variant note: strict winnowing breaks window ties
+    * toward the RIGHTMOST position; this emits each window's minimum
+    * VALUE as a set, which selects the same hashes whenever gram
+    * hashes are distinct (md5 collisions across 15 hex chars aside)
+    * and preserves the coverage guarantee unconditionally.
+    */
+  def winnowingFingerprints(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 4, w: Int = 4): DataFrame = {
+    require(k >= 1 && w >= 1, "k and w must be >= 1")
+    val toks = TextFunctions.tokensWs(
+      TextFunctions.normalizeText(col(textCol)))
+    // grams(i) = tokens[i..i+k-1] joined; docs shorter than k tokens
+    // have no gram and drop out (nothing to fingerprint)
+    // sequence(1, 0) is DESCENDING in Spark ([1, 0] — step defaults to
+    // -1 when start > stop), so a doc shorter than k tokens would feed
+    // slice() a 0 index and THROW; the when() guards emit an empty
+    // array instead (caught by the fuzz spec, invisible on the corpus)
+    val nGrams = size(toks) - (k - 1)
+    val grams = when(nGrams >= 1, transform(
+        sequence(lit(1), nGrams),
+        i => substring(md5(concat_ws("",
+          slice(toks, i, lit(k)))), 1, 15)))
+      .otherwise(array().cast("array<string>"))
+    // two selects keep the plan readable; the q193 oracle pins the
+    // whole construction hash-equal to DuckDB's mirror
+    val nWin = size(col("__g")) - (w - 1)
+    df.select(col(idCol), grams.as("__g"))
+      .select(col(idCol), explode(array_distinct(
+        when(nWin >= 1, transform(sequence(lit(1), nWin),
+          i => array_min(slice(col("__g"), i, lit(w)))))
+          .otherwise(array().cast("array<string>")))).as("fingerprint"))
+      .filter(col("fingerprint").isNotNull)
+  }
+
+  /** Winnowing near-dup pairs: docs sharing ≥ `minShared` selected
+    * fingerprints, with the shared count and containment-style score
+    * `shared / min(|fp_a|, |fp_b|)`. One fingerprint-keyed equi-join
+    * (the posting-list shape — never all-pairs) + a combinable pair
+    * count; `maxFingerprintDf` drops boilerplate fingerprints before
+    * pairing (the [[maxShingleDf]] stopword rule: a fingerprint in
+    * thousands of docs generates a quadratic candidate clique and
+    * carries no dedup signal).
+    */
+  def winnowingPairs(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 4, w: Int = 4, minShared: Int = 2,
+      maxFingerprintDf: Long = 1000L): DataFrame = {
+    require(minShared >= 1, "minShared must be >= 1")
+    val fp = winnowingFingerprints(df, idCol, textCol, k, w)
+      .localCheckpoint() // feeds df-prune, both join sides AND sizes
+    val kept = if (maxFingerprintDf > 0) {
+      val hot = fp.groupBy(col("fingerprint"))
+        .agg(count(lit(1)).as("__df"))
+        .filter(col("__df") > maxFingerprintDf)
+        .select(col("fingerprint"))
+      fp.join(hot, Seq("fingerprint"), "left_anti")
+    } else fp
+    val sized = kept.localCheckpoint()
+    val sizes = sized.groupBy(col(idCol)).agg(count(lit(1)).as("__nfp"))
+    val a = sized.select(col("fingerprint"), col(idCol).as("id_a"))
+    val b = sized.select(col("fingerprint"), col(idCol).as("id_b"))
+    a.join(b, Seq("fingerprint")).filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+      .join(sizes.withColumnRenamed(idCol, "id_a")
+        .withColumnRenamed("__nfp", "__na"), Seq("id_a"))
+      .join(sizes.withColumnRenamed(idCol, "id_b")
+        .withColumnRenamed("__nfp", "__nb"), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("shared"),
+        round(col("shared").cast("double") /
+          least(col("__na"), col("__nb")).cast("double"), 6).as("score"))
+  }
+
+  // ------------------------------------------- sparse tf-cosine pairs
+
+  /** Exact TERM-FREQUENCY cosine pairs over the token space via an
+    * inverted-index join — the sparse-vector sibling of
+    * [[Similarity.cosinePairs]] (which is dense-embedding): pairs at
+    * or above `threshold` on `cos = Σ tf_a·tf_b / (‖tf_a‖·‖tf_b‖)`.
+    * Numerator and both squared norms are EXACT LONGS (raw tf counts
+    * — deliberately NOT tf-idf: an idf weight would put an
+    * engine-divergent double sum inside a groupBy, the q116 hazard;
+    * with integer sufficient sums the score is two exact sqrt's and
+    * one division, bit-equal in any engine), so the boundary rule
+    * `round(cos, 4) >= threshold` is reproducible.
+    *
+    * Plan: one token explode + tf count, token-keyed self-join of the
+    * posting lists (never all-pairs), combinable Σ tf_a·tf_b per pair,
+    * norm join. `maxTokenDf` prunes stopword postings before the join
+    * (quadratic-clique rule, see [[maxShingleDf]]) — NOTE the score
+    * then measures similarity over the SURVIVING vocabulary (norms are
+    * recomputed over kept tokens, so the metric stays a true cosine of
+    * the pruned vectors; the [[maxShingleDf]] semantics).
+    */
+  def tfCosinePairs(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, maxTokenDf: Long = 1000L,
+      ngram: Int = 1): DataFrame = {
+    require(ngram >= 1, "ngram must be >= 1")
+    // `ngram` picks the TERM granularity: 1 = unigram tf (classic),
+    // k>1 = k-token grams — the right choice when the unigram vocab is
+    // small relative to the corpus (measured on the testdata docs: a
+    // ~31-word vocab makes every unigram tf vector point the same way,
+    // cos ≈ 0.9 background; trigrams live in a ~30k-term space where
+    // background overlap is a few shared grams)
+    val toks = TextFunctions.tokensWs(TextFunctions.normalizeText(col(textCol)))
+    val nT = size(toks) - (ngram - 1)
+    val terms =
+      if (ngram == 1) toks
+      else when(nT >= 1, transform(sequence(lit(1), nT),
+          i => concat_ws(" ", slice(toks, i, lit(ngram)))))
+        .otherwise(array().cast("array<string>")) // sequence(1,0) descends
+    val tf = df.select(col(idCol).as("__id"), explode(terms).as("__t"))
+      .groupBy(col("__id"), col("__t"))
+      .agg(count(lit(1)).as("__tf"))
+      .localCheckpoint() // feeds df-prune, norms AND both join sides
+    val kept = if (maxTokenDf > 0) {
+      val hot = tf.groupBy(col("__t")).agg(count(lit(1)).as("__df"))
+        .filter(col("__df") > maxTokenDf).select(col("__t"))
+      tf.join(hot, Seq("__t"), "left_anti").localCheckpoint()
+    } else tf
+    val norms = kept.groupBy(col("__id"))
+      .agg(sum(col("__tf") * col("__tf")).as("__n2"))
+    val a = kept.select(col("__t"), col("__id").as("id_a"),
+      col("__tf").as("__fa"))
+    val b = kept.select(col("__t"), col("__id").as("id_b"),
+      col("__tf").as("__fb"))
+    a.join(b, Seq("__t")).filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(sum(col("__fa") * col("__fb")).as("__dot"))
+      .join(norms.withColumnRenamed("__id", "id_a")
+        .withColumnRenamed("__n2", "__na2"), Seq("id_a"))
+      .join(norms.withColumnRenamed("__id", "id_b")
+        .withColumnRenamed("__n2", "__nb2"), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(col("__dot").cast("double") /
+          (sqrt(col("__na2").cast("double")) *
+            sqrt(col("__nb2").cast("double"))), 4).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
 }

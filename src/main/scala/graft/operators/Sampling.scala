@@ -611,6 +611,26 @@ object Sampling {
       .drop("__rn", "__dom", "__q")
   }
 
+  /** Chronological train/test split with an EMBARGO gap — the leakage
+    * control of any time-ordered corpus split (financial ML's purged
+    * split; for training data: "don't validate on documents crawled
+    * minutes after the training cut"): rows strictly before
+    * `pivot − embargo` are `train`, rows at or after `pivot` are
+    * `test`, and the buffer in between is labeled `embargo` so the
+    * caller DROPS it (a plain pivot split lets near-boundary leakage
+    * straddle the cut). Pure per-row projection — no shuffle, stable
+    * under any partitioning (the [[hashSplit]] contract); a NULL
+    * timestamp yields a NULL split (never a silent bucket — the
+    * when-chain's otherwise() would swallow nulls into `embargo`).
+    */
+  def timeSplitEmbargo(df: DataFrame, tsCol: Column, pivot: Column,
+      embargo: Column, outCol: String = "split"): DataFrame =
+    df.withColumn(outCol,
+      when(tsCol.isNull, lit(null).cast("string"))
+        .when(tsCol < pivot - embargo, "train")
+        .when(tsCol >= pivot, "test")
+        .otherwise("embargo"))
+
   /** Token-denominated mixture PLAN — the data-mixing table a training
     * run is provisioned from: given per-domain available token mass,
     * integer percentage weights, a budget expressed as the exact

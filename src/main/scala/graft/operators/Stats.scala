@@ -407,4 +407,115 @@ object Stats {
         when(varX =!= 0.0 && varY =!= 0.0,
           covN * covN / (varX * varY)).as("r2"): _*)
   }
+
+  /** Weight-of-evidence / information-value table — the classic
+    * predictive-power panel of a curation classifier's binned feature
+    * against a binary label: per bin, exact counts, the class shares,
+    * `woe = ln(pos_share/neg_share)` and its IV contribution
+    * `(pos_share − neg_share)·woe`, plus the IV total as a constant
+    * column. `bin` must be a bounded discrete expression (integer
+    * grid / accepted values) — everything after one corpus aggregate
+    * is |bins|-row.
+    *
+    * Cross-engine exactness: counts and share numerators are exact
+    * longs; each share is ONE double division; `ln` appears only in
+    * DISPLAYED values (the q127 rule — nothing orders on it). The IV
+    * TOTAL is a bin-ordered left-to-right fold over the |bins| rows
+    * (the q134 `list_reduce` idiom) — an unordered SUM of the double
+    * contributions would be engine-divergent in accumulation order.
+    * A bin with only one class has no finite woe: LOUD raise_error
+    * inside the value (choose coarser bins), null-label/bin rows are
+    * dropped, single-class corpora raise via the same guard.
+    */
+  def woeIvTable(df: DataFrame, bin: Column, label: Column): DataFrame = {
+    val g = df.select(bin.as("bin"), label.cast("int").as("__y"))
+      .filter(col("bin").isNotNull && col("__y").isNotNull)
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__y")).cast("long").as("__np"))
+      .localCheckpoint() // |bins| rows; feeds totals, rows AND the fold
+    val tot = g.agg(sum(col("__np")).as("__p"),
+      sum(col("n") - col("__np")).as("__q"))
+    val withTot = g.crossJoin(broadcast(tot))
+    val ps = col("__np").cast("double") / col("__p").cast("double")
+    val qs = (col("n") - col("__np")).cast("double") / col("__q").cast("double")
+    val guardBad = coalesce(col("__p"), lit(0L)) === 0 ||
+      coalesce(col("__q"), lit(0L)) === 0 ||
+      col("__np") === 0 || col("__np") === col("n")
+    // EVERY divided value rides inside the guard: a bare `ps` column
+    // would evaluate its division eagerly and ANSI-throw DIVIDE_BY_ZERO
+    // on a single-class corpus before the documented raise fires
+    def guarded(v: Column): Column = when(guardBad, raise_error(concat(
+        lit("woeIvTable: bin "), col("bin").cast("string"),
+        lit(" has a zero class side (or the corpus is single-class) — " +
+          "woe is undefined; choose coarser bins"))))
+      .otherwise(v)
+    val woe = guarded(log(ps / qs))
+    val perBin = withTot.select(col("bin"), col("n"),
+        col("__np").as("n_pos"), (col("n") - col("__np")).as("n_neg"),
+        guarded(ps).as("__ps"), guarded(qs).as("__qs"), woe.as("__woe"),
+        guarded((ps - qs) * log(ps / qs)).as("__iv"))
+      .localCheckpoint() // fires the guard; feeds rows AND the IV fold
+    val ivTot = perBin
+      .agg(collect_list(struct(col("bin"), col("__iv"))).as("__l"))
+      .select(aggregate(
+        transform(array_sort(col("__l")), _.getField("__iv")),
+        lit(0.0), (acc, x) => acc + x).as("__ivTotal"))
+    perBin.crossJoin(broadcast(ivTot))
+      .select(col("bin"), col("n"), col("n_pos"), col("n_neg"),
+        round(col("__ps"), 6).as("pos_share"),
+        round(col("__qs"), 6).as("neg_share"),
+        round(col("__woe"), 6).as("woe"),
+        round(col("__iv"), 6).as("iv_contrib"),
+        round(col("__ivTotal"), 6).as("iv_total"))
+      .orderBy(col("bin"))
+  }
+
+  /** Population-stability index between two cohorts of one binned
+    * value — the standard drift alarm between a reference corpus and
+    * a new batch ("did the score/length/quality distribution move?").
+    * Per bin: both cohorts' exact counts and shares, the PSI
+    * contribution `(share_a − share_b)·ln(share_a/share_b)`, and the
+    * PSI total (bin-ordered fold, [[woeIvTable]]'s exactness
+    * contract). A bin empty on either side raises loudly inside the
+    * value — PSI is undefined there and silently epsilon-padding it
+    * hides exactly the drift the panel exists to surface.
+    */
+  def psiTable(dfA: DataFrame, dfB: DataFrame, bin: Column): DataFrame = {
+    def side(df: DataFrame, nm: String) =
+      df.select(bin.as("bin")).filter(col("bin").isNotNull)
+        .groupBy(col("bin")).agg(count(lit(1)).as(nm))
+    val g = side(dfA, "n_a").join(side(dfB, "n_b"), Seq("bin"), "full_outer")
+      .select(col("bin"), coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"))
+      .localCheckpoint() // |bins| rows
+    val tot = g.agg(sum(col("n_a")).as("__ta"), sum(col("n_b")).as("__tb"))
+    val sa = col("n_a").cast("double") / col("__ta").cast("double")
+    val sb = col("n_b").cast("double") / col("__tb").cast("double")
+    val guardBad = col("n_a") === 0 || col("n_b") === 0 ||
+      coalesce(col("__ta"), lit(0L)) === 0 ||
+      coalesce(col("__tb"), lit(0L)) === 0
+    def guarded(v: Column): Column = when(guardBad, raise_error(concat(
+        lit("psiTable: bin "), col("bin").cast("string"),
+        lit(" is empty on one side — PSI undefined; coarsen bins or " +
+          "inspect the missing mass"))))
+      .otherwise(v)
+    val contrib = guarded((sa - sb) * log(sa / sb))
+    val perBin = g.crossJoin(broadcast(tot))
+      .select(col("bin"), col("n_a"), col("n_b"),
+        guarded(sa).as("__sa"), guarded(sb).as("__sb"), contrib.as("__c"))
+      .localCheckpoint() // fires the guard; feeds rows AND the fold
+    val psiTot = perBin
+      .agg(collect_list(struct(col("bin"), col("__c"))).as("__l"))
+      .select(aggregate(
+        transform(array_sort(col("__l")), _.getField("__c")),
+        lit(0.0), (acc, x) => acc + x).as("__psi"))
+    perBin.crossJoin(broadcast(psiTot))
+      .select(col("bin"), col("n_a"), col("n_b"),
+        round(col("__sa"), 6).as("share_a"),
+        round(col("__sb"), 6).as("share_b"),
+        round(col("__c"), 6).as("psi_contrib"),
+        round(col("__psi"), 6).as("psi_total"))
+      .orderBy(col("bin"))
+  }
 }
