@@ -74,7 +74,8 @@ object Queries17 {
     // shared materialized pair relation (CoPurchase) — already
     // distinct pa < pb pairs, so the census skips its dedup shuffle
     val edges = CoPurchase.pairCounts(s, dir).select(col("pa"), col("pb"))
-    Graph.triangleCounts(edges, col("pa"), col("pb"))
+    Graph.triangleCounts(edges, col("pa"), col("pb"),
+        assumeDistinct = true)
       .select(col("node").as("part"), col("degree"), col("triangles"),
         when(col("degree") >= 2,
           round((lit(2.0) * col("triangles")) /

@@ -98,10 +98,25 @@ object Queries18 {
     * (IRLS isn't DuckDB-expressible); measured: converges in 6 Newton
     * steps, accuracy 0.73–0.77 ≈ the Bayes rate, recovers PlantedBeta.
     */
+  // fit-once cache (IvfIndex.trainCached's contract): q178, q189 and
+  // BOTH their Verify assertions must see the SAME fitted model object
+  // — GramianAgg merges partials in shuffle-arrival order, so two
+  // independent fits can differ by ~1 ulp, and q189's gate demands
+  // EXACT stage-count equality (a 1e-12 score drift at a 0.1 decile
+  // boundary would flip a bucket intermittently)
+  private val fitCache = new java.util.concurrent.ConcurrentHashMap[
+    String, graft.operators.Classify.LogisticModel]()
+
+  def fitCached(s: SparkSession, dir: String)
+      : graft.operators.Classify.LogisticModel =
+    fitCache.computeIfAbsent(new java.io.File(dir).getCanonicalPath,
+      _ => Classify.logisticFit(docFeatures(s, dir), "features", "label",
+        dim = 6))
+
   def q178_quality_classifier(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val feats = docFeatures(s, dir)
-    val model = Classify.logisticFit(feats, "features", "label", dim = 6)
+    val model = fitCached(s, dir)
     val acc = feats.select(
         ((model.predictProba(col("features")) >= 0.5).cast("int") ===
           col("label")).cast("long").as("hit"))

@@ -109,9 +109,16 @@ object Queries21 {
   def q189_curation_gate(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.Classify
     val feats = Queries18.docFeatures(s, dir).localCheckpoint()
-    val model = Classify.logisticFit(feats, "features", "label", dim = 6)
+    val model = Queries18.fitCached(s, dir) // fit-once: the assertion
+    // recomputes from the SAME model object, so exact-count parity is
+    // sound (an independent refit can drift ~1 ulp per coefficient)
     val scored = feats
       .select(model.predictProba(col("features")).as("score"), col("label"))
+      // defense-in-depth: least(floor(null·10), 9) would fabricate a
+      // null score into the TOP decile (least() skips nulls — the q181
+      // lesson); scores are never null today, but the gate admits by
+      // bucket, so a silent null would land inside the admitted set
+      .filter(col("score").isNotNull)
       .localCheckpoint() // |docs|-row; feeds lift, totals AND the gate
     val bucket = least(floor(col("score") * 10).cast("long"), lit(9L))
     val lift = Classify.liftTable(scored, bucket, col("label"))

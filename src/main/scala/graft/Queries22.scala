@@ -62,7 +62,11 @@ object Queries22 {
         countDistinct(col("user_id")).as("n_users"),
         countDistinct(when(col("__t") === 1, col("user_id")))
           .as("n_users_in_train"))
-      .orderBy(col("split"))
+      // asc_nulls_last: Spark default sorts a NULL split group FIRST
+      // while DuckDB's ORDER BY puts NULLs LAST — a null ts (a fourth
+      // driver ts-form surprise) would row-order-diverge on a correct
+      // result otherwise
+      .orderBy(col("split").asc_nulls_last)
   }
 
   /** The shared q193/q194 corpus: raw docs plus, for every `%20 == 0`

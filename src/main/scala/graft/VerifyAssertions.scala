@@ -7,7 +7,8 @@ import graft.operators.{Decomp, Dedup, Similarity}
 import graft.plans.GramianAgg
 
 /** Hard driver-side checks for the rows-only (sketch/ANN) queries —
-  * q31/q32/q44/q46/q49/q119/q126/q128/q176/q177/q178/q187/q188 have no
+  * q31/q32/q44/q46/q49/q119/q126/q128/q176/q177/q178/q187/q188/q189
+  * have no
   * DuckDB-expressible oracle (banding, KMeans, HLL/GK sketches and
   * hyperplane signatures aren't reproducible there), so [[Verify]]
   * runs these instead and records them in
@@ -360,9 +361,12 @@ object VerifyAssertions {
         .collect().map(r => (r.getString(0), (r.getLong(1), r.getDouble(2))))
         .toMap
       val feats = Queries18.docFeatures(spark, sfDir)
-      val model = Classify.logisticFit(feats, "features", "label", dim = 6)
+      // the CACHED fit — the same model object the query used, so the
+      // exact-count comparison below is sound (see Queries18.fitCached)
+      val model = Queries18.fitCached(spark, sfDir)
       val rows = feats
         .select(model.predictProba(col("features")).as("s"), col("label"))
+        .filter(col("s").isNotNull)
         .collect().map(r => (r.getDouble(0), r.getInt(1)))
       val nRaw = Tables(spark, sfDir, "documents").count()
       val p = rows.count(_._2 == 1).toLong

@@ -1292,14 +1292,17 @@ object Dedup {
     require(minShared >= 1, "minShared must be >= 1")
     val fp = winnowingFingerprints(df, idCol, textCol, k, w)
       .localCheckpoint() // feeds df-prune, both join sides AND sizes
-    val kept = if (maxFingerprintDf > 0) {
+    // pruning creates a NEW relation worth its own checkpoint; with
+    // pruning disabled `fp` is already checkpointed — a second
+    // localCheckpoint would re-materialize the corpus-sized relation
+    // into the storage pool for nothing
+    val sized = if (maxFingerprintDf > 0) {
       val hot = fp.groupBy(col("fingerprint"))
         .agg(count(lit(1)).as("__df"))
         .filter(col("__df") > maxFingerprintDf)
         .select(col("fingerprint"))
-      fp.join(hot, Seq("fingerprint"), "left_anti")
+      fp.join(hot, Seq("fingerprint"), "left_anti").localCheckpoint()
     } else fp
-    val sized = kept.localCheckpoint()
     val sizes = sized.groupBy(col(idCol)).agg(count(lit(1)).as("__nfp"))
     val a = sized.select(col("fingerprint"), col(idCol).as("id_a"))
     val b = sized.select(col("fingerprint"), col(idCol).as("id_b"))

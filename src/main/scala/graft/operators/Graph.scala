@@ -188,7 +188,8 @@ object Graph {
     * orientation deterministic for any id type with a total order.
     */
   def triangleCounts(edges: DataFrame, srcCol: Column,
-      dstCol: Column, broadcastEdgeLimit: Long = 4000000L): DataFrame = {
+      dstCol: Column, broadcastEdgeLimit: Long = 4000000L,
+      assumeDistinct: Boolean = false): DataFrame = {
     // Edge-sized checkpoints go DISK_ONLY: the default MEMORY_AND_DISK
     // unroll copies each partition's UnsafeRows into a heap buffer
     // before caching, and at the 100× census (119.6M edges; e + the
@@ -196,10 +197,19 @@ object Graph {
     // into task OOM — DISK_ONLY streams partitions straight to local
     // scratch with no unroll cliff and no storage-pool pressure on the
     // joins that follow. Node-sized checkpoints (deg) keep the default.
-    val e = edges.select(
+    //
+    // `assumeDistinct` skips the dedup SHUFFLE when the caller
+    // GUARANTEES one row per unordered pair (e.g. a pre-aggregated
+    // pair-count relation like CoPurchase — at the 100× census the
+    // redundant distinct re-shuffles 119.6M rows for nothing).
+    // Canonicalization (least/greatest + self-loop drop) still runs —
+    // it is shuffle-free — so only DUPLICATE rows are the caller's
+    // promise; a violated promise inflates counts (spec-pinned equal
+    // to the safe path on canonical input).
+    val e0 = edges.select(
         least(srcCol, dstCol).as("u"), greatest(srcCol, dstCol).as("v"))
       .filter(col("u") =!= col("v"))
-      .distinct()
+    val e = (if (assumeDistinct) e0 else e0.distinct())
       .localCheckpoint(true,
         org.apache.spark.storage.StorageLevel.DISK_ONLY)
       // feeds degrees AND the orientation join

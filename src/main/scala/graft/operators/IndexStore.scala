@@ -68,7 +68,7 @@ object IndexStore {
     // than a JSON library (none is on the classpath; the writer below
     // is the only producer)
     val s = Files.readString(Paths.get(dir, "meta.json"))
-    "\"([a-zA-Z]+)\"\\s*:\\s*\"?([a-zA-Z0-9]+)\"?".r
+    "\"([a-zA-Z]+)\"\\s*:\\s*\"?([a-zA-Z0-9_\\-\\.]+)\"?".r
       .findAllMatchIn(s).map(m => m.group(1) -> m.group(2)).toMap
   }
 

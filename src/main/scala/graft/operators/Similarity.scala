@@ -698,7 +698,7 @@ object Similarity {
     val root = math.round(math.sqrt(math.max(1L, n).toDouble)).toInt
     val nlist = math.max(8, math.min(512, root))
     if (root > 512)
-      log.info(s"scaledIvfGeometry: √n=$root clamped to nlist=512 — " +
+      log.warn(s"scaledIvfGeometry: √n=$root clamped to nlist=512 — " +
         "probe fraction grows past n≈262k; raise sampleLimit+cap together")
     val nprobe = math.max(2, math.min(nlist, math.round(nlist / 8.0).toInt))
     (nlist, nprobe)

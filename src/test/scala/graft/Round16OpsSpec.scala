@@ -131,6 +131,16 @@ class Round16OpsSpec extends SparkSpec {
         .as[(Int, Long, Long)].collect()
         .map { case (n, d, t) => n -> (d, t) }.toMap
       assert(gotBloom === got, s"seed=$seed bloom branch")
+      // assumeDistinct on the CANONICALIZED pair set must equal the
+      // safe path (q172 feeds the pre-aggregated CoPurchase relation
+      // through this branch to skip the redundant dedup shuffle)
+      val canonical = raw.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+        .filter { case (a, b) => a != b }.distinct
+      val gotFast = Graph.triangleCounts(canonical.toDF("src", "dst"),
+          col("src"), col("dst"), assumeDistinct = true)
+        .as[(Int, Long, Long)].collect()
+        .map { case (n, d, t) => n -> (d, t) }.toMap
+      assert(gotFast === got, s"seed=$seed assumeDistinct branch")
     }
   }
 
