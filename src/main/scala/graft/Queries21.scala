@@ -153,10 +153,45 @@ object Queries21 {
       .orderBy(col("stage"))
   }
 
+  private val builtIvf = scala.collection.mutable.Set[String]()
+
+  /** Plain-IVF ANN served from a PERSISTED store (centroids + the
+    * corpus assignment + the measured nprobe): q46's exact contract
+    * with the probe job paying only an id-keyed join instead of the
+    * O(nlist·dim) per-row assignment — the dominant corpus-side cost
+    * at scaled nlist (447 lists × 64 dims at the 100× corpus). Same
+    * `trainCachedScaled` cache key as q46, so the store is built from
+    * the SAME index object; Verify pins output == q46 row-for-row.
+    */
+  def q195_ivf_store_topk(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val canonical = new java.io.File(dir).getCanonicalPath
+    val store = TmpDirs.perProcess("graft_ivfstore", canonical)
+    this.synchronized {
+      if (!builtIvf.contains(canonical)) {
+        val (idx, nprobe) = Similarity.IvfIndex.trainCachedScaled(
+          s"$dir:embeddings", emb, "embedding")
+        IndexStore.saveIvf(s, store, idx,
+          Similarity.ivfAssign(emb, "vec_id", "embedding", idx),
+          "vec_id", nprobe)
+        builtIvf.add(canonical): Unit
+      }
+    }
+    val (idx, nprobe, assigned) = IndexStore.loadIvf(s, store)
+    Similarity.ivfTopK(
+        emb.filter(col("vec_id") % 50 === 0 && col("vec_id") < 2500), emb,
+        "vec_id", "embedding", k = 5, nprobe = nprobe,
+        index = Some(idx), assigned = Some(assigned))
+      .select(col("query_id"), col("match_id"),
+        round(col("cos"), 6).as("cos"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q187_pq_store_topk" -> q187_pq_store_topk _,
     "q188_ivfpq_store_topk" -> q188_ivfpq_store_topk _,
-    "q189_curation_gate" -> q189_curation_gate _)
+    "q189_curation_gate" -> q189_curation_gate _,
+    "q195_ivf_store_topk" -> q195_ivf_store_topk _)
 
   val oracles: Map[String, String] = Map.empty
 }

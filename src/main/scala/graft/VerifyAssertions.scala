@@ -7,7 +7,7 @@ import graft.operators.{Decomp, Dedup, Similarity}
 import graft.plans.GramianAgg
 
 /** Hard driver-side checks for the rows-only (sketch/ANN) queries —
-  * q31/q32/q44/q46/q49/q119/q126/q128/q176/q177/q178/q187/q188/q189
+  * q31/q32/q44/q46/q49/q119/q126/q128/q176/q177/q178/q187–q189/q195
   * have no
   * DuckDB-expressible oracle (banding, KMeans, HLL/GK sketches and
   * hyperplane signatures aren't reproducible there), so [[Verify]]
@@ -348,6 +348,12 @@ object VerifyAssertions {
       "q187_pq_store_topk", "q176_pq_topk")
     val q188 = storeTwinCheck("ivfpq_store_roundtrip_equals_trained",
       "q188_ivfpq_store_topk", "q177_ivfpq_topk")
+    // q195 — the plain-IVF store twin: persisted centroids + corpus
+    // assignment + stored nprobe must reproduce q46's scaled-geometry
+    // output exactly (same trainCachedScaled key ⇒ same index object;
+    // the assignment is a pure function of (vector, centroids))
+    val q195 = storeTwinCheck("ivf_store_roundtrip_equals_inline",
+      "q195_ivf_store_topk", "q46_ivf_topk")
 
     // q189 — the composed curation gate: recompute the WHOLE pipeline
     // tail driver-side (score → decile lift walk → cutoff → funnel)
@@ -404,7 +410,7 @@ object VerifyAssertions {
     }
 
     Seq(q31, q32, q44, q46, q49, q119, q126, q128, q176, q177, q178,
-      q187, q188, q189)
+      q187, q188, q189, q195)
   }
 
   /** Planted-recovery + exact-rescore check for the compressed-scan ANN

@@ -98,6 +98,37 @@ object IndexStore {
     (idx, spark.read.parquet(s"$dir/codes.parquet"))
   }
 
+  /** Persist a plain-IVF index: centroids + the corpus assignment
+    * (`idCol`, `list`) — the [[Similarity.ivfAssign]] output. The
+    * assignment is the probe job's dominant per-corpus-row cost at
+    * scaled nlist (O(nlist·dim) per vector); persisting it makes
+    * repeat probe jobs pay only the id-keyed join. Store the paired
+    * `nprobe` too so a loaded index keeps the measured geometry.
+    */
+  def saveIvf(spark: SparkSession, dir: String, index: IvfIndex,
+      assigned: DataFrame, idCol: String, nprobe: Int): Unit = {
+    new java.io.File(dir).mkdirs()
+    writeBooks(spark, s"$dir/coarse_centroids.parquet",
+      Array(index.centroids))
+    assigned.select(col(idCol), col("list"))
+      .write.mode("overwrite").parquet(s"$dir/codes.parquet")
+    writeMeta(dir, s"""{"kind": "ivf", "nlist": ${index.nlist}, """ +
+      s""""nprobe": $nprobe, "idCol": "$idCol"}""")
+  }
+
+  /** Load an IVF store: (index, nprobe, assignment relation). */
+  def loadIvf(spark: SparkSession,
+      dir: String): (IvfIndex, Int, DataFrame) = {
+    val meta = readMeta(dir)
+    require(meta.get("kind").contains("ivf"),
+      s"$dir is not an IVF store (kind=${meta.get("kind")})")
+    val idx = IvfIndex(
+      readBooks(spark, s"$dir/coarse_centroids.parquet").head)
+    require(idx.nlist == meta("nlist").toInt,
+      s"centroid count ${idx.nlist} != meta ${meta("nlist")}")
+    (idx, meta("nprobe").toInt, spark.read.parquet(s"$dir/codes.parquet"))
+  }
+
   /** Persist an IVF-PQ composite: coarse centroids, residual PQ books,
     * and the encoded corpus (`idCol`, `list`, `codes`) — the
     * [[Similarity.ivfPqEncode]] output.

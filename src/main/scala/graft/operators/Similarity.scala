@@ -715,13 +715,28 @@ object Similarity {
       queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int,
       nlist: Int = 16, nprobe: Int = 4,
-      index: Option[IvfIndex] = None): DataFrame = {
+      index: Option[IvfIndex] = None,
+      assigned: Option[DataFrame] = None): DataFrame = {
     val idx = index.getOrElse(IvfIndex.train(corpus, vecCol, nlist))
-    val bucketedCorpus = corpus.select(col(idCol).as("match_id"),
-      col(vecCol).as("__cv"),
-      idx.assignAuto(col(vecCol), 1)(0).as("__list"),
-      vec_l2norm(col(vecCol)).as("__cn"))
-      .filter(col("__cn") > 0) // zero-norm guard (see bruteForceTopK)
+    // `assigned` = a PERSISTED (idCol, list) assignment ([[ivfAssign]]
+    // shape, e.g. loaded via IndexStore.loadIvf): the corpus scan then
+    // skips the O(nlist·dim) per-row assignment — at 200k×64 dims and
+    // nlist 447 that is the dominant cost of a probe job — and joins
+    // the stored lists by id instead. The list values are a pure
+    // function of (vector, centroids), both bit-stable through the
+    // store, so served == inline exactly (q195 asserts it end-to-end).
+    val bucketedCorpus = assigned match {
+      case Some(a) => corpus.select(col(idCol).as("match_id"),
+          col(vecCol).as("__cv"), vec_l2norm(col(vecCol)).as("__cn"))
+        .filter(col("__cn") > 0)
+        .join(a.select(col(idCol).as("match_id"), col("list").as("__list")),
+          "match_id")
+      case None => corpus.select(col(idCol).as("match_id"),
+        col(vecCol).as("__cv"),
+        idx.assignAuto(col(vecCol), 1)(0).as("__list"),
+        vec_l2norm(col(vecCol)).as("__cn"))
+        .filter(col("__cn") > 0) // zero-norm guard (see bruteForceTopK)
+    }
     val probes = queries.select(col(idCol).as("query_id"),
       col(vecCol).as("__qv"),
       explode(idx.assignAuto(col(vecCol), nprobe)).as("__list"),
@@ -737,6 +752,18 @@ object Similarity {
       .orderBy(col("cos").desc, col("match_id").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
+
+  /** The guarded IVF corpus-assignment relation `(idCol, list)` — what
+    * [[ivfTopK]]'s `assigned` parameter consumes and what
+    * [[IndexStore.saveIvf]] persists (the assignment is the probe
+    * job's dominant per-corpus-row cost at scaled nlist; a 100 TB
+    * index computes it once, not per job).
+    */
+  def ivfAssign(corpus: DataFrame, idCol: String, vecCol: String,
+      index: IvfIndex): DataFrame =
+    corpus
+      .filter(vec_l2norm(col(vecCol)) > 0)
+      .select(col(idCol), index.assignAuto(col(vecCol), 1)(0).as("list"))
 
   /** Bucketed ANN top-k: corpus bucketed by LSH signature; each query
     * probes only its own bucket. Returns (query_id, match_id, cos, rank)

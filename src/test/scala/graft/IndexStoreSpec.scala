@@ -102,4 +102,32 @@ class IndexStoreSpec extends SparkSpec {
     val e = intercept[Exception] { IndexStore.loadIvfPq(spark, dir) }
     assert(e.getMessage.contains("not an IVF-PQ store"))
   }
+
+  test("IVF store round trip: centroids + (id, list) assignment + " +
+    "nprobe come back exact; ivfTopK(assigned=loaded) == inline") {
+    val corpus = fuzzCorpus(61L, 140, 16)
+    val idx = Similarity.IvfIndex.train(corpus, "e", nlist = 7)
+    val assigned = Similarity.ivfAssign(corpus, "vec_id", "e", idx)
+    val dir = tmpDir("ivfstore")
+    IndexStore.saveIvf(spark, dir, idx, assigned, "vec_id", nprobe = 3)
+    val (li, np, la) = IndexStore.loadIvf(spark, dir)
+    assert(np == 3 && li.nlist == idx.nlist)
+    for (c <- 0 until idx.nlist)
+      assert(java.util.Arrays.equals(li.centroids(c), idx.centroids(c)))
+    val fresh = assigned.collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    val stored = la.collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(stored == fresh)
+    val queries = corpus.filter(col("vec_id") % 10 === 0)
+    def rows(a: Option[org.apache.spark.sql.DataFrame],
+        i: Similarity.IvfIndex) =
+      Similarity.ivfTopK(queries, corpus, "vec_id", "e", k = 3,
+          nprobe = np, index = Some(i), assigned = a)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+        .toSet
+    val inline = rows(None, idx)
+    val served = rows(Some(la), li)
+    assert(inline.nonEmpty && served == inline)
+  }
 }

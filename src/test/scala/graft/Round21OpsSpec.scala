@@ -202,4 +202,14 @@ class Round21OpsSpec extends SparkSpec {
       assert(got == brute, s"ngram=$ng: ${got.size} vs brute ${brute.size}")
     }
   }
+
+  test("q193/q194 plan audit: posting-list equi-joins only — no " +
+    "CartesianProduct / BroadcastNestedLoop anywhere in the pair paths") {
+    for (q <- Seq("q193_winnowing_pairs", "q194_tf_cosine_pairs")) {
+      val df = SparkEntry.queries(q)(spark, "/root/testdata/sf0.001")
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoop"), s"$q: ${p.take(400)}")
+    }
+  }
 }
