@@ -112,12 +112,38 @@ object Queries22 {
         threshold = 0.85, ngram = 3)
       .orderBy(col("id_a"), col("id_b"))
 
+  /** Winnowing dedup CLUSTER report: the q193 pair graph closed into
+    * connected components ([[Dedup.connectedComponents]]) and reduced
+    * to the per-cluster-size histogram + the docs a keep-one-per-
+    * cluster policy would drop — the end-to-end fingerprint-dedup
+    * pipeline (fingerprint → pair → component → report) a curation
+    * stage actually ships, composed from verified pieces (q51/q169's
+    * CC + q193's pairs) and ORACLED end-to-end via the recursive-CTE
+    * closure.
+    */
+  def q196_winnowing_clusters(s: SparkSession, dir: String): DataFrame = {
+    val corpus = nearDupCorpus(s, dir)
+      .localCheckpoint() // feeds the pair pipeline AND the universe
+    val pairs = Dedup.winnowingPairs(corpus, "doc_id", "text",
+      k = 4, w = 4, minShared = 2)
+    Dedup.connectedComponents(corpus.select(col("doc_id")), "doc_id",
+        pairs, "id_a", "id_b")
+      .groupBy(col("comp")).agg(count(lit(1)).as("sz"))
+      .groupBy(col("sz").as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .select(col("cluster_size"), col("n_clusters"),
+        (col("cluster_size") * col("n_clusters")).as("n_docs"),
+        ((col("cluster_size") - 1) * col("n_clusters")).as("n_dropped"))
+      .orderBy(col("cluster_size"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q190_woe_iv" -> q190_woe_iv _,
     "q191_psi_drift" -> q191_psi_drift _,
     "q192_time_split" -> q192_time_split _,
     "q193_winnowing_pairs" -> q193_winnowing_pairs _,
-    "q194_tf_cosine_pairs" -> q194_tf_cosine_pairs _)
+    "q194_tf_cosine_pairs" -> q194_tf_cosine_pairs _,
+    "q196_winnowing_clusters" -> q196_winnowing_clusters _)
 
   val oracles: Map[String, String] = Map(
     "q190_woe_iv" ->
@@ -265,5 +291,61 @@ object Queries22 {
         |  FROM pairs JOIN norms na ON na.doc_id = id_a
         |    JOIN norms nb ON nb.doc_id = id_b)
         |SELECT id_a, id_b, cos FROM scored WHERE cos >= 0.85
-        |ORDER BY id_a, id_b""".stripMargin)
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q196_winnowing_clusters" ->
+      """WITH RECURSIVE corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000000, text FROM documents
+        |  WHERE doc_id % 20 = 0 AND length(trim(text)) > 0
+        |  UNION ALL
+        |  SELECT doc_id + 20000000,
+        |    array_to_string(rt[1:greatest(floor(len(rt)*0.8)::INT, 1)], ' ')
+        |  FROM (SELECT doc_id,
+        |      regexp_split_to_array(trim(text), '\s+') AS rt, text
+        |    FROM documents)
+        |  WHERE doc_id % 20 = 0 AND length(trim(text)) > 0),
+        | tok AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(regexp_replace(regexp_replace(lower(text),
+        |        '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'))) = 0
+        |      THEN []::VARCHAR[]
+        |      ELSE regexp_split_to_array(trim(regexp_replace(regexp_replace(
+        |        lower(text), '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g')),
+        |        '\s+') END AS t
+        |  FROM corpus),
+        | grams AS (
+        |  SELECT doc_id, list_transform(
+        |      range(1, greatest(len(t)-3, 0)+1),
+        |      i -> substr(md5(array_to_string(t[i:i+3], '')), 1, 15)) AS g
+        |  FROM tok),
+        | fp AS (
+        |  SELECT DISTINCT doc_id, f
+        |  FROM grams, UNNEST(list_distinct(list_transform(
+        |    range(1, greatest(len(g)-3, 0)+1),
+        |    i -> list_min(g[i:i+3])))) AS u(f)),
+        | hot AS (SELECT f FROM fp GROUP BY f HAVING count(*) > 1000),
+        | kept AS (SELECT * FROM fp WHERE f NOT IN (SELECT f FROM hot)),
+        | pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM kept a JOIN kept b ON a.f = b.f AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        | e AS (
+        |  SELECT id_a AS a, id_b AS b FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs
+        |), reach AS (
+        |  SELECT a, b FROM e
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a WHERE e.b <> r.a
+        |), clusters AS (
+        |  SELECT c.doc_id,
+        |    least(c.doc_id, coalesce(min(r.b), c.doc_id)) AS cluster
+        |  FROM corpus c LEFT JOIN reach r ON r.a = c.doc_id
+        |  GROUP BY c.doc_id
+        |), sizes AS (
+        |  SELECT cluster, count(*) AS sz FROM clusters GROUP BY 1)
+        |SELECT sz AS cluster_size, count(*) AS n_clusters,
+        |  CAST(sz * count(*) AS BIGINT) AS n_docs,
+        |  CAST((sz - 1) * count(*) AS BIGINT) AS n_dropped
+        |FROM sizes GROUP BY sz ORDER BY sz""".stripMargin)
 }
