@@ -376,8 +376,11 @@ object VerifyAssertions {
         .collect().map(r => (r.getDouble(0), r.getInt(1)))
       val nRaw = Tables(spark, sfDir, "documents").count()
       val p = rows.count(_._2 == 1).toLong
-      def rnd6(x: Double): Double = new java.math.BigDecimal(x)
-        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      // string-based BigDecimal (shortest representation) = Spark's
+      // round() semantics; `new java.math.BigDecimal(x)` would round
+      // the exact binary expansion and can flip on a half-boundary
+      def rnd6(x: Double): Double = BigDecimal(x)
+        .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
       def bucket(s: Double): Long = math.min(math.floor(s * 10).toLong, 9L)
       val byB = rows.groupBy(r => bucket(r._1))
       var cum = 0L

@@ -60,6 +60,14 @@ object IndexStore {
           .map(_.getSeq[Double](2).toArray)
       }.toArray
 
+  // readMeta's regex value class — an idCol outside it would be written
+  // unescaped and silently truncated on read. Reject at SAVE time so a
+  // store never round-trips a name it can't re-read.
+  private def requireStorableId(idCol: String): Unit =
+    require(idCol.matches("[a-zA-Z0-9_\\-\\.]+"),
+      s"IndexStore: idCol '$idCol' contains characters meta.json cannot " +
+        "round-trip (allowed: [a-zA-Z0-9_-.]) — rename the column before saving")
+
   private def writeMeta(dir: String, json: String): Unit =
     Files.writeString(Paths.get(dir, "meta.json"), json): Unit
 
@@ -78,6 +86,7 @@ object IndexStore {
     */
   def savePq(spark: SparkSession, dir: String, index: PqIndex,
       codes: DataFrame, idCol: String): Unit = {
+    requireStorableId(idCol)
     new java.io.File(dir).mkdirs()
     writeBooks(spark, s"$dir/pq_codebooks.parquet", index.codebooks)
     codes.select(col(idCol), col("codes"))
@@ -107,6 +116,7 @@ object IndexStore {
     */
   def saveIvf(spark: SparkSession, dir: String, index: IvfIndex,
       assigned: DataFrame, idCol: String, nprobe: Int): Unit = {
+    requireStorableId(idCol)
     new java.io.File(dir).mkdirs()
     writeBooks(spark, s"$dir/coarse_centroids.parquet",
       Array(index.centroids))
@@ -135,6 +145,7 @@ object IndexStore {
     */
   def saveIvfPq(spark: SparkSession, dir: String, coarse: IvfIndex,
       pq: PqIndex, enc: DataFrame, idCol: String): Unit = {
+    requireStorableId(idCol)
     new java.io.File(dir).mkdirs()
     writeBooks(spark, s"$dir/pq_codebooks.parquet", pq.codebooks)
     writeBooks(spark, s"$dir/coarse_centroids.parquet",

@@ -34,6 +34,86 @@ object Retrieval {
     * window over ≤ L·n rows per query. Nothing here touches corpus
     * mass — the inputs are the bounded ranked lists.
     */
+  /** Okapi BM25 top-k retrieval over a tokenized corpus (Robertson et
+    * al., TREC-3): for each query (a set of distinct terms), score the
+    * docs sharing ≥1 term via an inverted-index postings join — never
+    * all-pairs — and keep the top `k` by score (ties break by doc id).
+    *
+    *   score(q,d) = Σ_{t ∈ q ∩ d} idf6(t) · (tf·(k1+1)) /
+    *                 (tf + k1·(1−b + b·dl/avgdl))
+    *
+    * Cross-engine determinism (the q134/q185 fold discipline):
+    *   - idf6(t) = round(ln((N − df + 0.5)/(df + 0.5) + 1), 6). The ln
+    *     is libm-divergent at the ulp level, so it is QUANTIZED to the
+    *     6-dec grid before entering any arithmetic (the q127 lesson:
+    *     never let a raw ln decide an ordering). Everything else —
+    *     tf/df/dl/N integer-exact in doubles, one pinned
+    *     parenthesization for the saturation weight — is IEEE-exact,
+    *     so an oracle mirroring the formula verbatim (and computing
+    *     composite constants like k1+1 AS THE SAME SUM, not a folded
+    *     decimal literal) reproduces every contribution bit-for-bit.
+    *   - the per-(query,doc) sum folds contributions in TERM order
+    *     (array_sort + aggregate from 0.0; DuckDB mirrors with
+    *     list_reduce(list_prepend(0.0, list(c ORDER BY term)))), so
+    *     scores are bit-identical and top-k membership is exact.
+    *
+    * Scale shape: tf/df/dl are one explode + combinable aggregations
+    * over the corpus; candidate mass is Σ_{t∈queries} df(t) — bounded
+    * by |panel|·|corpus| for a fixed query panel (linear in corpus,
+    * never corpus²). Query terms ride a broadcast. `excludeSelf` drops
+    * candidates whose id equals the query id (panels drawn from the
+    * corpus itself).
+    */
+  def bm25TopK(
+      corpus: DataFrame, idCol: String, toksCol: String,
+      queries: DataFrame, qidCol: String, qtermsCol: String,
+      k: Int, k1: Double = 1.2, b: Double = 0.75,
+      excludeSelf: Boolean = false): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(k1 >= 0 && b >= 0 && b <= 1, s"bad BM25 params k1=$k1 b=$b")
+    val docs = corpus
+      .select(col(idCol).as("__id"), col(toksCol).as("__toks"))
+      .filter(size(col("__toks")) > 0)
+      .localCheckpoint() // feeds stats + tf; a pure-map relation under
+                         // two branches would re-execute (r4 lesson)
+    val stats = docs.agg(
+      count(lit(1)).cast("double").as("__n"),
+      sum(size(col("__toks"))).cast("double").as("__totdl"))
+    val tf = docs
+      .select(col("__id"), size(col("__toks")).cast("double").as("__dl"),
+        explode(col("__toks")).as("__term"))
+      .groupBy(col("__id"), col("__dl"), col("__term"))
+      .agg(count(lit(1)).cast("double").as("__tf"))
+    val dfRel = tf.groupBy(col("__term"))
+      .agg(count(lit(1)).cast("double").as("__df"))
+    val qt = queries.select(col(qidCol).as("query_id"),
+      explode(array_distinct(col(qtermsCol))).as("__term"))
+    val joined0 = tf.join(dfRel, "__term").join(broadcast(qt), "__term")
+      .crossJoin(broadcast(stats))
+    val joined =
+      if (excludeSelf) joined0.filter(col("__id") =!= col("query_id"))
+      else joined0
+    // ONE pinned parenthesization, mirrored verbatim by oracle SQL
+    val avgdl = col("__totdl") / col("__n")
+    val idf6 = round(log((col("__n") - col("__df") + lit(0.5)) /
+      (col("__df") + lit(0.5)) + lit(1.0)), 6)
+    val w = (col("__tf") * lit(k1 + 1.0)) /
+      (col("__tf") + lit(k1) *
+        (lit(1.0 - b) + (lit(b) * col("__dl")) / avgdl))
+    val scored = joined
+      .select(col("query_id"), col("__id").as("match_id"),
+        col("__term"), (idf6 * w).as("__c"))
+      .groupBy(col("query_id"), col("match_id"))
+      .agg(aggregate(
+        array_sort(collect_list(struct(col("__term"), col("__c")))),
+        lit(0.0), (acc, x) => acc + x.getField("__c")).as("score"))
+    val win = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("match_id"))
+    scored.withColumn("rank", row_number().over(win))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("match_id"), col("score"), col("rank"))
+  }
+
   def rrfFuse(rankings: Seq[DataFrame], k: Int, rrfK: Int = 60): DataFrame = {
     require(rankings.nonEmpty, "rrfFuse: at least one ranking required")
     require(k >= 1, "k must be >= 1")

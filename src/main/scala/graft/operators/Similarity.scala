@@ -717,6 +717,13 @@ object Similarity {
       nlist: Int = 16, nprobe: Int = 4,
       index: Option[IvfIndex] = None,
       assigned: Option[DataFrame] = None): DataFrame = {
+    // A persisted assignment is only meaningful with the index that
+    // produced it: a freshly-trained quantizer's list ids would not
+    // correspond to the stored lists, and probes vs corpus buckets
+    // would silently disagree (near-empty results, no error).
+    require(index.isDefined || assigned.isEmpty,
+      "ivfTopK: `assigned` lists are only valid together with the index " +
+        "that produced them — pass both (e.g. from IndexStore.loadIvf)")
     val idx = index.getOrElse(IvfIndex.train(corpus, vecCol, nlist))
     // `assigned` = a PERSISTED (idCol, list) assignment ([[ivfAssign]]
     // shape, e.g. loaded via IndexStore.loadIvf): the corpus scan then
