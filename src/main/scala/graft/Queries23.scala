@@ -1,0 +1,187 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.Retrieval
+import graft.functions.VectorExprs.vec_dot
+
+/** Round-13 batch: Okapi BM25 lexical retrieval (q197) and the
+  * BM25+cosine RRF hybrid (q198) — the lexical scorer a real
+  * hybrid-retrieval pipeline runs in front of [[Retrieval.rrfFuse]]
+  * (q185 fused Jaccard+cosine; BM25 is the production-shaped lexical
+  * leg). Both fully DuckDB-oracled: BM25 scores are bit-identical
+  * across engines via the quantized-idf + pinned-parenthesization +
+  * term-ordered-fold discipline ([[Retrieval.bm25TopK]] scaladoc).
+  */
+object Queries23 {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  private def tokenized(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id").as("id"),
+        filter(split(lower(trim(col("text"))), "\\s+"),
+          x => length(x) > 0).as("toks"))
+
+  /** BM25 top-10 over the documents corpus ([[Retrieval.bm25TopK]],
+    * k1=1.2, b=0.75): a FIXED 50-query panel (every 40th doc id,
+    * capped < 2000 — the r8 panel rule: a bare modulo grows the panel
+    * with the corpus) queries with its distinct token set; candidates
+    * ride the inverted-index postings join. Scores bit-equal across
+    * engines (operator scaladoc), ranks break ties by candidate id.
+    */
+  def q197_bm25_topk(s: SparkSession, dir: String): DataFrame = {
+    val corpus = tokenized(s, dir)
+    val panel = corpus.filter(col("id") % 40 === 0 && col("id") < 2000)
+      .select(col("id").as("qid"), array_distinct(col("toks")).as("qterms"))
+    Retrieval.bm25TopK(corpus, "id", "toks", panel, "qid", "qterms",
+        k = 10, excludeSelf = true)
+      .select(col("query_id"), col("match_id"),
+        round(col("score"), 9).as("bm25"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Hybrid retrieval, production shape: BM25 top-50 (lexical) and
+    * exact-cosine top-50 (embedding) per panel query over the
+    * documents∩embeddings corpus, fused by [[Retrieval.rrfFuse]] into
+    * a top-10 with each source rank displayed (−1 = absent). The q185
+    * pattern with the Jaccard leg replaced by the scorer a real
+    * pipeline runs. BM25 stats (N, avgdl, df) are computed over the
+    * JOINED corpus — the index serves the registered docs, not the
+    * raw table.
+    */
+  def q198_hybrid_bm25_rrf(s: SparkSession, dir: String): DataFrame = {
+    val corpus = tokenized(s, dir)
+      .join(t(s, dir, "embeddings").select(col("vec_id"), col("embedding")),
+        col("id") === col("vec_id"))
+      .select(col("id"), col("toks"),
+        col("embedding").cast("array<double>").as("v"))
+      .localCheckpoint() // feeds panel + BM25 index + cosine scan
+    val panel = corpus.filter(col("id") % 40 === 0 && col("id") < 2000)
+      .localCheckpoint() // small; feeds qterms + query vectors
+    val bm25r = Retrieval.bm25TopK(corpus, "id", "toks",
+        panel.select(col("id").as("qid"),
+          array_distinct(col("toks")).as("qterms")),
+        "qid", "qterms", k = 50, excludeSelf = true)
+      .select(col("query_id"), col("match_id"), col("rank"))
+      .localCheckpoint() // ≤50·|panel| rows; feeds fuse + display join
+    // zero-norm guard INSIDE the value (round-5 rule: NaN cos would
+    // head every desc top-k; null ranks last) — mirrored in the oracle
+    val cos = corpus.join(
+        broadcast(panel.select(col("id").as("qid"), col("v").as("qv"))),
+        col("id") =!= col("qid"))
+      .select(col("qid"), col("id").as("cid"),
+        when(vec_dot(col("qv"), col("qv")) > 0 &&
+            vec_dot(col("v"), col("v")) > 0,
+          vec_dot(col("qv"), col("v")) /
+            (sqrt(vec_dot(col("qv"), col("qv"))) *
+              sqrt(vec_dot(col("v"), col("v"))))).as("cos"))
+    val wc = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
+    val cosr = cos.filter(col("cos").isNotNull)
+      .withColumn("r", row_number().over(wc))
+      .filter(col("r") <= 50)
+      .select(col("qid").as("query_id"), col("cid").as("match_id"),
+        col("r").as("rank"))
+      .localCheckpoint()
+    Retrieval.rrfFuse(Seq(bm25r, cosr), k = 10)
+      .join(bm25r.withColumnRenamed("rank", "bm25_rank"),
+        Seq("query_id", "match_id"), "left_outer")
+      .join(cosr.withColumnRenamed("rank", "cos_rank"),
+        Seq("query_id", "match_id"), "left_outer")
+      .select(col("query_id").as("qid"), col("match_id").as("cid"),
+        round(col("score"), 9).as("rrf"),
+        coalesce(col("bm25_rank"), lit(-1)).as("bm25_rank"),
+        coalesce(col("cos_rank"), lit(-1)).as("cos_rank"),
+        col("rank"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q197_bm25_topk" -> q197_bm25_topk _,
+    "q198_hybrid_bm25_rrf" -> q198_hybrid_bm25_rrf _)
+
+  // Shared BM25 CTE prefix — the formula mirrors Retrieval.bm25TopK
+  // VERBATIM: same parenthesization, (1.2 + 1.0) computed as a SUM
+  // (a folded 2.2 literal is a DIFFERENT double), idf quantized via
+  // round(·,6) before the multiply, contributions folded in term order.
+  private def bm25Cte(corpusSql: String): String =
+    s"""WITH docs AS (
+       |  $corpusSql
+       |), d2 AS (SELECT id, toks, len(toks) AS dl FROM docs
+       |          WHERE len(toks) > 0),
+       | stats AS (SELECT count(*)::DOUBLE n, sum(dl)::DOUBLE totdl FROM d2),
+       | tf AS (SELECT id, dl::DOUBLE dl, term, count(*)::DOUBLE tf
+       |        FROM (SELECT id, dl, unnest(toks) term FROM d2) GROUP BY 1,2,3),
+       | dfr AS (SELECT term, count(*)::DOUBLE df FROM tf GROUP BY 1),
+       | q AS (SELECT id qid, unnest(list_distinct(toks)) term FROM d2
+       |       WHERE id % 40 = 0 AND id < 2000),
+       | c AS (SELECT q.qid, tf.id cid, tf.term,
+       |         round(ln((stats.n - dfr.df + 0.5)/(dfr.df + 0.5) + 1.0), 6) *
+       |         ((tf.tf * (1.2 + 1.0)) /
+       |          (tf.tf + 1.2 * ((1.0 - 0.75) +
+       |            (0.75 * tf.dl)/(stats.totdl/stats.n)))) AS c
+       |       FROM tf JOIN dfr ON dfr.term = tf.term
+       |               JOIN q ON q.term = tf.term, stats
+       |       WHERE tf.id <> q.qid),
+       | s AS (SELECT qid, cid,
+       |         list_reduce(list_prepend(0.0::DOUBLE, list(c ORDER BY term)),
+       |                     (a,x) -> a + x) AS score
+       |       FROM c GROUP BY 1,2),
+       | bm25r AS (SELECT qid, cid, score,
+       |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid)
+       |      AS r
+       |  FROM s)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q197_bm25_topk" ->
+      (bm25Cte(
+        """SELECT doc_id AS id,
+          |    list_filter(regexp_split_to_array(lower(trim(text)),'\s+'),
+          |                x -> length(x) > 0) AS toks
+          |  FROM documents WHERE length(trim(text)) > 0""".stripMargin) +
+        """
+          |SELECT qid AS query_id, cid AS match_id,
+          |  round(score, 9) AS bm25, r AS rank
+          |FROM bm25r WHERE r <= 10 ORDER BY query_id, rank""".stripMargin),
+    "q198_hybrid_bm25_rrf" ->
+      (bm25Cte(
+        """SELECT d.doc_id AS id,
+          |    list_filter(regexp_split_to_array(lower(trim(d.text)),'\s+'),
+          |                x -> length(x) > 0) AS toks,
+          |    e.embedding::DOUBLE[] AS v
+          |  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+          |  WHERE length(trim(d.text)) > 0""".stripMargin) +
+        """,
+          | lexr AS (SELECT qid, cid, r FROM bm25r WHERE r <= 50),
+          | qv AS (SELECT id qid, v FROM docs
+          |        WHERE id % 40 = 0 AND id < 2000),
+          | cosv AS (
+          |  SELECT qv.qid, c2.id cid,
+          |    CASE WHEN list_inner_product(qv.v, qv.v) > 0
+          |          AND list_inner_product(c2.v, c2.v) > 0
+          |    THEN list_inner_product(qv.v, c2.v) /
+          |      (sqrt(list_inner_product(qv.v, qv.v)) *
+          |        sqrt(list_inner_product(c2.v, c2.v))) END AS cos
+          |  FROM qv JOIN docs c2 ON c2.id <> qv.qid
+          |), cosr AS (
+          |  SELECT qid, cid,
+          |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS r
+          |  FROM cosv WHERE cos IS NOT NULL QUALIFY r <= 50
+          |), fused AS (
+          |  SELECT coalesce(l.qid, c.qid) qid, coalesce(l.cid, c.cid) cid,
+          |    coalesce(1.0::DOUBLE/(60::DOUBLE + l.r::DOUBLE), 0.0) +
+          |      coalesce(1.0::DOUBLE/(60::DOUBLE + c.r::DOUBLE), 0.0) AS score,
+          |    l.r lr, c.r cr
+          |  FROM lexr l FULL OUTER JOIN cosr c
+          |    ON l.qid = c.qid AND l.cid = c.cid
+          |)
+          |SELECT qid, cid, round(score, 9) AS rrf,
+          |  coalesce(lr, -1) AS bm25_rank, coalesce(cr, -1) AS cos_rank,
+          |  row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid)
+          |    AS rank
+          |FROM fused QUALIFY rank <= 10 ORDER BY qid, rank""".stripMargin))
+}
