@@ -100,9 +100,76 @@ object Queries23 {
       .orderBy(col("qid"), col("rank"))
   }
 
+  private val builtAppend = scala.collection.mutable.Set[String]()
+
+  /** Corpus split for the incremental-append store: the q187 planted
+    * corpus, with every 7th id as the ARRIVING batch and the rest as
+    * the RESIDENT corpus the codebooks were trained on.
+    */
+  private[graft] def appendParts(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val base = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val corpus = QueryFixtures.plantedEmbeddings(base)
+    (corpus,
+      corpus.filter(col("vec_id") % 7 =!= 0),
+      corpus.filter(col("vec_id") % 7 === 0))
+  }
+
+  private[graft] def appendPqKey(dir: String): String =
+    s"$dir:embeddings:pq-append"
+
+  /** Build-once (per process/sfDir): save a PQ store encoded from the
+    * RESIDENT corpus only, then [[IndexStore.appendCodes]] the arriving
+    * batch encoded with the LOADED (frozen) codebooks — never a
+    * retrain, never a corpus re-encode. Returns the store path.
+    */
+  private[graft] def appendStore(s: SparkSession, dir: String): String = {
+    import graft.operators.{IndexStore, Similarity}
+    val (_, resident, arriving) = appendParts(s, dir)
+    val canonical = new java.io.File(dir).getCanonicalPath
+    val store = TmpDirs.perProcess("graft_pqappend", canonical)
+    this.synchronized {
+      if (!builtAppend.contains(canonical)) {
+        val idx = Similarity.PqIndex.trainCached(appendPqKey(dir),
+          resident, "e", m = 8, ksub = 16)
+        IndexStore.savePq(s, store, idx,
+          Similarity.pqEncode(resident, "vec_id", "e", idx), "vec_id")
+        val (loaded, _) = IndexStore.loadPq(s, store)
+        IndexStore.appendCodes(s, store,
+          Similarity.pqEncode(arriving, "vec_id", "e", loaded), "vec_id")
+        builtAppend.add(canonical): Unit
+      }
+    }
+    store
+  }
+
+  /** PQ ANN over an INCREMENTALLY-MAINTAINED store: codebooks trained
+    * on the resident corpus, the arriving batch encoded with the loaded
+    * frozen books and appended to `codes.parquet`
+    * ([[graft.operators.IndexStore.appendCodes]]) — the probe then
+    * serves resident + appended rows alike. Rows-only; the Verify
+    * assertion pins (a) probe output == a probe over a FULL inline
+    * encode with the same index, row-for-row, and (b) the appended
+    * batch codes == the full-encode codes for those ids, bit-equal.
+    */
+  def q199_pq_append_topk(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{IndexStore, Similarity}
+    val (corpus, _, _) = appendParts(s, dir)
+    val store = appendStore(s, dir)
+    val (idx, codes) = IndexStore.loadPq(s, store)
+    Similarity.pqTopK(
+        corpus.filter(col("vec_id") % 10 === 0 && col("vec_id") < 500),
+        corpus, "vec_id", "e", k = 5, index = idx, codes = Some(codes))
+      .select(col("query_id"), col("match_id"),
+        round(col("cos"), 6).as("cos"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q197_bm25_topk" -> q197_bm25_topk _,
-    "q198_hybrid_bm25_rrf" -> q198_hybrid_bm25_rrf _)
+    "q198_hybrid_bm25_rrf" -> q198_hybrid_bm25_rrf _,
+    "q199_pq_append_topk" -> q199_pq_append_topk _)
 
   // Shared BM25 CTE prefix — the formula mirrors Retrieval.bm25TopK
   // VERBATIM: same parenthesization, (1.2 + 1.0) computed as a SUM

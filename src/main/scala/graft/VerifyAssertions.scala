@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Decomp, Dedup, Similarity}
+import graft.operators.{Decomp, Similarity}
 import graft.plans.GramianAgg
 
 /** Hard driver-side checks for the rows-only (sketch/ANN) queries —
@@ -37,14 +37,14 @@ object VerifyAssertions {
     // measured exact(0.8) == minhash(0.7) at all three SFs (25/28/256
     // pairs, 0 missed, 0 extra); asserted as superset so borderline
     // estimate noise can only add pairs, never silently drop dups.
+    // Shared with tools.ProbeMinhash (one implementation, so the sf10
+    // family-sampled probe and this gate cannot drift — r12 item 3);
+    // at gate SFs the sample is the whole corpus and the banded side
+    // is the actual catalog q31 output.
     val q31 = {
-      val exact = pairSet(Dedup.jaccardPairs(docs, "doc_id", "text", 0.8))
-      val sketch = pairSet(
-        Dedup.minhashNearDupPairs(docs, "doc_id", "text", 0.7))
+      val r = MinhashCheck.run(spark, sfDir)
       Check("minhash_recovers_strong_exact_pairs", "q31_minhash_neardup",
-        exact.nonEmpty && exact.subsetOf(sketch),
-        s"exact(j>=0.8)=${exact.size} minhash=${sketch.size} " +
-          s"missed=${exact.diff(sketch).size}")
+        r.pass, r.detail)
     }
 
     // q32 — SimHash over the PLANTED corpus (round-11 fix: the raw docs
@@ -412,8 +412,50 @@ object VerifyAssertions {
           s"${out("s5_cutoff_bucket")._1})")
     }
 
+    // q199 — incremental index append: the store holds resident-encoded
+    // rows + an appended batch encoded with the LOADED frozen books.
+    // Encode is a per-row pure function of (vector, codebooks), so (a)
+    // a probe over the appended store must equal a probe over a FULL
+    // inline encode with the SAME index object (trainCached key ⇒ same
+    // object, the q189 sound-parity discipline) row-for-row, and (b)
+    // the appended batch codes must be BIT-EQUAL to full-encode codes.
+    val q199 = {
+      val out = SparkEntry.queries("q199_pq_append_topk")(spark, sfDir)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+        .toSet
+      val (corpus, resident, arriving) = Queries23.appendParts(spark, sfDir)
+      val idx = Similarity.PqIndex.trainCached(
+        Queries23.appendPqKey(sfDir), resident, "e", m = 8, ksub = 16)
+      val full = Similarity.pqTopK(
+          corpus.filter(col("vec_id") % 10 === 0 && col("vec_id") < 500),
+          corpus, "vec_id", "e", k = 5, index = idx,
+          codes = Some(Similarity.pqEncode(corpus, "vec_id", "e", idx)))
+        .select(col("query_id"), col("match_id"),
+          round(col("cos"), 6).as("cos"), col("rank"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+        .toSet
+      val store = Queries23.appendStore(spark, sfDir)
+      def codeMap(df: DataFrame): Map[Long, Seq[Int]] =
+        df.collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+      val loadedBatch = codeMap(spark.read.parquet(s"$store/codes.parquet")
+        .join(arriving.select(col("vec_id")), Seq("vec_id"))
+        .select(col("vec_id"), col("codes")))
+      val freshBatch = codeMap(
+        Similarity.pqEncode(arriving, "vec_id", "e", idx))
+      Check("pq_append_equals_full_encode", "q199_pq_append_topk",
+        out.nonEmpty && out == full &&
+          loadedBatch.nonEmpty && loadedBatch == freshBatch,
+        s"probe_rows=${out.size} full_rows=${full.size} " +
+          s"sym_diff=${(out diff full).size + (full diff out).size} " +
+          s"batch_codes=${loadedBatch.size} " +
+          s"code_mismatches=${freshBatch.count { case (k2, v) =>
+            !loadedBatch.get(k2).contains(v) }}")
+    }
+
     Seq(q31, q32, q44, q46, q49, q119, q126, q128, q176, q177, q178,
-      q187, q188, q189, q195)
+      q187, q188, q189, q195, q199)
   }
 
   /** Planted-recovery + exact-rescore check for the compressed-scan ANN

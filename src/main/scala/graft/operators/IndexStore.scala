@@ -126,6 +126,45 @@ object IndexStore {
       s""""nprobe": $nprobe, "idCol": "$idCol"}""")
   }
 
+  /** Append a NEWLY-ENCODED batch to a persisted store's codes.parquet
+    * — the incremental-maintenance path. A 100 TB pipeline appends;
+    * re-encoding the whole corpus per arriving batch is exactly what a
+    * persisted index exists to avoid. The codebooks/centroids are
+    * FROZEN by the store, so encoding only the batch with the LOADED
+    * index is bit-equal to a full re-encode (encode is a per-row pure
+    * function of (vector, codebooks)); q199 asserts it end-to-end.
+    *
+    * `batchCodes` must be the encode shape matching the store kind
+    * ([[Similarity.pqEncode]] / [[Similarity.ivfAssign]] /
+    * [[Similarity.ivfPqEncode]] output, produced with the LOADED
+    * index). Ids already present are rejected — a silent duplicate
+    * would double-count in every probe; the overlap probe is one
+    * semi-join of the code scan against the broadcast batch ids with
+    * `limit(1)`, so it short-circuits on the first hit. Gate arrivals
+    * with the q129 admission shape first if dedup is the intent.
+    */
+  def appendCodes(spark: SparkSession, dir: String, batchCodes: DataFrame,
+      idCol: String): Unit = {
+    val meta = readMeta(dir)
+    require(meta.get("idCol").contains(idCol),
+      s"appendCodes: store id column '${meta.getOrElse("idCol", "?")}' " +
+        s"!= batch id column '$idCol'")
+    val cols = meta.getOrElse("kind", "?") match {
+      case "pq"    => Seq(col(idCol), col("codes"))
+      case "ivf"   => Seq(col(idCol), col("list"))
+      case "ivfpq" => Seq(col(idCol), col("list"), col("codes"))
+      case other   => sys.error(s"appendCodes: unknown store kind '$other' in $dir")
+    }
+    val dup = spark.read.parquet(s"$dir/codes.parquet")
+      .join(broadcast(batchCodes.select(col(idCol))), Seq(idCol), "left_semi")
+      .limit(1).count()
+    require(dup == 0L,
+      s"appendCodes: batch contains ids already present in $dir — " +
+        "dedup/admit the batch (q129 shape) before appending")
+    batchCodes.select(cols: _*)
+      .write.mode("append").parquet(s"$dir/codes.parquet")
+  }
+
   /** Load an IVF store: (index, nprobe, assignment relation). */
   def loadIvf(spark: SparkSession,
       dir: String): (IvfIndex, Int, DataFrame) = {

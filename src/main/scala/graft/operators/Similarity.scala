@@ -650,6 +650,39 @@ object Similarity {
       cache.computeIfAbsent((cacheKey, vecCol, nlist, seed),
         _ => train(corpus, vecCol, nlist, seed))
 
+    /** Distributed coarse training past the driver-sample ceiling (r12
+      * verdict top item): the 4096-vector driver sample keeps ≥8
+      * training vectors per centroid only up to nlist=512, which
+      * clamped [[Similarity.scaledIvfGeometry]] — past n≈262k the
+      * probe fraction grew again. This path trains the coarse book
+      * with the engine's own broadcast-model Lloyd
+      * ([[Clustering.kmeansLloyd]] — zero-shuffle AffineMap
+      * assignment, mergeable [[graft.plans.VecSumAgg]] partials, k·(d+1)
+      * doubles over the exchange), so nlist scales with √n and every
+      * centroid trains on the FULL corpus. md5-seeded → same corpus,
+      * same fit, any partitioning; float partial merge order still
+      * drifts ~1 ulp between fits, so share one index object per
+      * process via [[trainDistributedCached]] (the q178 discipline) or
+      * persist through [[IndexStore]]. Empty clusters shrink the book
+      * (classical Lloyd; [[scaledIvfGeometry]]'s nprobe is computed
+      * from the REQUESTED nlist — a handful of dropped cells only
+      * nudges the probe fraction up).
+      */
+    def trainDistributed(corpus: DataFrame, idCol: String, vecCol: String,
+        nlist: Int, iters: Int = 8): IvfIndex = {
+      val (_, model) = Clustering.kmeansLloyd(corpus, col(idCol),
+        col(vecCol), nlist, iters)
+      IvfIndex(model.centroids)
+    }
+
+    private val distCache = new java.util.concurrent.ConcurrentHashMap[
+      (String, String, Int), IvfIndex]()
+
+    def trainDistributedCached(cacheKey: String, corpus: DataFrame,
+        idCol: String, vecCol: String, nlist: Int): IvfIndex =
+      distCache.computeIfAbsent((cacheKey, vecCol, nlist),
+        _ => trainDistributed(corpus, idCol, vecCol, nlist))
+
     private val scaledCache = new java.util.concurrent.ConcurrentHashMap[
       (String, String, Long), (IvfIndex, Int)]()
 
@@ -662,14 +695,31 @@ object Similarity {
       * 200k+ vectors left recall in the scaled regime unmeasured).
       */
     def trainCachedScaled(cacheKey: String, corpus: DataFrame,
-        vecCol: String, seed: Long = 42L): (IvfIndex, Int) =
+        vecCol: String, seed: Long = 42L,
+        idCol: String = "vec_id"): (IvfIndex, Int) =
       scaledCache.computeIfAbsent((cacheKey, vecCol, seed), _ => {
         val n = corpus.count()
         val (nlist, nprobe) = scaledIvfGeometry(n)
         log.info(s"ivf scaled geometry: n=$n -> nlist=$nlist nprobe=$nprobe")
-        (trainCached(cacheKey, corpus, vecCol, nlist, seed), nprobe)
+        val idx =
+          if (nlist <= DriverSampleNlistCap)
+            trainCached(cacheKey, corpus, vecCol, nlist, seed)
+          else {
+            // past the driver-sample ceiling: distributed Lloyd keeps
+            // ≥-full-corpus training per centroid (r12 top item)
+            log.info(s"ivf coarse training goes DISTRIBUTED: nlist=$nlist" +
+              s" > $DriverSampleNlistCap (driver-sample ceiling)")
+            trainDistributedCached(cacheKey, corpus, idCol, vecCol, nlist)
+          }
+        (idx, nprobe)
       })
   }
+
+  /** Largest nlist the 4096-vector driver-side training sample supports
+    * at ≥8 vectors per centroid; past it, coarse training must go
+    * distributed ([[IvfIndex.trainDistributed]]).
+    */
+  val DriverSampleNlistCap: Int = 512
 
   /** √n IVF geometry, MEASURED (round 12, ProbeIvf over the q46 fixed
     * panel vs brute-force truth): `nlist = clamp(8, 512, round(√n))`,
@@ -689,17 +739,28 @@ object Similarity {
     * (500-vector cells are ~23 vectors — at that size IVF recall is
     * noise-dominated on RAW corpora either way; the scaled regime is
     * where the rule earns its keep, and there it is uniformly better
-    * on both axes.) The 512 cap keeps ≥8 training samples per centroid
-    * at the 4096 sample limit; past n ≈ 262k the fraction grows again —
-    * the log line above flags it (raise sampleLimit and the cap
-    * together if that regime becomes real).
+    * on both axes.)
+    *
+    * Round 13 extended the rule past the old 512 ceiling (512 was the
+    * largest nlist the 4096-vector DRIVER training sample supports at
+    * ≥8 vectors per centroid): [[IvfIndex.trainCachedScaled]] now
+    * routes nlist > [[DriverSampleNlistCap]] to the DISTRIBUTED
+    * trainer ([[IvfIndex.trainDistributed]] — broadcast-model Lloyd,
+    * full-corpus training per centroid), measured at 500k (707×88)
+    * and 1M vectors (1000×125) on the ProbeIvf harness — recall rows
+    * in PLANS.md ("IVF distributed coarse training"). The cap is now
+    * 4096 — past
+    * n ≈ 16.8M the √n rule would again grow the probe fraction; the
+    * warn below marks that boundary (at that scale, raise the cap and
+    * re-measure — the distributed trainer itself has no nlist
+    * ceiling).
     */
   def scaledIvfGeometry(n: Long): (Int, Int) = {
     val root = math.round(math.sqrt(math.max(1L, n).toDouble)).toInt
-    val nlist = math.max(8, math.min(512, root))
-    if (root > 512)
-      log.warn(s"scaledIvfGeometry: √n=$root clamped to nlist=512 — " +
-        "probe fraction grows past n≈262k; raise sampleLimit+cap together")
+    val nlist = math.max(8, math.min(4096, root))
+    if (root > 4096)
+      log.warn(s"scaledIvfGeometry: √n=$root clamped to nlist=4096 — " +
+        "probe fraction grows past n≈16.8M; raise the cap and re-measure")
     val nprobe = math.max(2, math.min(nlist, math.round(nlist / 8.0).toInt))
     (nlist, nprobe)
   }

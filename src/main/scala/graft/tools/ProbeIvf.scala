@@ -48,7 +48,13 @@ object ProbeIvf {
     }
     combos.distinct.foreach { case (nlist, nprobe) =>
       t0 = System.nanoTime()
-      val idx = Similarity.IvfIndex.train(emb, "embedding", nlist)
+      // past the driver-sample ceiling the production path goes
+      // distributed (trainCachedScaled routing) — probe the same trainer
+      val idx =
+        if (nlist <= Similarity.DriverSampleNlistCap)
+          Similarity.IvfIndex.train(emb, "embedding", nlist)
+        else Similarity.IvfIndex.trainDistributed(emb, "vec_id",
+          "embedding", nlist)
       val tTrain = (System.nanoTime() - t0) / 1e9
       t0 = System.nanoTime()
       val got = topk(Similarity.ivfTopK(q, emb, "vec_id", "embedding", 5,

@@ -30,7 +30,24 @@ import org.apache.spark.sql.functions._
   */
 object ScaleUp {
 
-  private val Off = 100000000L
+  private[tools] val Off = 100000000L
+
+  /** One embeddings replica (k = 0 verbatim): id offset + the
+    * hash-decorrelated per-(vector, element, replica) noise documented
+    * at the call site below. Shared with [[ScaleUpEmbeddings]] so the
+    * big-vector-count rehearsal corpora use the SAME replication model
+    * as the full ScaleUp dirs.
+    */
+  private[tools] def embReplica(d: DataFrame, k: Int): DataFrame = {
+    val emb =
+      if (k == 0) col("embedding")
+      else transform(col("embedding"), (x, i) =>
+        (x.cast("double") + lit(0.018) *
+          (pmod(xxhash64(col("vec_id"), i, lit(k)), lit(17)) - 8))
+          .cast("float"))
+    d.select((col("vec_id") + lit(k * Off)).as("vec_id"),
+      emb.as("embedding"), col("label"))
+  }
 
   def main(args: Array[String]): Unit = {
     val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
@@ -107,29 +124,22 @@ object ScaleUp {
            else translate(col("text"), lower, rot)).as("text"),
           col("lang"), col("source"), col("n_chars"))
     }
-    replicate(spark.read.parquet(s"$src/embeddings.parquet"), "embeddings") {
-      (d, k) =>
-        // per-(vector, replica) deterministic noise for k > 0: verbatim
-        // copies would plant exact-tie 10-cliques (cos 1.0) in every
-        // similarity/dedup query — an artifact, not growth. ~0.018-scale
-        // noise on unit vectors puts cos(same vec, two replicas) ≈ 0.67,
-        // far below every gate threshold, while within-replica structure
-        // is preserved up to a uniform ~1/1.5 cosine shrink.
-        // HASH-mixed noise (round 7): the round-6 modular form
-        // ((vec_id*7 + i*13 + k*31) % 17) was the SAME cyclic pattern
-        // per replica, shifted — shift-aligned replica pairs correlated
-        // at ρ high enough to lift cos(same vec, two replicas) above
-        // 0.9, which the exact all-pairs q92 oracle sees and a
-        // 0.9967-tuned LSH gate legitimately misses. xxhash64 per
-        // (vec, element, replica) decorrelates replicas completely.
-        val emb =
-          if (k == 0) col("embedding")
-          else transform(col("embedding"), (x, i) =>
-            (x.cast("double") + lit(0.018) *
-              (pmod(xxhash64(col("vec_id"), i, lit(k)), lit(17)) - 8))
-              .cast("float"))
-        d.select(off("vec_id", k), emb.as("embedding"), col("label"))
-    }
+    // per-(vector, replica) deterministic noise for k > 0: verbatim
+    // copies would plant exact-tie 10-cliques (cos 1.0) in every
+    // similarity/dedup query — an artifact, not growth. ~0.018-scale
+    // noise on unit vectors puts cos(same vec, two replicas) ≈ 0.67,
+    // far below every gate threshold, while within-replica structure
+    // is preserved up to a uniform ~1/1.5 cosine shrink.
+    // HASH-mixed noise (round 7): the round-6 modular form
+    // ((vec_id*7 + i*13 + k*31) % 17) was the SAME cyclic pattern
+    // per replica, shifted — shift-aligned replica pairs correlated
+    // at ρ high enough to lift cos(same vec, two replicas) above
+    // 0.9, which the exact all-pairs q92 oracle sees and a
+    // 0.9967-tuned LSH gate legitimately misses. xxhash64 per
+    // (vec, element, replica) decorrelates replicas completely.
+    // (Transform lives in embReplica, shared with ScaleUpEmbeddings.)
+    replicate(spark.read.parquet(s"$src/embeddings.parquet"),
+      "embeddings")(embReplica)
     println(s"""{"scaled":"$dst","factor":$factor,"src":"$src"}""")
     spark.stop()
   }

@@ -92,6 +92,46 @@ class IndexStoreSpec extends SparkSpec {
     assert(trained.nonEmpty && viaStore == trained)
   }
 
+  test("appendCodes: batch encoded with the LOADED frozen books + " +
+    "append == full inline encode (probe row-equal, codes bit-equal); " +
+    "duplicate ids and idCol mismatches are rejected loud") {
+    val corpus = fuzzCorpus(71L, 140, 16)
+    val resident = corpus.filter(col("vec_id") % 5 =!= 0)
+    val arriving = corpus.filter(col("vec_id") % 5 === 0)
+    val idx = Similarity.PqIndex.train(resident, "e", m = 4, ksub = 8)
+    val dir = tmpDir("pqappend")
+    IndexStore.savePq(spark, dir, idx,
+      Similarity.pqEncode(resident, "vec_id", "e", idx), "vec_id")
+    val (loaded, _) = IndexStore.loadPq(spark, dir)
+    val batch = Similarity.pqEncode(arriving, "vec_id", "e", loaded)
+    IndexStore.appendCodes(spark, dir, batch, "vec_id")
+    val (_, codes) = IndexStore.loadPq(spark, dir)
+    val stored = codes.collect()
+      .map(r => (r.getLong(0), r.getSeq[Int](1))).toSet
+    val fullFresh = Similarity.pqEncode(corpus, "vec_id", "e", idx)
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](1))).toSet
+    assert(stored == fullFresh) // bit-equal to a full re-encode
+    val queries = corpus.filter(col("vec_id") % 10 === 0)
+    def rows(codesOpt: Option[org.apache.spark.sql.DataFrame]) =
+      Similarity.pqTopK(queries, corpus, "vec_id", "e", k = 3,
+          index = idx, codes = codesOpt)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+        .toSet
+    assert(rows(Some(codes)) == rows(None) && rows(None).nonEmpty)
+    // duplicate ids rejected (the whole batch is already present)
+    val dup = intercept[IllegalArgumentException] {
+      IndexStore.appendCodes(spark, dir, batch, "vec_id")
+    }
+    assert(dup.getMessage.contains("already present"))
+    // idCol mismatch rejected before any write
+    val mis = intercept[IllegalArgumentException] {
+      IndexStore.appendCodes(spark, dir,
+        batch.withColumnRenamed("vec_id", "other_id"), "other_id")
+    }
+    assert(mis.getMessage.contains("id column"))
+  }
+
   test("load rejects a store of the wrong kind, and meta/codebook " +
     "shape mismatches are loud") {
     val corpus = fuzzCorpus(53L, 60, 8)

@@ -29,6 +29,31 @@ class IvfSpec extends SparkSpec {
     assert(out.forall(r => math.abs(r.getDouble(r.fieldIndex("cos"))) <= 1.0 + 1e-9))
   }
 
+  test("trainDistributed: exhaustive probe over a distributed-trained " +
+    "book equals brute force; book shape is sane; geometry cap moved " +
+    "to 4096 with the driver-sample boundary at 512") {
+    val emb = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val idx = Similarity.IvfIndex.trainDistributed(emb, "vec_id",
+      "embedding", nlist = 8, iters = 4)
+    assert(idx.nlist >= 1 && idx.nlist <= 8) // empty cells may shrink it
+    assert(idx.centroids.forall(_.length == idx.centroids.head.length))
+    val queries = emb.filter(col("vec_id") % 25 === 0)
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "match_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // nprobe == nlist is exhaustive regardless of who trained the book
+    val all = key(Similarity.ivfTopK(queries, emb, "vec_id", "embedding",
+      3, nprobe = idx.nlist, index = Some(idx)))
+    val brute = key(
+      Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", 3))
+    assert(all == brute)
+    // geometry: √n rule now runs to 4096 (distributed regime)
+    assert(Similarity.scaledIvfGeometry(500000L) === ((707, 88)))
+    assert(Similarity.scaledIvfGeometry(1000000L) === ((1000, 125)))
+    assert(Similarity.scaledIvfGeometry(100000000L) === ((4096, 512)))
+    assert(Similarity.DriverSampleNlistCap === 512)
+  }
+
   test("topPairsLsh equals exact topPairs in the near-dup regime") {
     import spark.implicits._
     val rnd = new java.util.SplittableRandom(7L)
