@@ -166,10 +166,52 @@ object Queries23 {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Mixed-format multimodal decode — q35's digest coverage extended
+    * from the opaque payload to the DECODED raster (r12 verdict item
+    * 6): per document a 4×3 RGB raster is derived from md5(text)
+    * (ascii hex bytes — both engines can construct it), encoded BMP /
+    * PPM / PNG by doc_id mod 4 (3 = raw text bytes → stub path), run
+    * through [[graft.operators.Multimodal.decode]], and reported as
+    * (id, format, width, height, channels, md5-of-decoded-pixels).
+    * FULLY oracled because the three real formats are LOSSLESS — the
+    * decoded raster is bit-equal to the construction, which DuckDB
+    * rebuilds in SQL (JPEG is lossy, so its decode-determinism
+    * contract lives in the spec, not here).
+    */
+  def q200_multimodal_decode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.operators.Multimodal
+    val rows = t(s, dir, "documents")
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("hex"),
+        col("text"))
+      .as[(Long, String, String)]
+    rows.mapPartitions { it =>
+      // per-partition codec/digest setup — the mapInPandas batch shape
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.map { case (id, hex, text) =>
+        val raster = (hex + hex.substring(0, 4))
+          .getBytes(java.nio.charset.StandardCharsets.US_ASCII) // 36 B
+        val media = (id % 4).toInt match {
+          case 0 => Multimodal.encodeBmp24(4, 3, raster)
+          case 1 => Multimodal.encodePpm(4, 3, raster)
+          case 2 => Multimodal.encodePng(4, 3, raster)
+          case _ => text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        }
+        val d = Multimodal.decode(media)
+        md.reset()
+        val dig = md.digest(d.pixels).map(b => f"$b%02x").mkString
+        (id, d.format, d.width, d.height, d.channels, dig)
+      }
+    }.toDF("id", "format", "width", "height", "channels", "pixel_digest")
+      .orderBy(col("id"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q197_bm25_topk" -> q197_bm25_topk _,
     "q198_hybrid_bm25_rrf" -> q198_hybrid_bm25_rrf _,
-    "q199_pq_append_topk" -> q199_pq_append_topk _)
+    "q199_pq_append_topk" -> q199_pq_append_topk _,
+    "q200_multimodal_decode" -> q200_multimodal_decode _)
 
   // Shared BM25 CTE prefix — the formula mirrors Retrieval.bm25TopK
   // VERBATIM: same parenthesization, (1.2 + 1.0) computed as a SUM
@@ -250,5 +292,20 @@ object Queries23 {
           |  coalesce(lr, -1) AS bm25_rank, coalesce(cr, -1) AS cos_rank,
           |  row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid)
           |    AS rank
-          |FROM fused QUALIFY rank <= 10 ORDER BY qid, rank""".stripMargin))
+          |FROM fused QUALIFY rank <= 10 ORDER BY qid, rank""".stripMargin),
+    "q200_multimodal_decode" ->
+      """SELECT doc_id AS id,
+        |  CASE doc_id % 4 WHEN 0 THEN 'bmp' WHEN 1 THEN 'ppm'
+        |    WHEN 2 THEN 'png' ELSE 'stub' END AS format,
+        |  CASE WHEN doc_id % 4 = 3
+        |    THEN 16 + octet_length(CAST(text AS BLOB)) % 64
+        |    ELSE 4 END AS width,
+        |  CASE WHEN doc_id % 4 = 3
+        |    THEN 16 + (octet_length(CAST(text AS BLOB)) // 64) % 64
+        |    ELSE 3 END AS height,
+        |  3 AS channels,
+        |  CASE WHEN doc_id % 4 = 3 THEN md5(text)
+        |    ELSE md5(md5(text) || substr(md5(text), 1, 4)) END
+        |    AS pixel_digest
+        |FROM documents WHERE text IS NOT NULL ORDER BY id""".stripMargin)
 }

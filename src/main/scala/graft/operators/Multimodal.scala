@@ -58,21 +58,100 @@ object Multimodal {
 
   /** Decode a payload: real pure-JVM parsing for the uncompressed public
     * formats (24-bit BI_RGB BMP; binary P6 PPM — both fully specified
-    * public formats needing no codec library), STUB fallback for
-    * everything else (fake grid over the raw bytes, so non-media payloads
-    * keep the exact pre-round-6 deterministic behavior). Malformed or
-    * truncated headers fall back to the stub rather than throwing — a
-    * poison payload must not kill a 100 TB job.
+    * public formats needing no codec library), `javax.imageio` for
+    * PNG/JPEG (on every JVM, no external codec — [[decodeImageIo]] for
+    * the determinism contract), STUB fallback for everything else (fake
+    * grid over the raw bytes, so non-media payloads keep the exact
+    * pre-round-6 deterministic behavior). Malformed or truncated
+    * headers fall back to the stub rather than throwing — a poison
+    * payload must not kill a 100 TB job.
     */
   def decode(bytes: Array[Byte]): Decoded = {
     val real =
       if (bytes == null) None
       else decodeBmp24(bytes).orElse(decodePpm(bytes))
+        .orElse(decodeImageIo(bytes))
     real.getOrElse {
       val safe = if (bytes == null) Array.emptyByteArray else bytes
       val (w, h, c) = decodeStub(safe)
       Decoded(w, h, c, safe, "stub")
     }
+  }
+
+  /** PNG/JPEG via the JVM's own `javax.imageio` (r12 verdict item 6 —
+    * no egress needed, the reader ships with every JRE).
+    *
+    * Determinism contract: PNG decode is EXACT (lossless format — the
+    * decoded RGB is bit-defined by the spec, any conforming reader
+    * agrees); JPEG decode is implementation-defined at the IDCT level,
+    * so the PINNED decoder is the JVM's own — same JVM ⇒ same bytes,
+    * spec'd as decode-twice equality plus decode(encodePng(r)) == r
+    * round-trip exactness, NOT cross-library equality. Payloads are
+    * magic-sniffed FIRST (PNG `\\x89PNG`, JPEG `\\xFF\\xD8\\xFF`) so
+    * arbitrary non-media bytes never reach ImageIO and keep their
+    * exact stub behavior; a sniffed-but-corrupt payload returns None
+    * (→ stub fallback), never throws. Alpha is dropped (composited
+    * against nothing — the raw channel values are discarded, matching
+    * the 3-channel raster contract of the BMP/PPM decoders).
+    */
+  def decodeImageIo(bytes: Array[Byte]): Option[Decoded] = {
+    if (bytes == null || bytes.length < 8) return None
+    val isPng = (bytes(0) & 0xff) == 0x89 && bytes(1) == 'P' &&
+      bytes(2) == 'N' && bytes(3) == 'G'
+    val isJpeg = (bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8 &&
+      (bytes(2) & 0xff) == 0xff
+    if (!isPng && !isJpeg) return None
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      if (img == null) return None
+      val (w, h) = (img.getWidth, img.getHeight)
+      if (w <= 0 || h <= 0 || w.toLong * h * 3 > MaxPixelBytes) return None
+      val argb = img.getRGB(0, 0, w, h, null, 0, w) // bulk, row-major
+      val out = new Array[Byte](w * h * 3)
+      var i = 0
+      while (i < argb.length) {
+        val px = argb(i)
+        out(i * 3) = ((px >> 16) & 0xff).toByte
+        out(i * 3 + 1) = ((px >> 8) & 0xff).toByte
+        out(i * 3 + 2) = (px & 0xff).toByte
+        i += 1
+      }
+      Some(Decoded(w, h, 3, out, if (isPng) "png" else "jpeg"))
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Encode an RGB top-down raster as PNG via `javax.imageio` — the
+    * lossless fixture generator for [[decodeImageIo]] (PNG round trips
+    * exactly; JPEG fixtures use [[encodeJpeg]] and assert decode
+    * determinism, not round-trip equality).
+    */
+  def encodePng(w: Int, h: Int, rgb: Array[Byte]): Array[Byte] =
+    encodeViaImageIo(w, h, rgb, "png")
+
+  /** Encode an RGB top-down raster as JPEG via `javax.imageio` (lossy —
+    * see [[encodePng]] for the round-trip-exact fixture path).
+    */
+  def encodeJpeg(w: Int, h: Int, rgb: Array[Byte]): Array[Byte] =
+    encodeViaImageIo(w, h, rgb, "jpg")
+
+  private def encodeViaImageIo(w: Int, h: Int, rgb: Array[Byte],
+      format: String): Array[Byte] = {
+    require(w > 0 && h > 0 && rgb.length == w * h * 3,
+      s"need $w x $h x 3 = ${w * h * 3} bytes, got ${rgb.length}")
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var i = 0
+    while (i < w * h) {
+      img.setRGB(i % w, i / w,
+        ((rgb(i * 3) & 0xff) << 16) | ((rgb(i * 3 + 1) & 0xff) << 8) |
+          (rgb(i * 3 + 2) & 0xff))
+      i += 1
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    require(javax.imageio.ImageIO.write(img, format, baos),
+      s"no ImageIO writer for $format")
+    baos.toByteArray
   }
 
   private def u16le(b: Array[Byte], o: Int): Int =

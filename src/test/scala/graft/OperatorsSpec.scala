@@ -445,6 +445,36 @@ class OperatorsSpec extends SparkSpec {
       (s0.pixels eq text))
   }
 
+  test("multimodal: PNG decodes LOSSLESSLY via javax.imageio; JPEG " +
+    "decode is deterministic (pinned JVM reader); sniffed-but-corrupt " +
+    "payloads fall back to the stub") {
+    import graft.operators.Multimodal
+    val rgb = Array.tabulate(5 * 4 * 3)(i => (i * 11 + 3).toByte)
+    // PNG: lossless — round trip is EXACT
+    val png = Multimodal.encodePng(5, 4, rgb)
+    val dp = Multimodal.decode(png)
+    assert(dp.format == "png" && dp.width == 5 && dp.height == 4 &&
+      dp.channels == 3)
+    assert(dp.pixels.toSeq == rgb.toSeq)
+    // JPEG: lossy — contract is decode DETERMINISM on the pinned JVM
+    // reader + correct dims, never pixel equality with the source
+    val jpg = Multimodal.encodeJpeg(5, 4, rgb)
+    val d1 = Multimodal.decode(jpg)
+    val d2 = Multimodal.decode(jpg)
+    assert(d1.format == "jpeg" && d1.width == 5 && d1.height == 4 &&
+      d1.channels == 3)
+    assert(d1.pixels.toSeq == d2.pixels.toSeq)
+    // magic-sniffed but corrupt: ImageIO fails → stub fallback, no throw
+    val corruptPng = png.take(12).toArray
+    val corruptJpeg = Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte) ++
+      Array.fill[Byte](40)(7)
+    assert(Multimodal.decode(corruptPng).format == "stub")
+    assert(Multimodal.decode(corruptJpeg).format == "stub")
+    // non-sniffed bytes never reach ImageIO: exact stub behavior holds
+    val text = "definitely text".getBytes
+    assert(Multimodal.decodeImageIo(text).isEmpty)
+  }
+
   test("multimodal: encode→decode is identity for random rasters (fuzz)") {
     import graft.operators.Multimodal
     val rnd = new java.util.SplittableRandom(99L)
