@@ -132,6 +132,35 @@ class IndexStoreSpec extends SparkSpec {
     assert(mis.getMessage.contains("id column"))
   }
 
+  test("appendCodes on an IVF store: appended assignment == full " +
+    "inline assignment; served probe row-equal") {
+    val corpus = fuzzCorpus(83L, 130, 16)
+    val resident = corpus.filter(col("vec_id") % 5 =!= 0)
+    val arriving = corpus.filter(col("vec_id") % 5 === 0)
+    val idx = Similarity.IvfIndex.train(resident, "e", nlist = 6)
+    val dir = tmpDir("ivfappend")
+    IndexStore.saveIvf(spark, dir, idx,
+      Similarity.ivfAssign(resident, "vec_id", "e", idx), "vec_id",
+      nprobe = 3)
+    val (loaded, np, _) = IndexStore.loadIvf(spark, dir)
+    IndexStore.appendCodes(spark, dir,
+      Similarity.ivfAssign(arriving, "vec_id", "e", loaded), "vec_id")
+    val (_, _, assigned) = IndexStore.loadIvf(spark, dir)
+    val stored = assigned.collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    val fullFresh = Similarity.ivfAssign(corpus, "vec_id", "e", idx)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(stored == fullFresh)
+    val queries = corpus.filter(col("vec_id") % 10 === 0)
+    def rows(a: Option[org.apache.spark.sql.DataFrame]) =
+      Similarity.ivfTopK(queries, corpus, "vec_id", "e", k = 3,
+          nprobe = np, index = Some(idx), assigned = a)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+        .toSet
+    assert(rows(Some(assigned)) == rows(None) && rows(None).nonEmpty)
+  }
+
   test("load rejects a store of the wrong kind, and meta/codebook " +
     "shape mismatches are loud") {
     val corpus = fuzzCorpus(53L, 60, 8)
