@@ -63,7 +63,7 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    // hard checks for the five rows-only queries (no DuckDB oracle) —
+    // hard checks for the rows-only queries (no DuckDB oracle) —
     // recall/subset/exact-rescore, recorded beside the parquet dumps so
     // the correctness artifact is not silent on them
     if (only.isEmpty) {
