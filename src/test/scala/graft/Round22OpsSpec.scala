@@ -31,7 +31,8 @@ class Round22OpsSpec extends SparkSpec {
   private def bruteBm25(docs: Seq[(Long, Seq[String])],
       queries: Seq[(Long, Seq[String])], k: Int,
       k1: Double, b: Double,
-      excludeSelf: Boolean): Seq[(Long, Long, Double, Int)] = {
+      excludeSelf: Boolean,
+      maxDfFrac: Double = 1.0): Seq[(Long, Long, Double, Int)] = {
     val d2 = docs.filter(_._2.nonEmpty)
     val n = d2.size.toDouble
     val avg = d2.map(_._2.size.toLong).sum.toDouble / n
@@ -39,15 +40,18 @@ class Round22OpsSpec extends SparkSpec {
       ts.groupBy(identity).map { case (t, g) => ((id, t), g.size.toDouble) }
     }.toMap
     val dfm = tf.keys.groupBy(_._2).map { case (t, g) => (t, g.size.toDouble) }
+      .filter { case (_, df) => maxDfFrac >= 1.0 || df <= maxDfFrac * n }
     queries.flatMap { case (qid, qts) =>
       val terms = qts.distinct
       val cands = d2.map(_._1)
         .filter(id => !(excludeSelf && id == qid))
-        .filter(id => terms.exists(t => tf.contains((id, t))))
+        .filter(id => terms.exists(t =>
+          dfm.contains(t) && tf.contains((id, t))))
       val scored = cands.map { id =>
         val dl = d2.find(_._1 == id).get._2.size.toDouble
-        // fold matched contributions in TERM order from 0.0
-        val s = terms.filter(t => tf.contains((id, t))).sorted
+        // fold matched SURVIVING contributions in TERM order from 0.0
+        val s = terms.filter(t => dfm.contains(t) && tf.contains((id, t)))
+          .sorted
           .foldLeft(0.0) { (acc, t) =>
             val f = tf((id, t)); val df = dfm(t)
             val idf6 = rnd6(math.log((n - df + 0.5) / (df + 0.5) + 1.0))
@@ -95,6 +99,37 @@ class Round22OpsSpec extends SparkSpec {
     }
   }
 
+  test("bm25TopK maxDfFrac: stopword-pruned scores == brute over the " +
+    "surviving term set; a fully-pruned query yields no rows") {
+    val vocab = Seq("ash", "birch", "cedar", "dune", "elm")
+    val rng = new Lcg(31L)
+    // "the" appears in EVERY doc → df = n → pruned at any frac < 1
+    val docs = fuzzDocs(rng, 30, vocab)
+      .map { case (id, ts) => (id, "the" +: ts) }
+    val queries = Seq(
+      (0L, Seq("the", "ash", "cedar")),
+      (1L, Seq("the"))) // all its terms pruned → no candidates
+    for (frac <- Seq(0.5, 0.9)) {
+      val got = Retrieval.bm25TopK(
+          docs.toDF("id", "toks"), "id", "toks",
+          queries.toDF("qid", "qterms"), "qid", "qterms",
+          k = 5, maxDfFrac = frac)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+        .toSeq.sortBy(r => (r._1, r._4))
+      val want = bruteBm25(docs, queries, k = 5, k1 = 1.2, b = 0.75,
+        excludeSelf = false, maxDfFrac = frac)
+      assert(got === want, s"frac=$frac")
+      assert(!got.exists(_._1 == 1L))
+    }
+    // frac = 1.0 keeps the stopword: query 1 has candidates again
+    val full = Retrieval.bm25TopK(
+        docs.toDF("id", "toks"), "id", "toks",
+        queries.toDF("qid", "qterms"), "qid", "qterms", k = 5)
+      .collect()
+    assert(full.exists(_.getLong(0) == 1L))
+  }
+
   test("bm25TopK: the duplicate-doc pair ranks adjacently with " +
     "identical scores, ordered by id") {
     val docs = Seq(
@@ -121,6 +156,10 @@ class Round22OpsSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Retrieval.bm25TopK(d, "id", "toks", d.toDF("qid", "qterms"),
         "qid", "qterms", k = 1, b = 1.5)
+    }
+    intercept[IllegalArgumentException] {
+      Retrieval.bm25TopK(d, "id", "toks", d.toDF("qid", "qterms"),
+        "qid", "qterms", k = 1, maxDfFrac = 0.0)
     }
   }
 }
