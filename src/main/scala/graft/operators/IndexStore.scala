@@ -153,10 +153,14 @@ object IndexStore {
       case "pq"    => Seq(col(idCol), col("codes"))
       case "ivf"   => Seq(col(idCol), col("list"))
       case "ivfpq" => Seq(col(idCol), col("list"), col("codes"))
+      case "bm25"  => Seq(col(idCol), col("dl"), col("term"), col("tf"))
       case other   => sys.error(s"appendCodes: unknown store kind '$other' in $dir")
     }
+    // distinct: bm25 postings carry many rows per id — the guard only
+    // needs the id set on the broadcast side
     val dup = spark.read.parquet(s"$dir/codes.parquet")
-      .join(broadcast(batchCodes.select(col(idCol))), Seq(idCol), "left_semi")
+      .join(broadcast(batchCodes.select(col(idCol)).distinct()),
+        Seq(idCol), "left_semi")
       .limit(1).count()
     require(dup == 0L,
       s"appendCodes: batch contains ids already present in $dir — " +
@@ -176,6 +180,37 @@ object IndexStore {
     require(idx.nlist == meta("nlist").toInt,
       s"centroid count ${idx.nlist} != meta ${meta("nlist")}")
     (idx, meta("nprobe").toInt, spark.read.parquet(s"$dir/codes.parquet"))
+  }
+
+  /** Persist a BM25 lexical index: the per-document posting relation
+    * (`idCol`, dl, term, tf) — the [[Retrieval.bm25Postings]] output.
+    * Postings are the ONLY stored artifact: the corpus-global
+    * statistics (N, totdl, df) are re-derived at serve time from
+    * column-pruned scans of this file
+    * ([[Retrieval.bm25TopKFromPostings]]), so the store stays
+    * single-artifact-consistent under [[appendCodes]] — an appended
+    * batch updates scores EXACTLY as a full rebuild would (tf/dl are
+    * per-doc pure; N/totdl/df are integer sufficient stats that merge
+    * by construction). A multi-file store with materialized df would
+    * serve loads cheaper but needs a manifest to stay consistent
+    * across a failed append — the production refinement, not taken
+    * here.
+    */
+  def saveBm25(spark: SparkSession, dir: String, postings: DataFrame,
+      idCol: String): Unit = {
+    requireStorableId(idCol)
+    new java.io.File(dir).mkdirs()
+    postings.select(col(idCol), col("dl"), col("term"), col("tf"))
+      .write.mode("overwrite").parquet(s"$dir/codes.parquet")
+    writeMeta(dir, s"""{"kind": "bm25", "idCol": "$idCol"}""")
+  }
+
+  /** Load a BM25 store: the posting relation. */
+  def loadBm25(spark: SparkSession, dir: String): DataFrame = {
+    val meta = readMeta(dir)
+    require(meta.get("kind").contains("bm25"),
+      s"$dir is not a BM25 store (kind=${meta.get("kind")})")
+    spark.read.parquet(s"$dir/codes.parquet")
   }
 
   /** Persist an IVF-PQ composite: coarse centroids, residual PQ books,

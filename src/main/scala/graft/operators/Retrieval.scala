@@ -11,29 +11,6 @@ import org.apache.spark.sql.functions._
   */
 object Retrieval {
 
-  /** Reciprocal-rank fusion (Cormack/Clarke/Buettcher, SIGIR'09) of L
-    * per-query rankings: `score(q,d) = Σ_i 1/(rrfK + rank_i(q,d))`
-    * over the rankings that contain `(q,d)`, then the top `k` per
-    * query. Each input must carry `(query_id, match_id, rank)` with
-    * ranks unique per (ranking, query) — duplicate pairs within one
-    * ranking would double-count.
-    *
-    * Cross-engine determinism: the score is a sum of up to L doubles,
-    * and a plain SUM aggregates in engine-dependent order. The terms
-    * are folded in RANKING-LIST ORDER instead (collect the (list-idx,
-    * rank) pairs, array_sort, fold left from 0.0) — any engine
-    * mirroring the same fold (DuckDB `list_reduce(list_prepend(0.0,
-    * list(... ORDER BY idx)))`, the q134 centroid precedent) produces
-    * bit-identical scores. Per-group lists are ≤ L elements, so the
-    * lambda cost the project's kernel rule warns about (40× on long
-    * vectors) is irrelevant here. Ties (e.g. the symmetric (r_a, r_b)
-    * vs (r_b, r_a) pair) break by match_id.
-    *
-    * Scale shape: one union of the (already top-n-bounded) rankings,
-    * one combinable (query, match) aggregation, one panel-keyed
-    * window over ≤ L·n rows per query. Nothing here touches corpus
-    * mass — the inputs are the bounded ranked lists.
-    */
   /** Okapi BM25 top-k retrieval over a tokenized corpus (Robertson et
     * al., TREC-3): for each query (a set of distinct terms), score the
     * docs sharing ≥1 term via an inverted-index postings join — never
@@ -78,24 +55,57 @@ object Retrieval {
       queries: DataFrame, qidCol: String, qtermsCol: String,
       k: Int, k1: Double = 1.2, b: Double = 0.75,
       excludeSelf: Boolean = false,
+      maxDfFrac: Double = 1.0): DataFrame =
+    bm25TopKFromPostings(bm25Postings(corpus, idCol, toksCol), idCol,
+      queries, qidCol, qtermsCol, k, k1, b, excludeSelf, maxDfFrac)
+
+  /** The per-document posting relation `(idCol, dl, term, tf)` — the
+    * BM25 index artifact [[graft.operators.IndexStore.saveBm25]]
+    * persists and [[bm25TopKFromPostings]] serves. Postings are a
+    * PER-DOC pure function (tf and dl depend only on the document
+    * itself — unlike the ANN code columns there are no frozen
+    * codebooks), so an arriving batch's postings can be computed
+    * independently and appended; the corpus-global statistics (N,
+    * totdl, df) are derived from the postings at serve time with
+    * column-pruned combinable aggregations, which is what makes the
+    * append EXACTLY equal to a full rebuild (integer sufficient
+    * stats).
+    */
+  def bm25Postings(corpus: DataFrame, idCol: String,
+      toksCol: String): DataFrame =
+    corpus
+      .select(col(idCol), col(toksCol).as("__toks"))
+      .filter(size(col("__toks")) > 0)
+      .select(col(idCol), size(col("__toks")).cast("double").as("dl"),
+        explode(col("__toks")).as("term"))
+      .groupBy(col(idCol), col("dl"), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+
+  /** [[bm25TopK]] served from a prebuilt/loaded posting relation
+    * (the [[bm25Postings]] shape): N/totdl/df are re-derived from the
+    * postings with column-pruned aggregations (exact integer counts —
+    * the SAME values the corpus-side build computes, so served ==
+    * inline bit-for-bit), then scored identically.
+    */
+  def bm25TopKFromPostings(
+      postings: DataFrame, idCol: String,
+      queries: DataFrame, qidCol: String, qtermsCol: String,
+      k: Int, k1: Double = 1.2, b: Double = 0.75,
+      excludeSelf: Boolean = false,
       maxDfFrac: Double = 1.0): DataFrame = {
     require(k >= 1, "k must be >= 1")
     require(k1 >= 0 && b >= 0 && b <= 1, s"bad BM25 params k1=$k1 b=$b")
     require(maxDfFrac > 0 && maxDfFrac <= 1,
       s"maxDfFrac must be in (0, 1], got $maxDfFrac")
-    val docs = corpus
-      .select(col(idCol).as("__id"), col(toksCol).as("__toks"))
-      .filter(size(col("__toks")) > 0)
-      .localCheckpoint() // feeds stats + tf; a pure-map relation under
-                         // two branches would re-execute (r4 lesson)
-    val stats = docs.agg(
-      count(lit(1)).cast("double").as("__n"),
-      sum(size(col("__toks"))).cast("double").as("__totdl"))
-    val tf = docs
-      .select(col("__id"), size(col("__toks")).cast("double").as("__dl"),
-        explode(col("__toks")).as("__term"))
-      .groupBy(col("__id"), col("__dl"), col("__term"))
-      .agg(count(lit(1)).cast("double").as("__tf"))
+    val tf = postings.select(col(idCol).as("__id"), col("dl").as("__dl"),
+      col("term").as("__term"), col("tf").as("__tf"))
+      .localCheckpoint() // feeds stats + df + the postings join (3
+                         // branches; r4 re-execution lesson)
+    // N and totdl over the distinct doc set (dl is functionally
+    // dependent on id): exact integer counts in doubles
+    val stats = tf.select(col("__id"), col("__dl")).distinct()
+      .agg(count(lit(1)).cast("double").as("__n"),
+        sum(col("__dl")).cast("double").as("__totdl"))
     val dfRel0 = tf.groupBy(col("__term"))
       .agg(count(lit(1)).cast("double").as("__df"))
     // stopword pruning BEFORE the postings join: a dropped term never
@@ -154,6 +164,29 @@ object Retrieval {
       .select(col("query_id"), col("match_id"), col("score"), col("rank"))
   }
 
+  /** Reciprocal-rank fusion (Cormack/Clarke/Buettcher, SIGIR'09) of L
+    * per-query rankings: `score(q,d) = Σ_i 1/(rrfK + rank_i(q,d))`
+    * over the rankings that contain `(q,d)`, then the top `k` per
+    * query. Each input must carry `(query_id, match_id, rank)` with
+    * ranks unique per (ranking, query) — duplicate pairs within one
+    * ranking would double-count.
+    *
+    * Cross-engine determinism: the score is a sum of up to L doubles,
+    * and a plain SUM aggregates in engine-dependent order. The terms
+    * are folded in RANKING-LIST ORDER instead (collect the (list-idx,
+    * rank) pairs, array_sort, fold left from 0.0) — any engine
+    * mirroring the same fold (DuckDB `list_reduce(list_prepend(0.0,
+    * list(... ORDER BY idx)))`, the q134 centroid precedent) produces
+    * bit-identical scores. Per-group lists are ≤ L elements, so the
+    * lambda cost the project's kernel rule warns about (40× on long
+    * vectors) is irrelevant here. Ties (e.g. the symmetric (r_a, r_b)
+    * vs (r_b, r_a) pair) break by match_id.
+    *
+    * Scale shape: one union of the (already top-n-bounded) rankings,
+    * one combinable (query, match) aggregation, one panel-keyed
+    * window over ≤ L·n rows per query. Nothing here touches corpus
+    * mass — the inputs are the bounded ranked lists.
+    */
   def rrfFuse(rankings: Seq[DataFrame], k: Int, rrfK: Int = 60): DataFrame = {
     require(rankings.nonEmpty, "rrfFuse: at least one ranking required")
     require(k >= 1, "k must be >= 1")

@@ -161,6 +161,38 @@ class IndexStoreSpec extends SparkSpec {
     assert(rows(Some(assigned)) == rows(None) && rows(None).nonEmpty)
   }
 
+  test("BM25 store: resident save + independent batch append serves " +
+    "EXACTLY the full-corpus ranking (per-doc-pure postings, stats " +
+    "re-derived at serve); duplicate append rejected") {
+    import graft.operators.Retrieval
+    val vocab = Seq("oak", "pine", "fir", "ash", "yew")
+    val rnd = new java.util.SplittableRandom(97L)
+    val docs = (0L until 60L).map { id =>
+      (id, Seq.fill(3 + rnd.nextInt(9))(vocab(rnd.nextInt(vocab.size))))
+    }.toDF("id", "toks")
+    val dir = tmpDir("bm25store")
+    IndexStore.saveBm25(spark, dir,
+      Retrieval.bm25Postings(docs.filter(col("id") % 4 =!= 0), "id", "toks"),
+      "id")
+    val batch = Retrieval.bm25Postings(
+      docs.filter(col("id") % 4 === 0), "id", "toks")
+    IndexStore.appendCodes(spark, dir, batch, "id")
+    val queries = docs.filter(col("id") % 10 === 0)
+      .select(col("id").as("qid"), array_distinct(col("toks")).as("qt"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toSet
+    val served = rows(Retrieval.bm25TopKFromPostings(
+      IndexStore.loadBm25(spark, dir), "id", queries, "qid", "qt", k = 5))
+    val inline = rows(Retrieval.bm25TopK(docs, "id", "toks",
+      queries, "qid", "qt", k = 5))
+    assert(inline.nonEmpty && served == inline)
+    val dup = intercept[IllegalArgumentException] {
+      IndexStore.appendCodes(spark, dir, batch, "id")
+    }
+    assert(dup.getMessage.contains("already present"))
+  }
+
   test("load rejects a store of the wrong kind, and meta/codebook " +
     "shape mismatches are loud") {
     val corpus = fuzzCorpus(53L, 60, 8)
