@@ -7,13 +7,17 @@ import org.apache.spark.sql.functions._
 import graft.operators.Retrieval
 import graft.functions.VectorExprs.vec_dot
 
-/** Round-13 batch: Okapi BM25 lexical retrieval (q197) and the
+/** Round-13 batch: Okapi BM25 lexical retrieval (q197), the
   * BM25+cosine RRF hybrid (q198) — the lexical scorer a real
   * hybrid-retrieval pipeline runs in front of [[Retrieval.rrfFuse]]
   * (q185 fused Jaccard+cosine; BM25 is the production-shaped lexical
-  * leg). Both fully DuckDB-oracled: BM25 scores are bit-identical
-  * across engines via the quantized-idf + pinned-parenthesization +
-  * term-ordered-fold discipline ([[Retrieval.bm25TopK]] scaladoc).
+  * leg) — plus the incremental-index-maintenance pair (q199 PQ batch
+  * append under a hard gate; q201 a persisted+appended BM25 store
+  * serving q197's contract, fully oracled) and the mixed-format
+  * multimodal decode (q200, oracled over lossless raster round
+  * trips). BM25 scores are bit-identical across engines via the
+  * quantized-idf + pinned-parenthesization + term-ordered-fold
+  * discipline ([[Retrieval.bm25TopK]] scaladoc).
   */
 object Queries23 {
 
