@@ -24,6 +24,14 @@ object Queries23 {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables(s, dir, name)
 
+  // Oracle-parity constraint (ADVICE r13): this tokenizer's parity with
+  // the DuckDB oracle rests on Java regex \s+ / lower() agreeing with
+  // RE2 regexp_split_to_array / lower — they diverge on vertical tab
+  // (\x0B is \s in Java, not in RE2) and on locale-sensitive casings
+  // (the r11 'ß' lesson). The current corpora are ASCII-space-and-
+  // lowercase-safe; if a testdata regen ever carries such bytes, the
+  // gate flips HERE, not in the scorer — normalize tokens with an
+  // engine-neutral charset filter before re-litigating BM25 math.
   private def tokenized(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
       .filter(length(trim(col("text"))) > 0)

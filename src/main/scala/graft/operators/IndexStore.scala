@@ -142,9 +142,28 @@ object IndexStore {
     * semi-join of the code scan against the broadcast batch ids with
     * `limit(1)`, so it short-circuits on the first hit. Gate arrivals
     * with the q129 admission shape first if dedup is the intent.
+    *
+    * Concurrency contract (ADVICE r13): the duplicate check and the
+    * parquet append are NOT atomic across writers — the store requires
+    * a SINGLE WRITER. Within one JVM the check-then-append runs under a
+    * per-canonical-dir lock (two in-process appends of overlapping
+    * batches serialize, so the second sees the first's commit and is
+    * rejected); across processes/drivers the caller must serialize
+    * appends externally (one ingestion job per store — the shape a real
+    * nightly refresh runs anyway).
     */
+  private val appendLocks = new java.util.concurrent.ConcurrentHashMap[
+    String, Object]()
+
   def appendCodes(spark: SparkSession, dir: String, batchCodes: DataFrame,
       idCol: String): Unit = {
+    val lock = appendLocks.computeIfAbsent(
+      new java.io.File(dir).getCanonicalPath, _ => new Object)
+    lock.synchronized { appendCodesLocked(spark, dir, batchCodes, idCol) }
+  }
+
+  private def appendCodesLocked(spark: SparkSession, dir: String,
+      batchCodes: DataFrame, idCol: String): Unit = {
     val meta = readMeta(dir)
     require(meta.get("idCol").contains(idCol),
       s"appendCodes: store id column '${meta.getOrElse("idCol", "?")}' " +

@@ -102,8 +102,26 @@ object Multimodal {
       (bytes(2) & 0xff) == 0xff
     if (!isPng && !isJpeg) return None
     try {
-      val img = javax.imageio.ImageIO.read(
+      // Read dimensions from the HEADER (reader.getWidth/getHeight parse
+      // metadata only) and enforce MaxPixelBytes BEFORE reader.read
+      // allocates the raster: a small payload claiming huge dims would
+      // otherwise OOM inside ImageIO.read — an Error, not caught by
+      // NonFatal, killing the executor. BMP/PPM already check header
+      // dims pre-allocation; this keeps the imageio path to the same
+      // poison-payload contract.
+      val iis = javax.imageio.ImageIO.createImageInputStream(
         new java.io.ByteArrayInputStream(bytes))
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) { iis.close(); return None }
+      val reader = readers.next()
+      val img =
+        try {
+          reader.setInput(iis, true, true)
+          val (hw, hh) = (reader.getWidth(0), reader.getHeight(0))
+          if (hw <= 0 || hh <= 0 || hw.toLong * hh * 3 > MaxPixelBytes)
+            return None
+          reader.read(0)
+        } finally { reader.dispose(); iis.close() }
       if (img == null) return None
       val (w, h) = (img.getWidth, img.getHeight)
       if (w <= 0 || h <= 0 || w.toLong * h * 3 > MaxPixelBytes) return None

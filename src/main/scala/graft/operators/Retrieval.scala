@@ -99,8 +99,12 @@ object Retrieval {
       s"maxDfFrac must be in (0, 1], got $maxDfFrac")
     val tf = postings.select(col(idCol).as("__id"), col("dl").as("__dl"),
       col("term").as("__term"), col("tf").as("__tf"))
-      .localCheckpoint() // feeds stats + df + the postings join (3
-                         // branches; r4 re-execution lesson)
+      .localCheckpoint(eager = true,
+        org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    // feeds stats + df + the postings join (3 branches; r4 re-execution
+    // lesson). DISK_ONLY because the relation is CORPUS-sized: the
+    // default MEMORY_AND_DISK unroll heap-buffers each partition first
+    // (the Graph.scala OOM lesson at 100x) while DISK_ONLY streams.
     // N and totdl over the distinct doc set (dl is functionally
     // dependent on id): exact integer counts in doubles
     val stats = tf.select(col("__id"), col("__dl")).distinct()

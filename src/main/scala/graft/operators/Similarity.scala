@@ -675,16 +675,19 @@ object Similarity {
       IvfIndex(model.centroids)
     }
 
+    // idCol is part of both keys: in the distributed branch it changes
+    // which column feeds kmeansLloyd, so two calls sharing a cacheKey
+    // but passing different idCol must not share a fit (ADVICE r13)
     private val distCache = new java.util.concurrent.ConcurrentHashMap[
-      (String, String, Int), IvfIndex]()
+      (String, String, String, Int), IvfIndex]()
 
     def trainDistributedCached(cacheKey: String, corpus: DataFrame,
         idCol: String, vecCol: String, nlist: Int): IvfIndex =
-      distCache.computeIfAbsent((cacheKey, vecCol, nlist),
+      distCache.computeIfAbsent((cacheKey, idCol, vecCol, nlist),
         _ => trainDistributed(corpus, idCol, vecCol, nlist))
 
     private val scaledCache = new java.util.concurrent.ConcurrentHashMap[
-      (String, String, Long), (IvfIndex, Int)]()
+      (String, String, String, Long), (IvfIndex, Int)]()
 
     /** [[trainCached]] under the MEASURED corpus-size geometry
       * ([[Similarity.scaledIvfGeometry]]): counts the corpus once per
@@ -697,7 +700,7 @@ object Similarity {
     def trainCachedScaled(cacheKey: String, corpus: DataFrame,
         vecCol: String, seed: Long = 42L,
         idCol: String = "vec_id"): (IvfIndex, Int) =
-      scaledCache.computeIfAbsent((cacheKey, vecCol, seed), _ => {
+      scaledCache.computeIfAbsent((cacheKey, idCol, vecCol, seed), _ => {
         val n = corpus.count()
         val (nlist, nprobe) = scaledIvfGeometry(n)
         log.info(s"ivf scaled geometry: n=$n -> nlist=$nlist nprobe=$nprobe")
