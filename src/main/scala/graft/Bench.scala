@@ -194,17 +194,44 @@ object Bench {
     // with a 0.5 s absolute floor so sub-second codegen/box jitter
     // can't flag (the box swings cold totals 2–4× run-to-run; steady
     // times are the stable signal). Empty on a clean run.
-    val regressions = steady.collect {
-      case (name, t, true)
-        if prevSteady.get(name).exists(p =>
-          p > 0 && t > 1.5 * p && t > p + 0.5) =>
-        name
-    }.sorted
-    if (regressions.nonEmpty) System.err.println(
-      s"[bench] steady regressions vs committed detail: " +
-        regressions.map(n =>
+    def flag(times: Seq[(String, Double, Boolean)]): Seq[String] =
+      times.collect {
+        case (name, t, true)
+          if prevSteady.get(name).exists(p =>
+            p > 0 && t > 1.5 * p && t > p + 0.5) =>
+          name
+      }.sorted
+    // Self-adjudicating regressions (r13 verdict: two driver rounds in
+    // a row flagged phantom regressions from a noisy co-tenant hour):
+    // any query crossing the threshold gets ONE same-process retry and
+    // the minimum counts — a real code regression reproduces on the
+    // spot, a box spike does not. The retry times ride the detail
+    // artifact (queries_retry) so the adjudication is auditable;
+    // queries_steady keeps the as-measured values.
+    val flagged0 = flag(steady)
+    val retried: Map[String, Double] = flagged0.flatMap { name =>
+      selected.get(name).map { fn =>
+        val t0 = System.nanoTime()
+        val ok = try { fn(spark, sfDir).count(); true }
+          catch { case _: Throwable => false }
+        val dt = (System.nanoTime() - t0) / 1e9
+        dropOrphanBlocks(); System.gc(); sinceGc = 0
+        name -> (if (ok) dt else Double.MaxValue)
+      }
+    }.toMap
+    val steadyAdj = steady.map { case (n, t, ok) =>
+      (n, math.min(t, retried.getOrElse(n, t)), ok) }
+    val regressions = flag(steadyAdj)
+    if (flagged0.nonEmpty) System.err.println(
+      s"[bench] steady regressions vs committed detail " +
+        s"(after one in-run retry each; ${flagged0.size} flagged, " +
+        s"${regressions.size} survived): " +
+        flagged0.map(n =>
           f"$n (${prevSteady(n)}%.2f -> " +
-            f"${steady.find(_._1 == n).get._2}%.2f s)").mkString(", "))
+            f"${steady.find(_._1 == n).get._2}%.2f s" +
+            retried.get(n).filter(_ < Double.MaxValue)
+              .map(r => f", retry $r%.2f s").getOrElse("") +
+            ")").mkString(", "))
     val regJson = regressions.map("\"" + _ + "\"").mkString("[", ",", "]")
     // the STDOUT line must stay inside the driver's ~2 KB tail capture
     // (the r01-r05 decapitation lesson) — cap the inline list, carry
@@ -277,11 +304,22 @@ object Bench {
     // map goes to BENCH_DETAIL.json beside the repo for the judge.
     val slowest = results.filter(_._3).sortBy(-_._2).take(10)
     val steadyTotal = steady.filter(_._3).map(_._2).sum
+    // box-noise indicator: best/trimmed-mean parse spread. ~1.0 on a
+    // quiet box; >1.3 says co-tenant noise is inflating averaged
+    // numbers and the round's timings should be read against `best`
+    // values (r13 verdict item 2 — make the artifact self-adjudicating)
+    val parseSpread =
+      if (parseMbps > 0) parseMbpsBest / parseMbps else -1.0
+    val retryJson =
+      if (retried.isEmpty) ""
+      else s""","queries_retry":${retried.toSeq.sorted.map { case (k, v) =>
+        "\"" + k + "\":" + (if (v < Double.MaxValue) v else -1.0)
+      }.mkString("{", ",", "}")}"""
     val steadyJson =
       if (steady.isEmpty) ""
-      else s""","steady_total":$steadyTotal,"queries_steady":${qmap(steady)},"failed_steady":$failedSteady"""
+      else s""","steady_total":$steadyTotal,"queries_steady":${qmap(steady)}$retryJson,"failed_steady":$failedSteady"""
     val detail =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${qmap(results)}$steadyJson,"failed":$failed,"regressions":$regJson$assertSummary,"parse_mbps":$parseMbps,"parse_mbps_best":$parseMbpsBest,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${qmap(results)}$steadyJson,"failed":$failed,"regressions":$regJson$assertSummary,"parse_mbps":$parseMbps,"parse_mbps_best":$parseMbpsBest,"parse_spread":$parseSpread,"sf":"$sfDir"}"""
     // full runs only: a SPARK_GRAFT_QUERIES spot run must not clobber the
     // committed full-catalog artifact. SPARK_GRAFT_DETAIL redirects the
     // full map elsewhere (rehearsal sweeps record per-query factors
@@ -301,7 +339,7 @@ object Bench {
     // point consumers at the detail artifact that was actually written
     // (SPARK_GRAFT_DETAIL redirects it for rehearsal spot runs)
     val detailName = detailPath.getOrElse("BENCH_DETAIL.json")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":${qmap(slowest)}$steadyHead,"failed":$failed,"regressions":$regJsonHead$assertSummary,"parse_mbps":$parseMbps,"parse_mbps_best":$parseMbpsBest,"detail":"$detailName","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":${qmap(slowest)}$steadyHead,"failed":$failed,"regressions":$regJsonHead$assertSummary,"parse_mbps":$parseMbps,"parse_mbps_best":$parseMbpsBest,"parse_spread":$parseSpread,"detail":"$detailName","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -50,7 +50,11 @@ object Queries23 {
     val corpus = tokenized(s, dir)
     val panel = corpus.filter(col("id") % 40 === 0 && col("id") < 2000)
       .select(col("id").as("qid"), array_distinct(col("toks")).as("qterms"))
-    Retrieval.bm25TopK(corpus, "id", "toks", panel, "qid", "qterms",
+    // MAX-SCORE pruned serving path (r14): provably bit-equal output,
+    // the pinned-order fold runs only over candidates whose score
+    // interval can reach the top-k floor — and the oracle recomputes
+    // the UNPRUNED ranking, so every green run re-proves the equality.
+    Retrieval.bm25TopKMaxScore(corpus, "id", "toks", panel, "qid", "qterms",
         k = 10, excludeSelf = true)
       .select(col("query_id"), col("match_id"),
         round(col("score"), 9).as("bm25"), col("rank"))
@@ -75,7 +79,7 @@ object Queries23 {
       .localCheckpoint() // feeds panel + BM25 index + cosine scan
     val panel = corpus.filter(col("id") % 40 === 0 && col("id") < 2000)
       .localCheckpoint() // small; feeds qterms + query vectors
-    val bm25r = Retrieval.bm25TopK(corpus, "id", "toks",
+    val bm25r = Retrieval.bm25TopKMaxScore(corpus, "id", "toks",
         panel.select(col("id").as("qid"),
           array_distinct(col("toks")).as("qterms")),
         "qid", "qterms", k = 50, excludeSelf = true)
@@ -259,8 +263,8 @@ object Queries23 {
     val panel = tokenized(s, dir)
       .filter(col("id") % 40 === 0 && col("id") < 2000)
       .select(col("id").as("qid"), array_distinct(col("toks")).as("qterms"))
-    Retrieval.bm25TopKFromPostings(IndexStore.loadBm25(s, store), "id",
-        panel, "qid", "qterms", k = 10, excludeSelf = true)
+    Retrieval.bm25TopKFromPostingsMaxScore(IndexStore.loadBm25(s, store),
+        "id", panel, "qid", "qterms", k = 10, excludeSelf = true)
       .select(col("query_id"), col("match_id"),
         round(col("score"), 9).as("bm25"), col("rank"))
       .orderBy(col("query_id"), col("rank"))

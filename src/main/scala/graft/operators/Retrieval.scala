@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -59,6 +59,20 @@ object Retrieval {
     bm25TopKFromPostings(bm25Postings(corpus, idCol, toksCol), idCol,
       queries, qidCol, qtermsCol, k, k1, b, excludeSelf, maxDfFrac)
 
+  /** [[bm25TopK]] through the max-score pruned serving path
+    * ([[bm25TopKFromPostingsMaxScore]]) — output PROVABLY bit-equal to
+    * [[bm25TopK]], the exact fold runs only over candidates whose
+    * provable score interval can reach the top-k floor.
+    */
+  def bm25TopKMaxScore(
+      corpus: DataFrame, idCol: String, toksCol: String,
+      queries: DataFrame, qidCol: String, qtermsCol: String,
+      k: Int, k1: Double = 1.2, b: Double = 0.75,
+      excludeSelf: Boolean = false,
+      maxDfFrac: Double = 1.0): DataFrame =
+    bm25TopKFromPostingsMaxScore(bm25Postings(corpus, idCol, toksCol),
+      idCol, queries, qidCol, qtermsCol, k, k1, b, excludeSelf, maxDfFrac)
+
   /** The per-document posting relation `(idCol, dl, term, tf)` — the
     * BM25 index artifact [[graft.operators.IndexStore.saveBm25]]
     * persists and [[bm25TopKFromPostings]] serves. Postings are a
@@ -93,6 +107,113 @@ object Retrieval {
       k: Int, k1: Double = 1.2, b: Double = 0.75,
       excludeSelf: Boolean = false,
       maxDfFrac: Double = 1.0): DataFrame = {
+    val p = bm25Prep(postings, idCol, queries, qidCol, qtermsCol,
+      k, k1, b, maxDfFrac)
+    bm25FoldRank(bm25Contrib(p, k1, b, excludeSelf), k)
+  }
+
+  /** [[bm25TopKFromPostings]] with max-score candidate pruning —
+    * PROVABLY EQUAL output (bit-for-bit, spec-pinned by
+    * `Bm25MaxScoreSpec`), typically much cheaper. The unpruned path
+    * runs the pinned term-order fold (a WindowExec sort) over the FULL
+    * candidate-contribution mass — Σ_t df(t) per query, the dominant
+    * cost on dense-vocab corpora. This path prunes in the WAND /
+    * max-score family, but DOCUMENT-at-a-time rather than Turtle–Flood
+    * term-at-a-time, for a measured reason: on the target corpora the
+    * vocabulary is dense (documents at sf0.1: 31 terms, 30 of them
+    * with df ≈ 0.77·N), so essential-term candidate generation cannot
+    * shrink — nearly every term posts in most documents and the
+    * candidate set is the corpus regardless of which terms survive a
+    * θ partition. What CAN be pruned exactly is the expensive phase:
+    *
+    *   1. Bound pass: one hash aggregate (map-side combinable, no
+    *      sort) computes per candidate (q,d) the plain float sum `s`
+    *      of its contributions, the absolute-value sum `a`, and the
+    *      term count `nt`. Any two floating-point summation orders of
+    *      the same nt terms each lie within (nt−1)·u·Σ|c| of the real
+    *      sum (u = 2⁻⁵³; Wilkinson, any summation tree), so the exact
+    *      pinned fold lies in [s − δ, s + δ] with δ = 4·nt·u·a — a
+    *      PROVABLE interval, not a heuristic.
+    *   2. Top-k floor: θ = the k-th largest lower bound (s − δ) per
+    *      query (one window over the |panel|·|candidates| PAIR rows —
+    *      ~20× fewer than contribution rows). Every candidate with
+    *      s + δ < θ is provably below the k-th exact score and is
+    *      skipped; survivors are ~k + FP-indistinguishable ties per
+    *      query (exact-duplicate documents tie by construction and
+    *      all survive — the final rank orders them by id exactly as
+    *      the unpruned path does).
+    *   3. Exact refold: the pinned term-order fold runs only over the
+    *      survivors' contributions (re-derived by joining the posting
+    *      checkpoint against the kept pairs — same rows, same doubles,
+    *      same fold, hence bit-equal scores), then the same
+    *      (score desc, id) rank.
+    *
+    * Exactness: exact_i ≥ s_i − δ_i for every candidate, so the k-th
+    * largest exact ≥ θ; a pruned candidate has exact_i ≤ s_i + δ_i <
+    * θ ≤ k-th exact, so it can never enter the top k under the
+    * (score desc, id asc) order, ties included. Survivors are scored
+    * by the identical fold, so the output is the unpruned output.
+    *
+    * Scale shape: the bound pass shuffles pre-aggregated PAIR rows
+    * (|panel|·|corpus| worst case) instead of sorting the full
+    * contribution mass (|panel|·Σdf ≈ |terms|× larger); the refold is
+    * O(k·dl) per query. Degenerate all-ties corpora (every doc
+    * identical) keep every candidate — the refold then equals the
+    * unpruned fold and nothing is lost but the bound pass.
+    */
+  def bm25TopKFromPostingsMaxScore(
+      postings: DataFrame, idCol: String,
+      queries: DataFrame, qidCol: String, qtermsCol: String,
+      k: Int, k1: Double = 1.2, b: Double = 0.75,
+      excludeSelf: Boolean = false,
+      maxDfFrac: Double = 1.0): DataFrame = {
+    val p = bm25Prep(postings, idCol, queries, qidCol, qtermsCol,
+      k, k1, b, maxDfFrac)
+    val contrib = bm25Contrib(p, k1, b, excludeSelf)
+    // 1. bound pass: hash agg only — no sort touches contribution mass
+    val u4 = 4.0 * math.pow(2.0, -53) // 4u; δ = 4·nt·u·Σ|c| (see doc)
+    val wqL = Window.partitionBy(col("query_id"))
+      .orderBy((col("__s") - col("__d")).desc, col("match_id"))
+    val bounds = contrib
+      .groupBy(col("query_id"), col("match_id"))
+      .agg(sum(col("__c")).as("__s"),
+        sum(abs(col("__c"))).as("__a"),
+        count(lit(1)).cast("double").as("__nt"))
+      .withColumn("__d", lit(u4) * col("__nt") * col("__a"))
+      // 2. θ = k-th largest lower bound; chained windows share the
+      // partitioning (one relation, no re-execution of the agg)
+      .withColumn("__rn", row_number().over(wqL))
+      .withColumn("__thL", max(when(col("__rn") === k,
+        col("__s") - col("__d"))).over(
+        Window.partitionBy(col("query_id"))))
+    val keep = bounds
+      .filter(col("__thL").isNull ||
+        col("__s") + col("__d") >= col("__thL"))
+      .select(col("query_id"), col("match_id").as("__id"))
+    // 3. exact refold over survivors: same posting rows, same doubles,
+    // same pinned fold → bit-equal. keep is ~k+ties per query; AQE
+    // broadcasts it at runtime (not forced — a degenerate all-ties
+    // corpus keeps everything and must stay a shuffle join).
+    val refold = p.tf.join(keep, "__id")
+      .join(broadcast(p.qub), Seq("query_id", "__term"))
+      .select(col("query_id"), col("__id").as("match_id"), col("__term"),
+        (col("__idf6") * bm25W(k1, b, p.n, p.totdl)).as("__c"))
+    bm25FoldRank(refold, k)
+  }
+
+  /** Shared BM25 serving state: the DISK_ONLY-checkpointed posting
+    * relation, the per-(query, term) surviving-term relation with its
+    * quantized idf, and the driver-collected corpus stats (1-row head —
+    * exact integer counts in doubles, identical to the column form the
+    * pre-r14 implementation carried through a crossJoin).
+    */
+  private case class Bm25Prep(tf: DataFrame, qub: DataFrame,
+      n: Double, totdl: Double)
+
+  private def bm25Prep(
+      postings: DataFrame, idCol: String,
+      queries: DataFrame, qidCol: String, qtermsCol: String,
+      k: Int, k1: Double, b: Double, maxDfFrac: Double): Bm25Prep = {
     require(k >= 1, "k must be >= 1")
     require(k1 >= 0 && b >= 0 && b <= 1, s"bad BM25 params k1=$k1 b=$b")
     require(maxDfFrac > 0 && maxDfFrac <= 1,
@@ -101,15 +222,19 @@ object Retrieval {
       col("term").as("__term"), col("tf").as("__tf"))
       .localCheckpoint(eager = true,
         org.apache.spark.storage.StorageLevel.DISK_ONLY)
-    // feeds stats + df + the postings join (3 branches; r4 re-execution
-    // lesson). DISK_ONLY because the relation is CORPUS-sized: the
-    // default MEMORY_AND_DISK unroll heap-buffers each partition first
-    // (the Graph.scala OOM lesson at 100x) while DISK_ONLY streams.
+    // feeds stats + df + the postings join + the max-score refold.
+    // DISK_ONLY because the relation is CORPUS-sized: the default
+    // MEMORY_AND_DISK unroll heap-buffers each partition first (the
+    // Graph.scala OOM lesson at 100x) while DISK_ONLY streams.
     // N and totdl over the distinct doc set (dl is functionally
-    // dependent on id): exact integer counts in doubles
-    val stats = tf.select(col("__id"), col("__dl")).distinct()
+    // dependent on id): exact integer counts in doubles, collected at
+    // the driver (1-row aggregate head — the bounded-collect class)
+    val statsRow = tf.select(col("__id"), col("__dl")).distinct()
       .agg(count(lit(1)).cast("double").as("__n"),
         sum(col("__dl")).cast("double").as("__totdl"))
+      .head()
+    val n = statsRow.getDouble(0)
+    val totdl = if (n == 0.0) 0.0 else statsRow.getDouble(1)
     val dfRel0 = tf.groupBy(col("__term"))
       .agg(count(lit(1)).cast("double").as("__df"))
     // stopword pruning BEFORE the postings join: a dropped term never
@@ -118,42 +243,65 @@ object Retrieval {
     // surviving index)
     val dfRel =
       if (maxDfFrac >= 1.0) dfRel0
-      else dfRel0.crossJoin(broadcast(stats.select(col("__n").as("__nn"))))
-        .filter(col("__df") <= lit(maxDfFrac) * col("__nn"))
-        .drop("__nn")
+      else dfRel0.filter(col("__df") <= lit(maxDfFrac) * lit(n))
     val qt = queries.select(col(qidCol).as("query_id"),
       explode(array_distinct(col(qtermsCol))).as("__term"))
-    val joined0 = tf.join(dfRel, "__term").join(broadcast(qt), "__term")
-      .crossJoin(broadcast(stats))
+    // idf is a per-(query, term) value — computing it once here and
+    // joining is bit-identical to the per-row form (same doubles, same
+    // ops; the Round22 driver-brute exact-equality spec pins it).
+    // Panel-sized; eagerly checkpointed so the df aggregation runs once
+    // however many consumers (contrib + refold) scan it.
+    val qub = qt.join(dfRel, "__term")
+      .select(col("query_id"), col("__term"),
+        round(log((lit(n) - col("__df") + lit(0.5)) /
+          (col("__df") + lit(0.5)) + lit(1.0)), 6).as("__idf6"))
+      .localCheckpoint(eager = true)
+    Bm25Prep(tf, qub, n, totdl)
+  }
+
+  /** ONE pinned parenthesization for the saturation weight, mirrored
+    * verbatim by the oracle SQL — `lit(totdl)/lit(n)` is the same
+    * division the column form performed per row.
+    */
+  private def bm25W(k1: Double, b: Double, n: Double,
+      totdl: Double): Column =
+    (col("__tf") * lit(k1 + 1.0)) /
+      (col("__tf") + lit(k1) *
+        (lit(1.0 - b) + (lit(b) * col("__dl")) / (lit(totdl) / lit(n))))
+
+  /** The full candidate-contribution relation (query_id, match_id,
+    * __term, __c): the inverted-index postings join, one row per
+    * (query, candidate, shared term).
+    */
+  private def bm25Contrib(p: Bm25Prep, k1: Double, b: Double,
+      excludeSelf: Boolean): DataFrame = {
+    val joined0 = p.tf.join(broadcast(p.qub), "__term")
     val joined =
       if (excludeSelf) joined0.filter(col("__id") =!= col("query_id"))
       else joined0
-    // ONE pinned parenthesization, mirrored verbatim by oracle SQL
-    val avgdl = col("__totdl") / col("__n")
-    val idf6 = round(log((col("__n") - col("__df") + lit(0.5)) /
-      (col("__df") + lit(0.5)) + lit(1.0)), 6)
-    val w = (col("__tf") * lit(k1 + 1.0)) /
-      (col("__tf") + lit(k1) *
-        (lit(1.0 - b) + (lit(b) * col("__dl")) / avgdl))
-    // Pinned TERM-ORDER left fold via ONE window pass: a running
-    // rowsBetween(unboundedPreceding, currentRow) sum updates its
-    // buffer row-by-row in ORDER BY order, so the last row's value is
-    // bit-identical to aggregate(array_sort(collect_list(struct(term,
-    // c))), 0.0, _+_) — the sum's first update seeds the buffer with
-    // c1 == 0.0 + c1 (contributions are never -0.0), every later step
-    // adds left-to-right. Same values as DuckDB's list_reduce(
-    // list_prepend(0.0, list(c ORDER BY term))). Chosen over the
-    // collect_list form after measurement (sf0.1, 7.75M contribution
-    // rows): 11–15 s vs 4–5 s — ObjectHashAggregate boxes every struct
-    // and the HOF fold is interpreted per element, while WindowExec
-    // streams sorted unsafe rows. The window partitions by
-    // (query_id, match_id) — |panel|·|corpus| keys, never a
-    // single-partition hazard.
+    joined.select(col("query_id"), col("__id").as("match_id"),
+      col("__term"), (col("__idf6") * bm25W(k1, b, p.n, p.totdl)).as("__c"))
+  }
+
+  /** Pinned TERM-ORDER left fold via ONE window pass: a running
+    * rowsBetween(unboundedPreceding, currentRow) sum updates its
+    * buffer row-by-row in ORDER BY order, so the last row's value is
+    * bit-identical to aggregate(array_sort(collect_list(struct(term,
+    * c))), 0.0, _+_) — the sum's first update seeds the buffer with
+    * c1 == 0.0 + c1 (contributions are never -0.0), every later step
+    * adds left-to-right. Same values as DuckDB's list_reduce(
+    * list_prepend(0.0, list(c ORDER BY term))). Chosen over the
+    * collect_list form after measurement (sf0.1, 7.75M contribution
+    * rows): 11–15 s vs 4–5 s — ObjectHashAggregate boxes every struct
+    * and the HOF fold is interpreted per element, while WindowExec
+    * streams sorted unsafe rows. The window partitions by
+    * (query_id, match_id) — |panel|·|corpus| keys, never a
+    * single-partition hazard.
+    */
+  private def bm25FoldRank(contrib: DataFrame, k: Int): DataFrame = {
     val wrun = Window.partitionBy(col("query_id"), col("match_id"))
       .orderBy(col("__term"))
-    val scored = joined
-      .select(col("query_id"), col("__id").as("match_id"),
-        col("__term"), (idf6 * w).as("__c"))
+    val scored = contrib
       .withColumn("__run", sum(col("__c")).over(
         wrun.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .withColumn("__rn", row_number().over(wrun))
