@@ -50,11 +50,11 @@ object Queries23 {
     val corpus = tokenized(s, dir)
     val panel = corpus.filter(col("id") % 40 === 0 && col("id") < 2000)
       .select(col("id").as("qid"), array_distinct(col("toks")).as("qterms"))
-    // MAX-SCORE pruned serving path (r14): provably bit-equal output,
-    // the pinned-order fold runs only over candidates whose score
-    // interval can reach the top-k floor — and the oracle recomputes
-    // the UNPRUNED ranking, so every green run re-proves the equality.
-    Retrieval.bm25TopKMaxScore(corpus, "id", "toks", panel, "qid", "qterms",
+    // AUTO serving path (r14): dense-vocab kernel here (31-term corpus),
+    // max-score pruned postings join on sparse vocabularies — provably
+    // bit-equal either way, and the oracle recomputes the UNPRUNED
+    // ranking, so every green run re-proves the equality.
+    Retrieval.bm25TopKAuto(corpus, "id", "toks", panel, "qid", "qterms",
         k = 10, excludeSelf = true)
       .select(col("query_id"), col("match_id"),
         round(col("score"), 9).as("bm25"), col("rank"))
@@ -79,7 +79,7 @@ object Queries23 {
       .localCheckpoint() // feeds panel + BM25 index + cosine scan
     val panel = corpus.filter(col("id") % 40 === 0 && col("id") < 2000)
       .localCheckpoint() // small; feeds qterms + query vectors
-    val bm25r = Retrieval.bm25TopKMaxScore(corpus, "id", "toks",
+    val bm25r = Retrieval.bm25TopKAuto(corpus, "id", "toks",
         panel.select(col("id").as("qid"),
           array_distinct(col("toks")).as("qterms")),
         "qid", "qterms", k = 50, excludeSelf = true)
@@ -263,8 +263,9 @@ object Queries23 {
     val panel = tokenized(s, dir)
       .filter(col("id") % 40 === 0 && col("id") < 2000)
       .select(col("id").as("qid"), array_distinct(col("toks")).as("qterms"))
-    Retrieval.bm25TopKFromPostingsMaxScore(IndexStore.loadBm25(s, store),
-        "id", panel, "qid", "qterms", k = 10, excludeSelf = true)
+    Retrieval.bm25TopKFromPostingsAuto(IndexStore.loadBm25(s, store),
+        "id", panel, "qid", "qterms", k = 10, excludeSelf = true,
+        assumeStable = true) // store postings ARE the file-backed scan
       .select(col("query_id"), col("match_id"),
         round(col("score"), 9).as("bm25"), col("rank"))
       .orderBy(col("query_id"), col("rank"))
@@ -281,7 +282,7 @@ object Queries23 {
   // VERBATIM: same parenthesization, (1.2 + 1.0) computed as a SUM
   // (a folded 2.2 literal is a DIFFERENT double), idf quantized via
   // round(·,6) before the multiply, contributions folded in term order.
-  private def bm25Cte(corpusSql: String): String =
+  private[graft] def bm25Cte(corpusSql: String): String =
     s"""WITH docs AS (
        |  $corpusSql
        |), d2 AS (SELECT id, toks, len(toks) AS dl FROM docs

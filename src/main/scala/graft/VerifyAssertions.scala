@@ -456,8 +456,27 @@ object VerifyAssertions {
             !loadedBatch.get(k2).contains(v) }}")
     }
 
+    // q202 is fully ORACLED (DuckDB replays admission and recomputes
+    // the served ranking from the raw table); this check additionally
+    // pins the two ENGINE paths against each other row-for-row —
+    // store+appended+max-score-served vs inline full-rebuild unpruned —
+    // the ingestion loop's "append == rebuild" contract in its
+    // strongest in-engine form.
+    val q202 = {
+      def rows(df: DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+        .toSeq
+      val served = rows(Queries24.q202_ingest_loop(spark, sfDir))
+      val rebuilt = rows(Queries24.q202_rebuild(spark, sfDir))
+      Check("ingest_loop_serve_equals_full_rebuild", "q202_ingest_loop",
+        served.nonEmpty && served == rebuilt,
+        s"served_rows=${served.size} rebuilt_rows=${rebuilt.size} " +
+          s"mismatches=${served.zipAll(rebuilt, null, null)
+            .count { case (a, b) => a != b }}")
+    }
+
     Seq(q31, q32, q44, q46, q49, q119, q126, q128, q176, q177, q178,
-      q187, q188, q189, q195, q199)
+      q187, q188, q189, q195, q199, q202)
   }
 
   /** Planted-recovery + exact-rescore check for the compressed-scan ANN

@@ -306,6 +306,44 @@ object Multimodal {
     out
   }
 
+  /** dHash perceptual signature over a DECODED 9×8 RGB raster, as four
+    * 16-bit band keys (the SimHash 4×16 banding shape: hamming ≤ 3 over
+    * the 64 bits ⇒ at least one band identical, by pigeonhole — banded
+    * candidate generation is EXACT for that radius, not probabilistic).
+    * Pure integer math so it is engine-exact on lossless formats:
+    * grayscale g = (r + 2·g + b) >> 2 per pixel, bit(y, x) =
+    * g[y][x] > g[y][x+1] for an 8×8 bit grid over the 9-wide rows,
+    * band i packs rows 2i and 2i+1 LSB-first. A SQL oracle reproduces
+    * every step from the raster bytes (integer divisions and
+    * comparisons only — no floats anywhere).
+    */
+  def dhashBands9x8(pixels: Array[Byte]): Array[Int] = {
+    require(pixels.length == 9 * 8 * 3,
+      s"dhashBands9x8 needs a 9x8x3 raster (216 B), got ${pixels.length}")
+    val g = new Array[Int](72)
+    var i = 0
+    while (i < 72) {
+      g(i) = ((pixels(3 * i) & 0xff) + 2 * (pixels(3 * i + 1) & 0xff) +
+        (pixels(3 * i + 2) & 0xff)) >> 2
+      i += 1
+    }
+    val bands = new Array[Int](4)
+    var bi = 0
+    while (bi < 4) {
+      var v = 0
+      var j = 0
+      while (j < 16) {
+        val y = 2 * bi + j / 8
+        val x = j % 8
+        if (g(y * 9 + x) > g(y * 9 + x + 1)) v |= 1 << j
+        j += 1
+      }
+      bands(bi) = v
+      bi += 1
+    }
+    bands
+  }
+
   /** Partition-batched feature extraction. The per-partition iterator is
     * the batch: decoder state (in prod: a model/codec handle) is created
     * once per partition, then streamed — identical execution shape to

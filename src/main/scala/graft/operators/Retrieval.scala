@@ -107,9 +107,10 @@ object Retrieval {
       k: Int, k1: Double = 1.2, b: Double = 0.75,
       excludeSelf: Boolean = false,
       maxDfFrac: Double = 1.0): DataFrame = {
-    val p = bm25Prep(postings, idCol, queries, qidCol, qtermsCol,
-      k, k1, b, maxDfFrac)
-    bm25FoldRank(bm25Contrib(p, k1, b, excludeSelf), k)
+    bm25Validate(k, k1, b, maxDfFrac)
+    val p = bm25Prep(postings, idCol, maxDfFrac, stable = false)
+    val qub = bm25Qub(p, queries, qidCol, qtermsCol)
+    bm25FoldRank(bm25Contrib(p, qub, k1, b, excludeSelf), k)
   }
 
   /** [[bm25TopKFromPostings]] with max-score candidate pruning —
@@ -167,9 +168,15 @@ object Retrieval {
       k: Int, k1: Double = 1.2, b: Double = 0.75,
       excludeSelf: Boolean = false,
       maxDfFrac: Double = 1.0): DataFrame = {
-    val p = bm25Prep(postings, idCol, queries, qidCol, qtermsCol,
-      k, k1, b, maxDfFrac)
-    val contrib = bm25Contrib(p, k1, b, excludeSelf)
+    bm25Validate(k, k1, b, maxDfFrac)
+    val p = bm25Prep(postings, idCol, maxDfFrac, stable = false)
+    val qub = bm25Qub(p, queries, qidCol, qtermsCol)
+    bm25MaxScoreFinish(p, qub, bm25Contrib(p, qub, k1, b, excludeSelf),
+      k, k1, b)
+  }
+
+  private def bm25MaxScoreFinish(p: Bm25Prep, qub: DataFrame,
+      contrib: DataFrame, k: Int, k1: Double, b: Double): DataFrame = {
     // 1. bound pass: hash agg only — no sort touches contribution mass
     val u4 = 4.0 * math.pow(2.0, -53) // 4u; δ = 4·nt·u·Σ|c| (see doc)
     val wqL = Window.partitionBy(col("query_id"))
@@ -195,37 +202,419 @@ object Retrieval {
     // broadcasts it at runtime (not forced — a degenerate all-ties
     // corpus keeps everything and must stay a shuffle join).
     val refold = p.tf.join(keep, "__id")
-      .join(broadcast(p.qub), Seq("query_id", "__term"))
+      .join(broadcast(qub), Seq("query_id", "__term"))
       .select(col("query_id"), col("__id").as("match_id"), col("__term"),
         (col("__idf6") * bm25W(k1, b, p.n, p.totdl)).as("__c"))
     bm25FoldRank(refold, k)
   }
 
-  /** Shared BM25 serving state: the DISK_ONLY-checkpointed posting
-    * relation, the per-(query, term) surviving-term relation with its
-    * quantized idf, and the driver-collected corpus stats (1-row head —
-    * exact integer counts in doubles, identical to the column form the
-    * pre-r14 implementation carried through a crossJoin).
-    */
-  private case class Bm25Prep(tf: DataFrame, qub: DataFrame,
-      n: Double, totdl: Double)
-
-  private def bm25Prep(
+  def bm25TopKFromPostingsDense(
       postings: DataFrame, idCol: String,
       queries: DataFrame, qidCol: String, qtermsCol: String,
-      k: Int, k1: Double, b: Double, maxDfFrac: Double): Bm25Prep = {
+      k: Int, k1: Double = 1.2, b: Double = 0.75,
+      excludeSelf: Boolean = false,
+      maxDfFrac: Double = 1.0,
+      vocabCap: Int = 4096, panelCap: Int = 100000,
+      assumeStable: Boolean = false): DataFrame = {
+    bm25Validate(k, k1, b, maxDfFrac)
+    val p = bm25Prep(postings, idCol, maxDfFrac, stable = assumeStable)
+    val dfC = bm25CollectVocab(p, vocabCap)
+      .getOrElse(throw new IllegalArgumentException(
+        s"dense BM25 kernel needs vocab <= $vocabCap surviving terms " +
+          "- use the max-score postings path"))
+    bm25DenseFromPostings(p, dfC, queries, qidCol, qtermsCol,
+      k, k1, b, excludeSelf, panelCap)
+  }
+
+  /** Auto-routing serve path over a posting relation: the dense-vocab
+    * kernel when the surviving vocabulary fits `vocabCap` (the
+    * join-degenerate regime — measured on the target corpus) and ids
+    * are longs; the max-score pruned postings join otherwise (sparse
+    * vocabularies, where Sigma-df candidate mass is the winning plan at
+    * any n). All paths are spec-pinned bit-equal, so routing is purely
+    * a cost decision. `assumeStable = true` declares the postings
+    * relation already file-backed (an [[IndexStore.loadBm25]] scan) —
+    * the DISK_ONLY re-checkpoint is skipped and every statistics pass
+    * becomes a column-pruned parquet scan, which is the point of
+    * serving from a persisted index.
+    */
+  def bm25TopKFromPostingsAuto(
+      postings: DataFrame, idCol: String,
+      queries: DataFrame, qidCol: String, qtermsCol: String,
+      k: Int, k1: Double = 1.2, b: Double = 0.75,
+      excludeSelf: Boolean = false,
+      maxDfFrac: Double = 1.0,
+      vocabCap: Int = 4096,
+      assumeStable: Boolean = false): DataFrame = {
+    bm25Validate(k, k1, b, maxDfFrac)
+    val p = bm25Prep(postings, idCol, maxDfFrac, stable = assumeStable)
+    val dfC =
+      if (bm25LongIds(postings, idCol, queries, qidCol))
+        bm25CollectVocab(p, vocabCap)
+      else None
+    dfC match {
+      case Some(d) =>
+        bm25DenseFromPostings(p, d, queries, qidCol, qtermsCol,
+          k, k1, b, excludeSelf, panelCap = 100000)
+      case None =>
+        val qub = bm25Qub(p, queries, qidCol, qtermsCol)
+        bm25MaxScoreFinish(p, qub,
+          bm25Contrib(p, qub, k1, b, excludeSelf), k, k1, b)
+    }
+  }
+
+  /** Auto-routing serve path over a raw tokenized corpus. The dense
+    * route here never builds the posting relation at all: corpus
+    * statistics (n, totdl, df) come from two combinable aggregations
+    * and each document's tf vector is assembled INSIDE the scoring
+    * pass from its token array — one shuffle-free corpus scan total,
+    * vs explode -> groupBy -> DISK_ONLY checkpoint -> join for the
+    * posting paths. Bit-equal (same integer counts, same quantized
+    * idf, same pinned fold; spec-pinned).
+    */
+  def bm25TopKAuto(
+      corpus: DataFrame, idCol: String, toksCol: String,
+      queries: DataFrame, qidCol: String, qtermsCol: String,
+      k: Int, k1: Double = 1.2, b: Double = 0.75,
+      excludeSelf: Boolean = false,
+      maxDfFrac: Double = 1.0,
+      vocabCap: Int = 4096): DataFrame = {
+    bm25Validate(k, k1, b, maxDfFrac)
+    val dense =
+      if (bm25LongIds(corpus, idCol, queries, qidCol))
+        bm25TryDenseInline(corpus, idCol, toksCol, queries, qidCol,
+          qtermsCol, k, k1, b, excludeSelf, maxDfFrac, vocabCap)
+      else None
+    dense.getOrElse(
+      bm25TopKFromPostingsMaxScore(bm25Postings(corpus, idCol, toksCol),
+        idCol, queries, qidCol, qtermsCol, k, k1, b, excludeSelf,
+        maxDfFrac))
+  }
+
+  /** [[bm25TopK]] through the dense-vocab kernel, inline corpus form
+    * (throws when the vocabulary exceeds the cap — [[bm25TopKAuto]]
+    * falls back instead).
+    */
+  def bm25TopKDense(
+      corpus: DataFrame, idCol: String, toksCol: String,
+      queries: DataFrame, qidCol: String, qtermsCol: String,
+      k: Int, k1: Double = 1.2, b: Double = 0.75,
+      excludeSelf: Boolean = false,
+      maxDfFrac: Double = 1.0,
+      vocabCap: Int = 4096): DataFrame = {
+    bm25Validate(k, k1, b, maxDfFrac)
+    bm25TryDenseInline(corpus, idCol, toksCol, queries, qidCol,
+        qtermsCol, k, k1, b, excludeSelf, maxDfFrac, vocabCap)
+      .getOrElse(throw new IllegalArgumentException(
+        s"dense BM25 kernel needs vocab <= $vocabCap surviving terms " +
+          "and long ids - use bm25TopKAuto or the postings paths"))
+  }
+
+  /** Inline corpus-form dense scoring, or None when the surviving
+    * vocabulary exceeds the cap. Corpus n/totdl/df are exact integer
+    * counts in doubles — identical values to the postings derivation,
+    * so scores stay bit-equal.
+    */
+  private def bm25TryDenseInline(
+      corpus: DataFrame, idCol: String, toksCol: String,
+      queries: DataFrame, qidCol: String, qtermsCol: String,
+      k: Int, k1: Double, b: Double,
+      excludeSelf: Boolean, maxDfFrac: Double,
+      vocabCap: Int): Option[DataFrame] = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val c0 = corpus
+      .select(col(idCol).cast("long").as("__id"), col(toksCol).as("__toks"))
+      .filter(size(col("__toks")) > 0)
+    // n/totdl: one combinable aggregation (dl = token count per doc,
+    // the bm25Postings definition)
+    val statsRow = c0.agg(count(lit(1)).cast("double"),
+      sum(size(col("__toks"))).cast("double")).head()
+    val n = statsRow.getDouble(0)
+    val totdl = if (n == 0.0) 0.0 else statsRow.getDouble(1)
+    val dfRel0 = c0
+      .select(explode(array_distinct(col("__toks"))).as("__term"))
+      .groupBy(col("__term"))
+      .agg(count(lit(1)).cast("double").as("__df"))
+    val dfRel =
+      if (maxDfFrac >= 1.0) dfRel0
+      else dfRel0.filter(col("__df") <= lit(maxDfFrac) * lit(n))
+    // bounded collect: cap+1 rows decide routing without OOMing the
+    // driver on an unbounded vocabulary
+    val dfC = dfRel.limit(vocabCap + 1).collect()
+      .map(r => r.getString(0) -> r.getDouble(1))
+    if (dfC.length > vocabCap) None
+    else {
+      val scorer = bm25DenseScorer(dfC, n, totdl, queries, qidCol,
+        qtermsCol, k, k1, b, excludeSelf, panelCap = 100000)
+      val partials = c0.as[(Long, Seq[String])]
+        .mapPartitions(it => scorer.scoreToks(it))
+        .toDF("query_id", "match_id", "score")
+      Some(bm25RankPartials(partials, k))
+    }
+  }
+
+  /** Dense scoring over a prepped posting relation: one groupByKey
+    * regroup of the (corpus-sized) postings into per-doc tf vectors,
+    * then the same shuffle-free scoring pass.
+    */
+  private def bm25DenseFromPostings(
+      p: Bm25Prep, dfC: Array[(String, Double)],
+      queries: DataFrame, qidCol: String, qtermsCol: String,
+      k: Int, k1: Double, b: Double,
+      excludeSelf: Boolean, panelCap: Int): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val scorer = bm25DenseScorer(dfC, p.n, p.totdl, queries, qidCol,
+      qtermsCol, k, k1, b, excludeSelf, panelCap)
+    val nVocab = scorer.nVocab
+    val vIdxB = spark.sparkContext.broadcast(scorer.vIdx)
+    val docs = p.tf
+      .select(col("__id").cast("long"), col("__dl"), col("__term"),
+        col("__tf"))
+      .as[(Long, Double, String, Double)]
+      .groupByKey(_._1)
+      .mapGroups { (id, it) =>
+        var dl = 0.0
+        val tf2 = new Array[Double](nVocab)
+        it.foreach { case (_, d, t2, f) =>
+          dl = d
+          val ix: Integer = vIdxB.value.get(t2)
+          if (ix ne null) tf2(ix.intValue) = f
+        }
+        (id, dl, tf2)
+      }
+    val partials = docs.mapPartitions(it => scorer.scoreVecs(it))
+      .toDF("query_id", "match_id", "score")
+    bm25RankPartials(partials, k)
+  }
+
+  /** Collect the surviving vocabulary's df map when it fits the cap
+    * (bounded: cap+1 rows max), else None.
+    */
+  private def bm25CollectVocab(p: Bm25Prep,
+      vocabCap: Int): Option[Array[(String, Double)]] = {
+    val dfC = p.dfRel.limit(vocabCap + 1).collect()
+      .map(r => r.getString(0) -> r.getDouble(1))
+    if (dfC.length > vocabCap) None else Some(dfC)
+  }
+
+  /** Both relations carry long ids — the dense kernel's typed-Dataset
+    * requirement (q197/q201/q202 corpora; anything else routes to the
+    * join paths).
+    */
+  private def bm25LongIds(rel: DataFrame, idCol: String,
+      queries: DataFrame, qidCol: String): Boolean = {
+    import org.apache.spark.sql.types.LongType
+    rel.schema(idCol).dataType == LongType &&
+      queries.schema(qidCol).dataType == LongType
+  }
+
+  /** Build the serializable dense scorer: vocab sorted by UTF-8 bytes
+    * (Spark's string order — the pinned fold order), quantized idf per
+    * slot (driver BigDecimal HALF_UP == Spark round; math.log == the
+    * Log expression), panel collected (bounded by contract).
+    */
+  private def bm25DenseScorer(dfC: Array[(String, Double)],
+      n: Double, totdl: Double,
+      queries: DataFrame, qidCol: String, qtermsCol: String,
+      k: Int, k1: Double, b: Double, excludeSelf: Boolean,
+      panelCap: Int): DenseBm25 = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val vocab = dfC.map(_._1).sortWith(utf8Less)
+    // Integer (boxed) values ON PURPOSE: a HashMap[String, Int] get on
+    // a missing key returns null that Scala silently UNBOXES TO 0 —
+    // which mapped every pruned/unknown term onto vocab slot 0,
+    // clobbering real tf values (caught by the maxDfFrac equality spec)
+    val vIdx = new java.util.HashMap[String, Integer]()
+    vocab.zipWithIndex.foreach { case (t2, i) =>
+      vIdx.put(t2, Integer.valueOf(i)): Unit }
+    val dfMap = dfC.toMap
+    val idf6 = vocab.map(t2 =>
+      BigDecimal(math.log((n - dfMap(t2) + 0.5) / (dfMap(t2) + 0.5) + 1.0))
+        .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP)
+        .toDouble)
+    val panel = queries.select(col(qidCol).cast("long").as("qid"),
+      array_distinct(col(qtermsCol)).as("qt"))
+    require(panel.count() <= panelCap,
+      s"dense BM25 kernel needs a driver-collectable panel (<= $panelCap)")
+    val qArr: Array[(Long, Array[Int])] = panel.as[(Long, Seq[String])]
+      .collect().map { case (qid, ts) =>
+        qid -> ts.map(t2 => vIdx.get(t2)).filter(_ ne null)
+          .map(_.intValue)
+          .sorted.toArray // ascending vocab index == ascending term order
+      }
+    new DenseBm25(vIdx, idf6, qArr, n, totdl, k1, b, k, excludeSelf)
+  }
+
+  /** Rank the per-partition heap survivors: <= partitions * |panel| * k
+    * rows, one tiny window.
+    */
+  private def bm25RankPartials(partials: DataFrame, k: Int): DataFrame = {
+    val win = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("match_id"))
+    partials.withColumn("rank", row_number().over(win))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("match_id"), col("score"), col("rank"))
+  }
+
+  /** The serializable dense-vocab scorer: per-partition bounded top-k
+    * heaps per query under the final (score desc, id asc) order, the
+    * pinned term-order fold as a primitive while-loop. `scoreToks`
+    * builds each doc's tf vector from its token array inline (the
+    * corpus form — zero shuffles); `scoreVecs` consumes pre-grouped
+    * vectors (the postings form). Arithmetic mirrors the Column form
+    * verbatim: idf6 * ((tf*(k1+1)) / (tf + k1*((1-b) + (b*dl)/avgdl)))
+    * with k1+1, 1-b and totdl/n each computed ONCE (the same folded
+    * constants the lit() forms compile to), so scores are bit-equal.
+    */
+  private final class DenseBm25(
+      val vIdx: java.util.HashMap[String, Integer],
+      idf6: Array[Double], qs: Array[(Long, Array[Int])],
+      n: Double, totdl: Double, k1: Double, b: Double, k: Int,
+      excludeSelf: Boolean) extends Serializable {
+    val nVocab: Int = idf6.length
+    private val avgdl = totdl / n
+    private val k1p1 = k1 + 1.0
+    private val oneMinusB = 1.0 - b
+
+    private def newHeaps(): Array[java.util.PriorityQueue[(Double, Long)]] =
+      Array.fill(qs.length)(
+        new java.util.PriorityQueue[(Double, Long)](
+          math.max(1, k),
+          new java.util.Comparator[(Double, Long)] {
+            def compare(x: (Double, Long), y: (Double, Long)): Int = {
+              val c = java.lang.Double.compare(x._1, y._1) // worst first
+              if (c != 0) c else java.lang.Long.compare(y._2, x._2)
+            }
+          }))
+
+    private def scoreDoc(id: Long, dl: Double, tf2: Array[Double],
+        heaps: Array[java.util.PriorityQueue[(Double, Long)]]): Unit = {
+      val norm = k1 * (oneMinusB + (b * dl) / avgdl)
+      var qi = 0
+      while (qi < qs.length) {
+        val qid = qs(qi)._1
+        if (!(excludeSelf && id == qid)) {
+          val termIdx = qs(qi)._2
+          var acc = 0.0
+          var matched = 0
+          var ti = 0
+          while (ti < termIdx.length) {
+            val ix = termIdx(ti)
+            val f = tf2(ix)
+            if (f > 0.0) {
+              acc += idf6(ix) * ((f * k1p1) / (f + norm))
+              matched += 1
+            }
+            ti += 1
+          }
+          // a doc matching NO query term produces no row in the join
+          // paths — emitting a 0.0 row here would differ when a query
+          // has fewer than k real candidates
+          if (matched > 0) {
+            val h = heaps(qi)
+            if (h.size < k) { h.add((acc, id)); () }
+            else {
+              val w = h.peek()
+              if (acc > w._1 || (acc == w._1 && id < w._2)) {
+                h.poll(); h.add((acc, id)); ()
+              }
+            }
+          }
+        }
+        qi += 1
+      }
+    }
+
+    private def drain(
+        heaps: Array[java.util.PriorityQueue[(Double, Long)]])
+        : Iterator[(Long, Long, Double)] = {
+      import scala.jdk.CollectionConverters._
+      heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
+        val qid = qs(qi)._1
+        h.iterator().asScala.map { case (s2, id) => (qid, id, s2) }
+      }
+    }
+
+    def scoreToks(it: Iterator[(Long, Seq[String])])
+        : Iterator[(Long, Long, Double)] = {
+      val heaps = newHeaps()
+      it.foreach { case (id, toks) =>
+        val tf2 = new Array[Double](nVocab)
+        var dl = 0.0
+        toks.foreach { t2 =>
+          dl += 1.0 // dl counts ALL tokens (the bm25Postings dl)
+          val ix: Integer = vIdx.get(t2)
+          if (ix ne null) tf2(ix.intValue) += 1.0
+        }
+        scoreDoc(id, dl, tf2, heaps)
+      }
+      drain(heaps)
+    }
+
+    def scoreVecs(it: Iterator[(Long, Double, Array[Double])])
+        : Iterator[(Long, Long, Double)] = {
+      val heaps = newHeaps()
+      it.foreach { case (id, dl, tf2) => scoreDoc(id, dl, tf2, heaps) }
+      drain(heaps)
+    }
+  }
+
+  /** Spark's string order is UTF8 BYTE order (UTF8String.compareTo);
+    * Scala's default String ordering is UTF-16 code-unit order — they
+    * diverge above the BMP, so the driver-side vocab sort pins the
+    * byte comparison explicitly.
+    */
+  private def utf8Less(a: String, b: String): Boolean = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
+  private def bm25Validate(k: Int, k1: Double, b: Double,
+      maxDfFrac: Double): Unit = {
     require(k >= 1, "k must be >= 1")
     require(k1 >= 0 && b >= 0 && b <= 1, s"bad BM25 params k1=$k1 b=$b")
     require(maxDfFrac > 0 && maxDfFrac <= 1,
       s"maxDfFrac must be in (0, 1], got $maxDfFrac")
-    val tf = postings.select(col(idCol).as("__id"), col("dl").as("__dl"),
+  }
+
+  /** Shared BM25 serving state: the posting relation (DISK_ONLY-
+    * checkpointed unless the caller declares it file-backed), the
+    * SURVIVING-term df relation (lazy — the dense paths collect it,
+    * the join paths fold it into qub), and the driver-collected corpus
+    * stats (1-row head — exact integer counts in doubles, identical to
+    * the column form the pre-r14 implementation carried through a
+    * crossJoin).
+    */
+  private case class Bm25Prep(tf: DataFrame, dfRel: DataFrame,
+      n: Double, totdl: Double)
+
+  private def bm25Prep(postings: DataFrame, idCol: String,
+      maxDfFrac: Double, stable: Boolean): Bm25Prep = {
+    val tf0 = postings.select(col(idCol).as("__id"), col("dl").as("__dl"),
       col("term").as("__term"), col("tf").as("__tf"))
-      .localCheckpoint(eager = true,
+    // feeds stats + df + the postings join (or dense regroup) + the
+    // max-score refold. DISK_ONLY because the relation is CORPUS-sized:
+    // the default MEMORY_AND_DISK unroll heap-buffers each partition
+    // first (the Graph.scala OOM lesson at 100x) while DISK_ONLY
+    // streams. When the caller declares the postings FILE-BACKED
+    // (`stable` — an IndexStore.loadBm25 parquet scan), the checkpoint
+    // is a pointless disk-to-disk copy: every consumer re-scans the
+    // parquet with COLUMN PRUNING instead (the stats pass reads 2
+    // columns, the df pass 1), which is the point of a persisted index.
+    val tf = if (stable) tf0
+      else tf0.localCheckpoint(eager = true,
         org.apache.spark.storage.StorageLevel.DISK_ONLY)
-    // feeds stats + df + the postings join + the max-score refold.
-    // DISK_ONLY because the relation is CORPUS-sized: the default
-    // MEMORY_AND_DISK unroll heap-buffers each partition first (the
-    // Graph.scala OOM lesson at 100x) while DISK_ONLY streams.
     // N and totdl over the distinct doc set (dl is functionally
     // dependent on id): exact integer counts in doubles, collected at
     // the driver (1-row aggregate head — the bounded-collect class)
@@ -244,19 +633,25 @@ object Retrieval {
     val dfRel =
       if (maxDfFrac >= 1.0) dfRel0
       else dfRel0.filter(col("__df") <= lit(maxDfFrac) * lit(n))
+    Bm25Prep(tf, dfRel, n, totdl)
+  }
+
+  /** The per-(query, term) surviving-term relation with its quantized
+    * idf. Computing idf once here and joining is bit-identical to the
+    * per-row form (same doubles, same ops; the Round22 driver-brute
+    * exact-equality spec pins it). Panel-sized; eagerly checkpointed so
+    * the df aggregation runs once however many consumers (contrib +
+    * refold) scan it.
+    */
+  private def bm25Qub(p: Bm25Prep, queries: DataFrame,
+      qidCol: String, qtermsCol: String): DataFrame = {
     val qt = queries.select(col(qidCol).as("query_id"),
       explode(array_distinct(col(qtermsCol))).as("__term"))
-    // idf is a per-(query, term) value — computing it once here and
-    // joining is bit-identical to the per-row form (same doubles, same
-    // ops; the Round22 driver-brute exact-equality spec pins it).
-    // Panel-sized; eagerly checkpointed so the df aggregation runs once
-    // however many consumers (contrib + refold) scan it.
-    val qub = qt.join(dfRel, "__term")
+    qt.join(p.dfRel, "__term")
       .select(col("query_id"), col("__term"),
-        round(log((lit(n) - col("__df") + lit(0.5)) /
+        round(log((lit(p.n) - col("__df") + lit(0.5)) /
           (col("__df") + lit(0.5)) + lit(1.0)), 6).as("__idf6"))
       .localCheckpoint(eager = true)
-    Bm25Prep(tf, qub, n, totdl)
   }
 
   /** ONE pinned parenthesization for the saturation weight, mirrored
@@ -273,9 +668,9 @@ object Retrieval {
     * __term, __c): the inverted-index postings join, one row per
     * (query, candidate, shared term).
     */
-  private def bm25Contrib(p: Bm25Prep, k1: Double, b: Double,
-      excludeSelf: Boolean): DataFrame = {
-    val joined0 = p.tf.join(broadcast(p.qub), "__term")
+  private def bm25Contrib(p: Bm25Prep, qub: DataFrame,
+      k1: Double, b: Double, excludeSelf: Boolean): DataFrame = {
+    val joined0 = p.tf.join(broadcast(qub), "__term")
     val joined =
       if (excludeSelf) joined0.filter(col("__id") =!= col("query_id"))
       else joined0

@@ -38,13 +38,20 @@ class Bm25MaxScoreSpec extends SparkSpec {
       queries: Seq[(Long, Seq[String])], k: Int,
       k1: Double = 1.2, b: Double = 0.75,
       excludeSelf: Boolean = false, maxDfFrac: Double = 1.0,
-      pruned: Boolean): Seq[(Long, Long, Double, Int)] = {
-    val f = if (pruned) Retrieval.bm25TopKMaxScore _
-            else Retrieval.bm25TopK _
-    f(docs.toDF("id", "toks"), "id", "toks",
-        queries.toDF("qid", "qterms"), "qid", "qterms",
-        k, k1, b, excludeSelf, maxDfFrac)
-      .collect()
+      path: String): Seq[(Long, Long, Double, Int)] = {
+    val d = docs.toDF("id", "toks")
+    val q = queries.toDF("qid", "qterms")
+    val out = path match {
+      case "maxscore" => Retrieval.bm25TopKMaxScore(d, "id", "toks",
+        q, "qid", "qterms", k, k1, b, excludeSelf, maxDfFrac)
+      case "dense" => Retrieval.bm25TopKDense(d, "id", "toks",
+        q, "qid", "qterms", k, k1, b, excludeSelf, maxDfFrac)
+      case "auto" => Retrieval.bm25TopKAuto(d, "id", "toks",
+        q, "qid", "qterms", k, k1, b, excludeSelf, maxDfFrac)
+      case _ => Retrieval.bm25TopK(d, "id", "toks",
+        q, "qid", "qterms", k, k1, b, excludeSelf, maxDfFrac)
+    }
+    out.collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
       .toSeq.sortBy(r => (r._1, r._4))
   }
@@ -55,17 +62,18 @@ class Bm25MaxScoreSpec extends SparkSpec {
       excludeSelf: Boolean = false, maxDfFrac: Double = 1.0,
       tag: String): Unit = {
     val want = run(docs, queries, k, k1, b, excludeSelf, maxDfFrac,
-      pruned = false)
-    val got = run(docs, queries, k, k1, b, excludeSelf, maxDfFrac,
-      pruned = true)
-    // exact double comparison on purpose: raw bits, no tolerance
-    assert(got.size === want.size, s"[$tag] row count")
-    got.zip(want).foreach { case (g, w) =>
-      assert(g._1 == w._1 && g._2 == w._2 && g._4 == w._4,
-        s"[$tag] membership/rank: got $g want $w")
-      assert(java.lang.Double.doubleToRawLongBits(g._3) ==
-        java.lang.Double.doubleToRawLongBits(w._3),
-        s"[$tag] score bits: got ${g._3} want ${w._3} for $g")
+      path = "reference")
+    for (path <- Seq("maxscore", "dense", "auto")) {
+      val got = run(docs, queries, k, k1, b, excludeSelf, maxDfFrac, path)
+      // exact double comparison on purpose: raw bits, no tolerance
+      assert(got.size === want.size, s"[$tag/$path] row count")
+      got.zip(want).foreach { case (g, w) =>
+        assert(g._1 == w._1 && g._2 == w._2 && g._4 == w._4,
+          s"[$tag/$path] membership/rank: got $g want $w")
+        assert(java.lang.Double.doubleToRawLongBits(g._3) ==
+          java.lang.Double.doubleToRawLongBits(w._3),
+          s"[$tag/$path] score bits: got ${g._3} want ${w._3} for $g")
+      }
     }
   }
 
@@ -127,6 +135,17 @@ class Bm25MaxScoreSpec extends SparkSpec {
       tag = "all-ties-self")
   }
 
+  test("dense kernel vocab-cap guard raises instead of degrading") {
+    val docs = (0L until 5L).map(id => (id, Seq(s"t$id", "common")))
+    val queries = Seq((0L, Seq("common")))
+    intercept[IllegalArgumentException] {
+      Retrieval.bm25TopKFromPostingsDense(
+        Retrieval.bm25Postings(docs.toDF("id", "toks"), "id", "toks"),
+        "id", queries.toDF("qid", "qterms"), "qid", "qterms",
+        k = 2, vocabCap = 3)
+    }
+  }
+
   test("maxscore FromPostings == unpruned FromPostings on a prebuilt " +
     "posting relation (the q201 store-serving shape)") {
     val rng = new Lcg(13L)
@@ -145,5 +164,16 @@ class Bm25MaxScoreSpec extends SparkSpec {
     val got = rows(Retrieval.bm25TopKFromPostingsMaxScore(postings, "id",
       queries, "qid", "qterms", k = 6, excludeSelf = true))
     assert(got === want)
+    val gotDense = rows(Retrieval.bm25TopKFromPostingsDense(postings,
+      "id", queries, "qid", "qterms", k = 6, excludeSelf = true))
+    assert(gotDense === want)
+    // the store-serving shape: postings declared file-backed
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_bm25stable").toString
+    postings.write.mode("overwrite").parquet(dir)
+    val gotStable = rows(Retrieval.bm25TopKFromPostingsAuto(
+      spark.read.parquet(dir), "id", queries, "qid", "qterms",
+      k = 6, excludeSelf = true, assumeStable = true))
+    assert(gotStable === want)
   }
 }

@@ -167,8 +167,15 @@ class Round7OpsSpec extends SparkSpec {
     // any operator being wrong. The set is exactly the queries absent
     // from SparkEntry.oracleSql (the rows-only ones).
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(checks.map(_.query).toSet == rowsOnly,
-      s"assertion coverage ${checks.map(_.query).toSet} != rows-only set $rowsOnly")
+    // SUPERSET, not equality: round 14 added a hard assertion for the
+    // ORACLED q202 (serve == full rebuild) on top of its DuckDB oracle —
+    // an extra gate on an oracled query strengthens coverage, it doesn't
+    // signal a hole. Every rows-only query must still be covered.
+    val covered = checks.map(_.query).toSet
+    assert(rowsOnly.subsetOf(covered),
+      s"rows-only queries without an assertion: ${rowsOnly -- covered}")
+    assert((covered -- rowsOnly).subsetOf(SparkEntry.oracleSql.keySet),
+      s"assertions for unknown queries: ${covered -- rowsOnly -- SparkEntry.oracleSql.keySet}")
     checks.foreach(c =>
       assert(c.pass, s"${c.query} ${c.name}: ${c.detail}"))
   }
