@@ -752,18 +752,26 @@ object Similarity {
     * full-corpus training per centroid), measured at 500k (707×88)
     * and 1M vectors (1000×125) on the ProbeIvf harness — recall rows
     * in PLANS.md ("IVF distributed coarse training"). The cap is now
-    * 4096 — past
-    * n ≈ 16.8M the √n rule would again grow the probe fraction; the
-    * warn below marks that boundary (at that scale, raise the cap and
-    * re-measure — the distributed trainer itself has no nlist
-    * ceiling).
+    * 4096, and round 14 MEASURED the boundary on non-saturating
+    * mixed-class fixtures (`ScaleUpEmbeddingsHard`; PLANS.md "IVF
+    * nlist-4096 cap boundary"): the ceiling is COMPUTE, not recall —
+    * at the nlist/8 production probe fraction recall holds (1.000 at
+    * 4.2M) while train is O(iters·n·nlist·d) and the INLINE probe is
+    * assignment-dominated at O(n·nlist·d) PER BATCH (708 s for one
+    * 40-query batch at 4.2M×1024; 16.8M×2048 did not finish a
+    * train+probe inside 100 min on 32 cores). Past the cap the
+    * answer is the q195 persisted-assignment store (pay the corpus
+    * assignment once per index build, not per probe) — not a bigger
+    * flat nlist; a two-level coarse quantizer is the design note if
+    * nlist itself must keep growing.
     */
   def scaledIvfGeometry(n: Long): (Int, Int) = {
     val root = math.round(math.sqrt(math.max(1L, n).toDouble)).toInt
     val nlist = math.max(8, math.min(4096, root))
     if (root > 4096)
       log.warn(s"scaledIvfGeometry: √n=$root clamped to nlist=4096 — " +
-        "probe fraction grows past n≈16.8M; raise the cap and re-measure")
+        "the measured compute ceiling (PLANS.md); serve via the " +
+        "persisted-assignment store (IndexStore/q195) at this scale")
     val nprobe = math.max(2, math.min(nlist, math.round(nlist / 8.0).toInt))
     (nlist, nprobe)
   }
