@@ -49,7 +49,7 @@ object Bench {
           """"([^"]+)":(-?[0-9.eE+\-]+)""".r.findAllMatchIn(block)
             .map(m => m.group(1) -> m.group(2).toDouble).toMap
         }
-      } catch { case _: Throwable => Map.empty }
+      } catch { case scala.util.control.NonFatal(_) => Map.empty }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -64,7 +64,7 @@ object Bench {
     try {
       Queries.q01_agg_basic(spark, sfDir).count()
       Queries.q07_join_inner(spark, sfDir).count()
-    } catch { case _: Throwable => () }
+    } catch { case scala.util.control.NonFatal(_) => () }
 
     // single-file CSV parse throughput: the FULL lineitem at this SF as
     // one CSV file (~39 MB at sf0.1 — the round-1 methodology) through
@@ -109,7 +109,7 @@ object Bench {
         val trimmed = rates.drop(1).dropRight(1)
         (trimmed.sum / trimmed.size, rates.last)
       } catch {
-        case e: Throwable =>
+        case scala.util.control.NonFatal(e) =>
           System.err.println(s"[bench] parse_mbps FAILED: ${e.getMessage}")
           (-1.0, -1.0)
       }
@@ -118,8 +118,15 @@ object Bench {
     // the scale rehearsal to time only the slowest queries at 10×)
     val subset = sys.env.get("SPARK_GRAFT_QUERIES")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // SPARK_GRAFT_EXCLUDE: the inverse — drop named queries (rehearsal
+    // sweeps exclude the documented exact-all-pairs contract q34
+    // without enumerating the other ~200 names)
+    val excluded = sys.env.get("SPARK_GRAFT_EXCLUDE")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty[String])
     val selected = subset.fold(SparkEntry.queries)(s =>
       SparkEntry.queries.filter { case (k, _) => s(k) })
+      .filter { case (k, _) => !excluded(k) }
     // Orphaned localCheckpoint blocks accumulate across a 180-query
     // catalog pass (each checkpointed relation leaves MEMORY_AND_DISK
     // blocks that only the ContextCleaner frees, after a driver GC that
@@ -145,17 +152,60 @@ object Bench {
     // GC runs OUTSIDE the timed window (dt captured first), so the
     // cadence costs wall-clock only, never enters a query's number.
     var sinceGc = 0
+    // Per-query memory telemetry (r14 verdict item 1: the q172
+    // catalog-member OOM needs instrumentation, not blind tuning).
+    // A listener aggregates task-level peak execution memory and spill
+    // inside each query's window; heap + block-manager storage are
+    // snapshotted after the query. All public APIs; rows ride the
+    // detail artifact as `queries_mem` so a sweep OOM is diagnosable
+    // from the artifact alone. SPARK_GRAFT_MEMLOG=0 disables.
+    val memLog = !sys.env.get("SPARK_GRAFT_MEMLOG").contains("0")
+    val memMaxPeak = new java.util.concurrent.atomic.AtomicLong(0)
+    val memSumPeak = new java.util.concurrent.atomic.AtomicLong(0)
+    val memSpill = new java.util.concurrent.atomic.AtomicLong(0)
+    if (memLog) spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = te.taskMetrics
+          if (m != null) {
+            memMaxPeak.getAndAccumulate(m.peakExecutionMemory, math.max)
+            memSumPeak.addAndGet(m.peakExecutionMemory)
+            memSpill.addAndGet(m.memoryBytesSpilled): Unit
+          }
+        }
+      })
+    val memRows = scala.collection.mutable.ArrayBuffer[String]()
+    def memSnap(name: String, tag: String, dt: Double): Unit =
+      if (memLog) {
+        val rt = Runtime.getRuntime
+        val heap = (rt.totalMemory - rt.freeMemory) >> 20
+        val stor =
+          try spark.sparkContext.getExecutorMemoryStatus.values
+            .map { case (mx, rem) => mx - rem }.sum >> 20
+          catch { case scala.util.control.NonFatal(_) => -1L }
+        memRows += (s"""{"q":"$name","tag":"$tag","sec":${f"$dt%.2f"},""" +
+          s""""heap_mb":$heap,"storage_mb":$stor,""" +
+          s""""peak_exec_mb":${memMaxPeak.get >> 20},""" +
+          s""""sum_peak_exec_mb":${memSumPeak.get >> 20},""" +
+          s""""spill_mb":${memSpill.get >> 20}}""")
+        memMaxPeak.set(0); memSumPeak.set(0); memSpill.set(0)
+      }
     def runPass(tag: String) = selected.toSeq.sortBy(_._1).map {
       case (name, fn) =>
         val t0 = System.nanoTime()
         val ok =
           try { fn(spark, sfDir).count(); true }
           catch {
-            case e: Throwable =>
+            // NonFatal only: an OutOfMemoryError mid-suite means the
+            // JVM/executor state is corrupt — continuing would produce
+            // garbage timings for every subsequent query (r14 advice).
+            case scala.util.control.NonFatal(e) =>
               System.err.println(s"[bench] $name FAILED ($tag): ${e.getMessage}")
               false
           }
         val dt = (System.nanoTime() - t0) / 1e9
+        memSnap(name, tag, dt)
         dropOrphanBlocks()
         // The unpersist above only detaches the blocks; the shuffle
         // files, broadcast pieces and block-manager entries of EVERY
@@ -213,8 +263,9 @@ object Bench {
       selected.get(name).map { fn =>
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }
-          catch { case _: Throwable => false }
+          catch { case scala.util.control.NonFatal(_) => false }
         val dt = (System.nanoTime() - t0) / 1e9
+        memSnap(name, "retry", dt)
         dropOrphanBlocks(); System.gc(); sinceGc = 0
         name -> (if (ok) dt else Double.MaxValue)
       }
@@ -279,7 +330,7 @@ object Bench {
             (if (failed.nonEmpty) s""","failed":${failed.mkString("[", ",", "]")}"""
              else "") + "}"
         } catch {
-          case e: Throwable =>
+          case scala.util.control.NonFatal(e) =>
             System.err.println(s"[bench] assertions failed to run: " +
               s"${e.getMessage}")
             s""","assertions":{"pass":0,"fail":-1}"""
@@ -318,8 +369,11 @@ object Bench {
     val steadyJson =
       if (steady.isEmpty) ""
       else s""","steady_total":$steadyTotal,"queries_steady":${qmap(steady)}$retryJson,"failed_steady":$failedSteady"""
+    val memJson =
+      if (memRows.isEmpty) ""
+      else s""","queries_mem":${memRows.mkString("[", ",", "]")}"""
     val detail =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${qmap(results)}$steadyJson,"failed":$failed,"regressions":$regJson$assertSummary,"parse_mbps":$parseMbps,"parse_mbps_best":$parseMbpsBest,"parse_spread":$parseSpread,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${qmap(results)}$steadyJson,"failed":$failed,"regressions":$regJson$assertSummary,"parse_mbps":$parseMbps,"parse_mbps_best":$parseMbpsBest,"parse_spread":$parseSpread$memJson,"sf":"$sfDir"}"""
     // full runs only: a SPARK_GRAFT_QUERIES spot run must not clobber the
     // committed full-catalog artifact. SPARK_GRAFT_DETAIL redirects the
     // full map elsewhere (rehearsal sweeps record per-query factors
@@ -329,7 +383,7 @@ object Bench {
       val p = detailPath.getOrElse("BENCH_DETAIL.json")
       try java.nio.file.Files.writeString(
         java.nio.file.Paths.get(p), detail + "\n")
-      catch { case e: Throwable =>
+      catch { case scala.util.control.NonFatal(e) =>
         System.err.println(s"[bench] $p write failed: ${e.getMessage}")
       }
     }

@@ -32,15 +32,21 @@ object Queries17 {
     * is real (~262k pairs at sf0.1) but the panel is |positions| rows.
     */
   def q170_name_collisions(s: SparkSession, dir: String): DataFrame =
-    Dedup.editDistancePairs(
+    // count-weighted text pairs (editDistancePairCounts): the histogram
+    // only needs Σ copies(a)·copies(b) per position, so the id-level
+    // expansion (~1B rows at the sf10 census — 512 s, 22% of the r14
+    // full sweep) is never materialized; numbers are EXACTLY the
+    // id-pair counts (spec-pinned, oracle unchanged)
+    Dedup.editDistancePairCounts(
         t(s, dir, "customer").select(col("c_custkey"), col("c_name")),
         "c_custkey", "c_name", maxDist = 1)
       .filter(col("dist") === 1)
       .select(expr(
         """filter(sequence(1, greatest(length(text_a), length(text_b))),
           |  i -> substr(text_a, i, 1) <> substr(text_b, i, 1))[0]
-          |""".stripMargin).cast("long").as("pos"))
-      .groupBy(col("pos")).agg(count(lit(1)).as("n_pairs"))
+          |""".stripMargin).cast("long").as("pos"),
+        col("n_pairs"))
+      .groupBy(col("pos")).agg(sum(col("n_pairs")).as("n_pairs"))
       .orderBy(col("pos"))
 
   /** Data-quality admission panel over lineitem: eight declarative

@@ -282,8 +282,17 @@ object Queries23 {
   // VERBATIM: same parenthesization, (1.2 + 1.0) computed as a SUM
   // (a folded 2.2 literal is a DIFFERENT double), idf quantized via
   // round(·,6) before the multiply, contributions folded in term order.
-  private[graft] def bm25Cte(corpusSql: String): String =
-    s"""WITH docs AS (
+  /** `materializedDocs` marks the docs CTE AS MATERIALIZED — required
+    * when `corpusSql` is itself an expensive CTE chain (q205's 3-batch
+    * admission replay): DuckDB otherwise inlines `docs` into each of
+    * its three consumers and re-executes the whole chain (measured
+    * 45.8 → 5.1 s at sf0.01). Purely a planner hint — results are
+    * identical, so the default stays unmarked for the committed
+    * q197/q201/q202 oracle texts.
+    */
+  private[graft] def bm25Cte(corpusSql: String,
+      materializedDocs: Boolean = false): String =
+    s"""WITH docs AS ${if (materializedDocs) "MATERIALIZED " else ""}(
        |  $corpusSql
        |), d2 AS (SELECT id, toks, len(toks) AS dl FROM docs
        |          WHERE len(toks) > 0),

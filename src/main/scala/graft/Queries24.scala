@@ -43,9 +43,29 @@ object Queries24 {
     * a re-crawl of resident content id ≡ 1 mod 10 under new ids (+2e7
     * — rejected against the resident corpus).
     */
+  /** Planted-family id offsets assume the real id space stays below
+    * them; checked once per (process, dir) — a corpus past the bound
+    * would silently corrupt the planted within-batch/re-crawl semantics
+    * (oracle parity would still hold — both sides replay the same
+    * construction — but the families would stop testing admission).
+    */
+  private val idBoundChecked = scala.collection.mutable.Set[String]()
+
+  private def requireIdBound(d: DataFrame, dir: String): Unit =
+    this.synchronized {
+      if (!idBoundChecked.contains(dir)) {
+        val mx = d.agg(max(col("id"))).head.getLong(0)
+        require(mx < 10000000L,
+          s"q202 planted-duplicate offsets (+1e7/+2e7) collide with real " +
+            s"doc ids: max(doc_id)=$mx >= 1e7 in $dir — raise the offsets")
+        idBoundChecked.add(dir): Unit
+      }
+    }
+
   private[graft] def ingestParts(s: SparkSession, dir: String)
       : (DataFrame, DataFrame) = {
     val d = rawDocs(s, dir)
+    requireIdBound(d, dir)
     val resident = d.filter(col("id") % 5 =!= 0)
     val arrivals = d.filter(col("id") % 5 === 0)
       .unionByName(d.filter(col("id") % 15 === 0)
@@ -212,7 +232,11 @@ object Queries24 {
     * expensive side; 3 consumers otherwise re-run it — the r4 lesson).
     */
   def q203_image_neardup(s: SparkSession, dir: String): DataFrame = {
-    val sigs = imageSigs(s, dir).localCheckpoint() // bands + 2 sig joins
+    // bands + 2 sig joins read it; DISK_ONLY for lesson-consistency —
+    // the rows are 5 ints but the relation is corpus-sized, and the
+    // MEMORY_AND_DISK unroll heap-buffers each partition first
+    val sigs = imageSigs(s, dir).localCheckpoint(eager = true,
+      org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val bands = sigs.select(col("id"),
       posexplode(array(col("b0"), col("b1"), col("b2"), col("b3")))
         .as(Seq("bi", "bv")))

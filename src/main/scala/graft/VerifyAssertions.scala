@@ -475,8 +475,30 @@ object VerifyAssertions {
             .count { case (a, b) => a != b }}")
     }
 
+    // q204/q205 are fully ORACLED (DuckDB replays the 3-batch
+    // sequential near-dup admission exhaustively and recomputes the
+    // served ranking); this check pins the MULTI-BATCH append contract
+    // in its strongest in-engine form — a store built as save + 3
+    // sequential appends (admission of batch i+1 seeing batch i's
+    // commits), served through the pruned auto path, must equal the
+    // inline UNPRUNED full rebuild row-for-row (r14 verdict item 5:
+    // k-append == rebuild, not just 1-append).
+    val q205 = {
+      def rows(df: DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+        .toSeq
+      val served = rows(Queries25.q205_neardup_ingest_serve(spark, sfDir))
+      val rebuilt = rows(Queries25.q205_rebuild(spark, sfDir))
+      Check("neardup_ingest_3appends_equal_full_rebuild",
+        "q205_neardup_ingest_serve",
+        served.nonEmpty && served == rebuilt,
+        s"served_rows=${served.size} rebuilt_rows=${rebuilt.size} " +
+          s"mismatches=${served.zipAll(rebuilt, null, null)
+            .count { case (a, b) => a != b }}")
+    }
+
     Seq(q31, q32, q44, q46, q49, q119, q126, q128, q176, q177, q178,
-      q187, q188, q189, q195, q199, q202)
+      q187, q188, q189, q195, q199, q202, q205)
   }
 
   /** Planted-recovery + exact-rescore check for the compressed-scan ANN

@@ -1059,6 +1059,81 @@ object Dedup {
         coalesce(col("__corpus_match"), col("__batch_match")).as("match_id"))
   }
 
+  /** Multi-batch near-dup ADMISSION LOOP — k sequential arriving
+    * batches against a standing corpus, where batch i+1's admission
+    * SEES batch i's commits (the nightly-refresh contract a single
+    * [[incrementalNearDup]] call can't express; reference anchor: the
+    * dedup extension goals, SURVEY §7.4 step 11). Returns one status
+    * frame per batch, `(batchId, status, match_id)`, with
+    * [[incrementalNearDup]]'s exact semantics and policy (corpus_dup /
+    * batch_dup / keep, smallest match id) applied against the GROWING
+    * corpus: resident ∪ every previously-admitted (`keep`) doc.
+    *
+    * Scale shape — the reason this is NOT k incrementalNearDup calls:
+    * MinHash signatures are PER-DOC PURE, so the standing corpus is
+    * shingled and signed ONCE and each batch's already-computed
+    * signatures UNION into the corpus signature relation on commit —
+    * k batches cost 1 corpus sketch + k batch sketches, not k corpus
+    * sketches (at 100 TB the corpus sketch IS the dominant cost, and a
+    * real loop would persist the signature relation beside the index
+    * store exactly like [[graft.operators.IndexStore]] persists codes).
+    * Band joins stay candidate-proportional per batch; the commit is a
+    * batch-sized anti-join, never a corpus re-scan. Spec-pinned equal
+    * to the re-sketching formulation (k sequential incrementalNearDup
+    * calls over explicitly-grown corpora).
+    */
+  def nearDupAdmitLoop(
+      resident: DataFrame, residentId: String, residentText: String,
+      batches: Seq[DataFrame], batchId: String, batchText: String,
+      threshold: Double, shingleWords: Int = 3,
+      numHashes: Int = 128, bands: Int = 64): Seq[DataFrame] = {
+    require(numHashes % bands == 0, s"bands ($bands) must divide numHashes")
+    val rpb = numHashes / bands
+    var corpusSigs = sigPrep(resident, residentId, residentText, "id_b",
+      shingleWords, numHashes)
+    batches.map { batch =>
+      val b = sigPrep(batch, batchId, batchText, "id_a", shingleWords,
+        numHashes)
+      val bBands = sigBands(b, "id_a", bands, rpb)
+      val candCross = bBands
+        .join(sigBands(corpusSigs, "id_b", bands, rpb),
+          Seq("__band", "__bh"))
+        .select(col("id_a"), col("id_b")).distinct()
+      val corpusMatch = verifyJaccard(candCross, b, corpusSigs, threshold)
+        .groupBy(col("id_a")).agg(min(col("id_b")).as("__corpus_match"))
+      val bAsRight = b.withColumnRenamed("id_a", "id_b")
+      val candWithin = bBands
+        .join(sigBands(bAsRight, "id_b", bands, rpb), Seq("__band", "__bh"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b")).distinct()
+      val batchMatch = verifyJaccard(candWithin, b, bAsRight, threshold)
+        .groupBy(col("id_b")).agg(min(col("id_a")).as("__batch_match"))
+      // consumed twice: returned to the caller AND decides the commit —
+      // batch-sized, so the default checkpoint level is fine
+      val status = batch.select(col(batchId))
+        .join(corpusMatch, col(batchId) === col("id_a"), "left")
+        .drop("id_a")
+        .join(batchMatch, col(batchId) === col("id_b"), "left")
+        .drop("id_b")
+        .select(col(batchId),
+          when(col("__corpus_match").isNotNull, lit("corpus_dup"))
+            .when(col("__batch_match").isNotNull, lit("batch_dup"))
+            .otherwise(lit("keep")).as("status"),
+          coalesce(col("__corpus_match"), col("__batch_match"))
+            .as("match_id"))
+        .localCheckpoint()
+      // COMMIT: admitted docs' signatures join the corpus relation
+      // (per-doc pure — identical to re-sketching them; docs sigPrep
+      // dropped for having no shingles stay out on both formulations)
+      val dupIds = status.filter(col("status") =!= "keep")
+        .select(col(batchId).as("id_a"))
+      val committed = b.join(dupIds, Seq("id_a"), "left_anti")
+        .select(col("id_a").as("id_b"), col("__sh"), col("__sig"))
+      corpusSigs = corpusSigs.unionByName(committed)
+      status
+    }
+  }
+
   /** Canonical-document selection per near-dup cluster: given component
     * labels `(idCol, compCol)` (e.g. [[connectedComponents]] output) and
     * a per-id quality score, pick each cluster's best-scoring id (ties →
@@ -1144,8 +1219,24 @@ object Dedup {
     * downstream consumer (diff position, survivor choice) needs them
     * and they are short by contract. Null and empty texts are dropped.
     */
-  def editDistancePairs(df: DataFrame, idCol: String, textCol: String,
-      maxDist: Int): DataFrame = {
+  /** Shared text-pair stage of the edit-distance family: the distinct
+    * (__id, __s) base relation and the verified DISTINCT-TEXT pairs
+    * `(__sa, __sb, dist)` with 1 ≤ dist ≤ maxDist, __sa < __sb.
+    *
+    * Dedup-before-linkage: the variant join runs on DISTINCT TEXTS,
+    * never ids. Duplicate strings multiply every variant bucket — k
+    * copies per string square the join fan-out k× and reverify
+    * identical pairs k²× (the sf10 rehearsal corpus carries ~4 exact
+    * copies of every name — its 100-replicas ÷ 26-rotations structure
+    * — and the id-level join spilled past 63 GB of scratch there; the
+    * text-level join is 16× lighter and value-identical). Levenshtein
+    * is paid once per TEXT pair; id-level results are produced by the
+    * callers — [[editDistancePairs]] expands each verified text pair
+    * across its two copy groups (output mass), and
+    * [[editDistancePairCounts]] never expands at all.
+    */
+  private def editDistanceTextPairs(df: DataFrame, idCol: String,
+      textCol: String, maxDist: Int): (DataFrame, DataFrame) = {
     require(maxDist >= 1 && maxDist <= 2,
       s"maxDist must be 1 or 2 (got $maxDist): the deletion neighborhood " +
         "has C(len, k) variants per string — past k=2 use the MinHash path")
@@ -1173,17 +1264,6 @@ object Dedup {
       if (maxDist == 1) s"array_append($del1, __s)"
       else s"array_append(concat($del1, if(length(__s) >= 2, $del2, " +
         s"cast(array() as array<string>))), __s)"
-    // Dedup-before-linkage: the variant join runs on DISTINCT TEXTS,
-    // never ids. Duplicate strings multiply every variant bucket — k
-    // copies per string square the join fan-out k× and reverify
-    // identical pairs k²× (the sf10 rehearsal corpus carries ~4 exact
-    // copies of every name — its 100-replicas ÷ 26-rotations structure
-    // — and the id-level join spilled past 63 GB of scratch there; the
-    // text-level join is 16× lighter and value-identical). Levenshtein
-    // is paid once per TEXT pair; id pairs are produced afterwards by
-    // expanding each verified text pair across its two copy groups,
-    // and exact-duplicate (dist 0) id pairs come from a per-text-group
-    // self-join — output mass, not intermediate mass.
     val based = base.localCheckpoint() // text groups + both expansions
     val texts = based.select(col("__s")).distinct()
       .localCheckpoint() // both variant-join sides
@@ -1203,6 +1283,46 @@ object Dedup {
       .select(col("__sa"), col("__sb"),
         levenshtein(col("__sa"), col("__sb")).as("dist"))
       .filter(col("dist") >= 1 && col("dist") <= maxDist)
+    (based, tpairs)
+  }
+
+  /** [[editDistancePairs]] WITHOUT the id-level expansion: verified
+    * DISTINCT-TEXT pairs `(text_a, text_b, dist, n_pairs)` where
+    * `n_pairs` = copies(text_a) · copies(text_b) — exactly how many
+    * (id_a, id_b) rows [[editDistancePairs]] would emit for this text
+    * pair (ids of distinct texts never coincide). Any consumer that
+    * only AGGREGATES over pairs (q170's collision-position histogram:
+    * sum n_pairs instead of count rows) gets identical numbers while
+    * the ~k_a·k_b-multiplied id-pair relation (≈1B rows at the sf10
+    * census — 512 s, 22% of the r14 full-sweep) is never materialized:
+    * the expansion joins are replaced by one copy-count aggregate and
+    * two broadcast-sized count lookups. Exact-dup (dist 0) mass is a
+    * separate row family: `text_a = text_b`, `n_pairs = C(copies, 2)`.
+    */
+  def editDistancePairCounts(df: DataFrame, idCol: String,
+      textCol: String, maxDist: Int): DataFrame = {
+    val (based, tpairs) = editDistanceTextPairs(df, idCol, textCol, maxDist)
+    val counts = based.groupBy(col("__s"))
+      .agg(count(lit(1)).as("__k"))
+    val crossed = tpairs
+      .join(counts.select(col("__s").as("__sa"), col("__k").as("__ka")),
+        Seq("__sa"))
+      .join(counts.select(col("__s").as("__sb"), col("__k").as("__kb")),
+        Seq("__sb"))
+      .select(col("__sa").as("text_a"), col("__sb").as("text_b"),
+        col("dist"), (col("__ka") * col("__kb")).as("n_pairs"))
+    val exactDup = counts.filter(col("__k") >= 2)
+      .select(col("__s").as("text_a"), col("__s").as("text_b"),
+        lit(0).as("dist"),
+        // `div`, not `/`: Spark fractional division would widen
+        // n_pairs to double and poison the union schema
+        expr("__k * (__k - 1) div 2").as("n_pairs"))
+    crossed.unionByName(exactDup)
+  }
+
+  def editDistancePairs(df: DataFrame, idCol: String, textCol: String,
+      maxDist: Int): DataFrame = {
+    val (based, tpairs) = editDistanceTextPairs(df, idCol, textCol, maxDist)
     val ea = based.select(col("__id").as("__ia"), col("__s").as("__sa"))
     val eb = based.select(col("__id").as("__ib"), col("__s").as("__sb"))
     val crossed = tpairs.join(ea, Seq("__sa")).join(eb, Seq("__sb"))

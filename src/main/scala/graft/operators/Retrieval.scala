@@ -435,12 +435,16 @@ object Retrieval {
       BigDecimal(math.log((n - dfMap(t2) + 0.5) / (dfMap(t2) + 0.5) + 1.0))
         .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP)
         .toDouble)
-    val panel = queries.select(col(qidCol).cast("long").as("qid"),
+    // ONE Spark job: collect limit(cap+1) rows and enforce the cap on
+    // the array length (r14 advice — count()+collect() ran the panel
+    // plan twice per serve call)
+    val collected = queries.select(col(qidCol).cast("long").as("qid"),
       array_distinct(col(qtermsCol)).as("qt"))
-    require(panel.count() <= panelCap,
+      .limit(panelCap + 1).as[(Long, Seq[String])].collect()
+    require(collected.length <= panelCap,
       s"dense BM25 kernel needs a driver-collectable panel (<= $panelCap)")
-    val qArr: Array[(Long, Array[Int])] = panel.as[(Long, Seq[String])]
-      .collect().map { case (qid, ts) =>
+    val qArr: Array[(Long, Array[Int])] = collected
+      .map { case (qid, ts) =>
         qid -> ts.map(t2 => vIdx.get(t2)).filter(_ ne null)
           .map(_.intValue)
           .sorted.toArray // ascending vocab index == ascending term order

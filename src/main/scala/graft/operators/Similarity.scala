@@ -724,6 +724,20 @@ object Similarity {
     */
   val DriverSampleNlistCap: Int = 512
 
+  /** The [[scaledIvfGeometry]] clamp — an index carrying this many
+    * coarse centroids only arises from a corpus past the measured
+    * inline-serving ceiling (or an explicit caller override), so
+    * [[ivfTopK]] gates its inline-assignment branch on it. */
+  val IvfInlineNlistCap: Int = 4096
+
+  /** The measured inline-serving corpus ceiling (r14, PLANS.md "IVF
+    * nlist-4096 cap boundary"): 4096² — past it √n exceeds the nlist
+    * clamp and the per-probe O(n·nlist·dim) inline assignment did not
+    * finish inside the rehearsal budget; serving MUST go through a
+    * persisted assignment ([[ivfAssign]] / IndexStore, the q195 path).
+    */
+  val IvfInlineCorpusCap: Long = 4096L * 4096L
+
   /** √n IVF geometry, MEASURED (round 12, ProbeIvf over the q46 fixed
     * panel vs brute-force truth): `nlist = clamp(8, 512, round(√n))`,
     * `nprobe = clamp(2, nlist, round(nlist/8))` — a pinned ~1/8 probe
@@ -810,11 +824,32 @@ object Similarity {
         .filter(col("__cn") > 0)
         .join(a.select(col(idCol).as("match_id"), col("list").as("__list")),
           "match_id")
-      case None => corpus.select(col(idCol).as("match_id"),
-        col(vecCol).as("__cv"),
-        idx.assignAuto(col(vecCol), 1)(0).as("__list"),
-        vec_l2norm(col(vecCol)).as("__cn"))
-        .filter(col("__cn") > 0) // zero-norm guard (see bruteForceTopK)
+      case None =>
+        // CONTRACT (r14 measured boundary, PLANS.md "IVF nlist-4096
+        // cap"): the inline branch pays O(n·nlist·dim) corpus
+        // assignment PER PROBE JOB; at the geometry clamp
+        // (nlist = 4096 ⇔ √n > 4096 ⇔ n > ~16.8M) that pass did not
+        // finish train+probe in 100 min on 32 cores. Past the cap the
+        // ONLY sanctioned serving path is a persisted assignment
+        // (ivfAssign → IndexStore.saveIvf → `assigned`, the q195
+        // shape — the corpus pass is paid once per index build, not
+        // per probe). The count job below runs only when nlist is at
+        // the clamp — never for in-catalog geometries.
+        if (idx.centroids.length >= IvfInlineNlistCap) {
+          val n = corpus.count()
+          require(n <= IvfInlineCorpusCap,
+            s"ivfTopK: inline per-probe corpus assignment at " +
+              s"nlist=${idx.centroids.length} over n=$n rows is past " +
+              s"the measured compute ceiling ($IvfInlineCorpusCap) — " +
+              "persist the assignment (Similarity.ivfAssign / " +
+              "IndexStore.saveIvf) and serve through `assigned` " +
+              "(the q195 store path)")
+        }
+        corpus.select(col(idCol).as("match_id"),
+          col(vecCol).as("__cv"),
+          idx.assignAuto(col(vecCol), 1)(0).as("__list"),
+          vec_l2norm(col(vecCol)).as("__cn"))
+          .filter(col("__cn") > 0) // zero-norm guard (see bruteForceTopK)
     }
     val probes = queries.select(col(idCol).as("query_id"),
       col(vecCol).as("__qv"),

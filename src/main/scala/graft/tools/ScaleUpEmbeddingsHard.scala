@@ -45,7 +45,16 @@ object ScaleUpEmbeddingsHard {
     new java.io.File(dst).mkdirs()
     val base = spark.read.parquet(s"$src/embeddings.parquet")
       .select(col("vec_id"), col("embedding"), col("label"))
-    val baseN = base.count()
+    // Partner selection hashes into [0, baseN) and joins on raw vec_id,
+    // which requires a CONTIGUOUS 0..N-1 id space — any gap would
+    // silently drop interpolated rows and the scaled corpus would
+    // undershoot factor*n without warning (r14 advice).
+    val (baseN, maxId) = {
+      val r = base.agg(count(lit(1)), max(col("vec_id"))).head
+      (r.getLong(0), r.getLong(1))
+    }
+    require(maxId == baseN - 1,
+      s"vec_id space must be contiguous 0..N-1: max=$maxId, n=$baseN")
     // replica 0: base verbatim. k >= 1: mixed-class interpolations.
     val reps = base.crossJoin(
         spark.range(1, factor.toLong).toDF("k").hint("broadcast"))
@@ -70,7 +79,11 @@ object ScaleUpEmbeddingsHard {
     base.unionByName(mixed)
       .repartition(cpus.toInt * 4)
       .write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
-    println(s"""{"scaled":"$dst","factor":$factor,"src":"$src","table":"embeddings","model":"mixed-class"}""")
+    val outN = spark.read.parquet(s"$dst/embeddings.parquet").count()
+    val expected = baseN * factor
+    println(s"""{"scaled":"$dst","factor":$factor,"src":"$src","table":"embeddings","model":"mixed-class","rows":$outN,"expected":$expected}""")
+    require(outN == expected,
+      s"scaled corpus undershoots: $outN rows, expected $expected")
     spark.stop()
   }
 }
