@@ -210,9 +210,14 @@ class Round25OpsSpec extends SparkSpec {
       (0 until (1 + rnd.nextInt(3))).map(c => (i * 10L + c, t2))
     }
     val df = docs.toDF("id", "s")
+    // editDistancePairs orients (text_a, text_b) by ID order; the
+    // counted relation by text order — normalize to the unordered pair
     val expanded = Dedup.editDistancePairs(df, "id", "s", maxDist = 1)
       .collect()
-      .map(r => (r.getString(2), r.getString(3), r.getInt(4)))
+      .map { r =>
+        val (x, y) = (r.getString(2), r.getString(3))
+        (if (x <= y) x else y, if (x <= y) y else x, r.getInt(4))
+      }
       .groupBy(identity).map { case (k, v) => k -> v.length.toLong }
     val counted = Dedup.editDistancePairCounts(df, "id", "s", maxDist = 1)
       .collect()
