@@ -237,26 +237,86 @@ object Queries24 {
     // MEMORY_AND_DISK unroll heap-buffers each partition first
     val sigs = imageSigs(s, dir).localCheckpoint(eager = true,
       org.apache.spark.storage.StorageLevel.DISK_ONLY)
-    val bands = sigs.select(col("id"),
-      posexplode(array(col("b0"), col("b1"), col("b2"), col("b3")))
-        .as(Seq("bi", "bv")))
-    val cand = bands.as("x").join(bands.as("y"),
+    dhashPairs(sigs)
+  }
+
+  /** Distinct-signature corpora at or past this size band with the
+    * combo geometry ([[Multimodal.dhashComboKeys]]); below it the 4×16
+    * banding's smaller emission wins. Measured round 15 (PLANS.md
+    * "q203 banding a decade up").
+    */
+  private[graft] val DhashComboKnee = 2000000L
+
+  /** The banded dHash pair pipeline behind [[q203_image_neardup]],
+    * both r14-verdict-item-2 mitigations applied (spec-pinned equal to
+    * the plain 4×16 id-level join; the OUTPUT is banding-invariant —
+    * both geometries are exact at hamming ≤ 3, so the committed SQL
+    * oracle is unchanged):
+    *  - EXACT-DUP COLLAPSE: banding runs on DISTINCT signatures
+    *    (duplicate rasters — ~4 copies per text on ScaleUp corpora —
+    *    would c²-multiply every band bucket; the editDistancePairs
+    *    dedup-before-linkage shape). Cross-group id pairs are expanded
+    *    from verified signature pairs (output mass only); hamming-0
+    *    pairs are each group's internal C(k,2).
+    *  - SCALED GEOMETRY: past [[DhashComboKnee]] distinct signatures
+    *    the 4×16 banding (~4n²/2¹⁶ candidate mass, quadratic with no
+    *    knob) switches to 3-of-6 sub-band combination keys
+    *    (~20n²/2³² — see [[Multimodal.dhashComboKeys]]).
+    */
+  private[graft] def dhashPairs(sigs: DataFrame,
+      forceCombos: Option[Boolean] = None): DataFrame = {
+    // one row per distinct signature; rep = smallest carrier id
+    val groups = sigs.groupBy(col("b0"), col("b1"), col("b2"), col("b3"))
+      .agg(min(col("id")).as("rep"), count(lit(1)).as("k"))
+      .localCheckpoint(eager = true,
+        org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      // feeds the band/combo explode, two verify joins, the member
+      // expansion AND the within-group family
+    val useCombos = forceCombos.getOrElse(groups.count() >= DhashComboKnee)
+    val keys =
+      if (useCombos)
+        groups.select(col("rep"),
+          posexplode(Multimodal.dhashComboKeys(
+            col("b0"), col("b1"), col("b2"), col("b3")))
+            .as(Seq("bi", "bv")))
+      else
+        groups.select(col("rep"),
+          posexplode(array(col("b0").cast("long"), col("b1").cast("long"),
+            col("b2").cast("long"), col("b3").cast("long")))
+            .as(Seq("bi", "bv")))
+    val cand = keys.as("x").join(keys.as("y"),
         col("x.bi") === col("y.bi") && col("x.bv") === col("y.bv") &&
-          col("x.id") < col("y.id"))
-      .select(col("x.id").as("a"), col("y.id").as("b"))
+          col("x.rep") < col("y.rep"))
+      .select(col("x.rep").as("ra"), col("y.rep").as("rb"))
       .distinct()
-    val sa = sigs.select(col("id").as("a"), col("b0").as("a0"),
+    val ga = groups.select(col("rep").as("ra"), col("b0").as("a0"),
       col("b1").as("a1"), col("b2").as("a2"), col("b3").as("a3"))
-    val sb = sigs.select(col("id").as("b"), col("b0").as("c0"),
+    val gb = groups.select(col("rep").as("rb"), col("b0").as("c0"),
       col("b1").as("c1"), col("b2").as("c2"), col("b3").as("c3"))
-    cand.join(sa, "a").join(sb, "b")
+    // distinct signatures ⇒ cross-group hamming ≥ 1 (0 is impossible)
+    val sigPairs = cand.join(ga, "ra").join(gb, "rb")
       .withColumn("hamming",
         (bit_count(col("a0").bitwiseXOR(col("c0"))) +
           bit_count(col("a1").bitwiseXOR(col("c1"))) +
           bit_count(col("a2").bitwiseXOR(col("c2"))) +
           bit_count(col("a3").bitwiseXOR(col("c3")))).cast("int"))
       .filter(col("hamming") <= 3)
-      .select(col("a"), col("b"), col("hamming"))
+      .select(col("ra"), col("rb"), col("hamming"))
+    // members: (rep, id) — the expansion joins produce OUTPUT mass only
+    val members = sigs
+      .join(groups.select(col("b0"), col("b1"), col("b2"), col("b3"),
+        col("rep")), Seq("b0", "b1", "b2", "b3"))
+      .select(col("rep"), col("id"))
+    val crossed = sigPairs
+      .join(members.select(col("rep").as("ra"), col("id").as("ia")), "ra")
+      .join(members.select(col("rep").as("rb"), col("id").as("ib")), "rb")
+      .select(least(col("ia"), col("ib")).as("a"),
+        greatest(col("ia"), col("ib")).as("b"), col("hamming"))
+    val within = members.as("m").join(members.as("n"),
+        col("m.rep") === col("n.rep") && col("m.id") < col("n.id"))
+      .select(col("m.id").as("a"), col("n.id").as("b"),
+        lit(0).cast("int").as("hamming"))
+    crossed.unionByName(within)
       .orderBy(col("a"), col("b"))
   }
 

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: image/audio/video as opaque `binary` columns
@@ -317,6 +317,40 @@ object Multimodal {
     * every step from the raster bytes (integer divisions and
     * comparisons only — no floats anywhere).
     */
+  /** SCALED banding keys for a 64-bit dHash signature (r14 verdict
+    * item 2: the fixed 4×16 banding's candidate mass grows as
+    * ~4n²/2¹⁶ — quadratic with no knob; the q49 lesson says that knee
+    * is invisible one decade early). The 64 bits are split into SIX
+    * sub-bands (widths 11,11,11,11,10,10 MSB-first over
+    * b0‖b1‖b2‖b3) and each signature emits one packed key per
+    * 3-of-6 sub-band combination (C(6,3) = 20 keys, ~32-bit key
+    * space): hamming ≤ 3 means at most 3 sub-bands carry a differing
+    * bit, so some combination of 3 CLEAN sub-bands is shared — the
+    * pigeonhole argument generalized, still EXACT at radius 3, while
+    * expected background candidate mass drops from 4n²/2¹⁶ to
+    * ~20n²/2³² (≈ 5·2⁻¹⁶ of the fixed geometry's) for 5× the emission
+    * rows. Spec-pinned pair-equal to the 4×16 path.
+    */
+  def dhashComboKeys(b0: Column, b1: Column, b2: Column,
+      b3: Column): Column = {
+    val h = shiftleft(b0.cast("long"), 48)
+      .bitwiseOR(shiftleft(b1.cast("long"), 32))
+      .bitwiseOR(shiftleft(b2.cast("long"), 16))
+      .bitwiseOR(b3.cast("long"))
+    val subs = Seq(
+      shiftrightunsigned(h, 53),
+      shiftrightunsigned(h, 42).bitwiseAND(lit(0x7FFL)),
+      shiftrightunsigned(h, 31).bitwiseAND(lit(0x7FFL)),
+      shiftrightunsigned(h, 20).bitwiseAND(lit(0x7FFL)),
+      shiftrightunsigned(h, 10).bitwiseAND(lit(0x3FFL)),
+      h.bitwiseAND(lit(0x3FFL)))
+    val combos = (0 until 6).combinations(3).toSeq // deterministic order
+    array(combos.zipWithIndex.map { case (c, idx) =>
+      ((lit(idx.toLong) * lit(2048L) + subs(c(0))) * lit(2048L) +
+        subs(c(1))) * lit(2048L) + subs(c(2))
+    }: _*)
+  }
+
   def dhashBands9x8(pixels: Array[Byte]): Array[Int] = {
     require(pixels.length == 9 * 8 * 3,
       s"dhashBands9x8 needs a 9x8x3 raster (216 B), got ${pixels.length}")

@@ -231,4 +231,62 @@ class Round25OpsSpec extends SparkSpec {
     assert(counted.keys.exists(_._3 == 0) && counted.keys.exists(_._3 == 1))
     assert(counted.values.exists(_ > 1), "no multiplied copy pair")
   }
+
+  // --- q203 scaled banding (r14 verdict item 2) ------------------------
+
+  test("dhashPairs: both banding geometries equal the brute hamming<=3 " +
+      "pair set on a fuzz corpus with duplicate-signature groups") {
+    val rnd = new java.util.SplittableRandom(41L)
+    def randSig(): (Int, Int, Int, Int) =
+      ((rnd.nextInt() & 0xffff), (rnd.nextInt() & 0xffff),
+        (rnd.nextInt() & 0xffff), (rnd.nextInt() & 0xffff))
+    def flip(s: (Int, Int, Int, Int), nBits: Int): (Int, Int, Int, Int) = {
+      var cur = s
+      (0 until nBits).foreach { _ =>
+        val bit = rnd.nextInt(64)
+        val (w, o) = (bit / 16, bit % 16)
+        cur = w match {
+          case 0 => (cur._1 ^ (1 << o), cur._2, cur._3, cur._4)
+          case 1 => (cur._1, cur._2 ^ (1 << o), cur._3, cur._4)
+          case 2 => (cur._1, cur._2, cur._3 ^ (1 << o), cur._4)
+          case _ => (cur._1, cur._2, cur._3, cur._4 ^ (1 << o))
+        }
+      }
+      cur
+    }
+    // 60 base sigs; every 3rd gets a <=3-bit neighbor, every 4th gets
+    // 2-3 exact copies (duplicate-signature groups)
+    val rows = scala.collection.mutable.ArrayBuffer[(Long, Int, Int, Int, Int)]()
+    var nextId = 0L
+    def add(s: (Int, Int, Int, Int)): Unit = {
+      rows += ((nextId, s._1, s._2, s._3, s._4)); nextId += 1
+    }
+    val bases = (0 until 60).map(_ => randSig())
+    bases.zipWithIndex.foreach { case (s, i) =>
+      add(s)
+      if (i % 3 == 0) add(flip(s, 1 + rnd.nextInt(3)))
+      if (i % 4 == 0) (0 until (1 + rnd.nextInt(2))).foreach(_ => add(s))
+    }
+    val sigs = rows.toSeq.toDF("id", "b0", "b1", "b2", "b3")
+    def ham(a: (Int, Int, Int, Int), b: (Int, Int, Int, Int)): Int =
+      Integer.bitCount(a._1 ^ b._1) + Integer.bitCount(a._2 ^ b._2) +
+        Integer.bitCount(a._3 ^ b._3) + Integer.bitCount(a._4 ^ b._4)
+    val all = rows.toSeq
+    val brute = (for {
+      (x, i) <- all.zipWithIndex; y <- all.drop(i + 1)
+      d = ham((x._2, x._3, x._4, x._5), (y._2, y._3, y._4, y._5))
+      if d <= 3
+    } yield (math.min(x._1, y._1), math.max(x._1, y._1), d)).toSet
+    def got(combos: Boolean) =
+      Queries24.dhashPairs(sigs, forceCombos = Some(combos)).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val fixed = got(combos = false)
+    val scaled = got(combos = true)
+    assert(fixed == brute,
+      s"fixed-brute ${fixed -- brute}; brute-fixed ${brute -- fixed}")
+    assert(scaled == brute,
+      s"scaled-brute ${scaled -- brute}; brute-scaled ${brute -- scaled}")
+    // the fixture must exercise the dup-group family and near pairs
+    assert(brute.exists(_._3 == 0) && brute.exists(_._3 > 0))
+  }
 }
