@@ -44,4 +44,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // box's default locale
   "-Duser.language=en", "-Duser.country=US",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Spark sizes Tungsten pages at 16 MB on this box; G1's default
+  // region at a 24 GB heap is also 16 MB, making EVERY page a
+  // humongous allocation that needs contiguous regions — after ~100
+  // catalog queries the old gen is fragmented and the sf10 census hit
+  // GCLocker retries / page-allocation failures (r15 sweep telemetry,
+  // PLANS.md q172 section). 32 MB regions put 16 MB pages under the
+  // humongous threshold; harmless at small test heaps.
+  "-XX:G1HeapRegionSize=32m",
 )

@@ -54,10 +54,17 @@ object Queries24 {
   private def requireIdBound(d: DataFrame, dir: String): Unit =
     this.synchronized {
       if (!idBoundChecked.contains(dir)) {
-        val mx = d.agg(max(col("id"))).head.getLong(0)
+        // RESIDUE bound, not absolute (r15 lesson — the absolute form
+        // failed the sf10 sweep): ScaleUp corpora carry ids k·1e8+base,
+        // and the +1e7/+2e7 plants stay collision-free as long as no
+        // real id's low part reaches 1e7 — plant residues land in
+        // [1e7, 2e7) and [2e7, 3e7), disjoint from real residues
+        // [0, 1e7) and from each other, without crossing into the
+        // k+1·1e8 block.
+        val mx = d.agg(max(pmod(col("id"), lit(100000000L)))).head.getLong(0)
         require(mx < 10000000L,
           s"q202 planted-duplicate offsets (+1e7/+2e7) collide with real " +
-            s"doc ids: max(doc_id)=$mx >= 1e7 in $dir — raise the offsets")
+            s"doc ids: max(doc_id % 1e8)=$mx >= 1e7 in $dir")
         idBoundChecked.add(dir): Unit
       }
     }

@@ -230,11 +230,29 @@ object Graph {
       .localCheckpoint(true,
         org.apache.spark.storage.StorageLevel.DISK_ONLY)
       // three consumers below; edge-sized -> DISK_ONLY (see e above)
+    // Census parallelism (r15, measured): at the 100× census the wedge
+    // join + closing probe saturate the execution pool — per-task peak
+    // 735 MB × 32 concurrent vs a ~14 GB unified pool (sum of task
+    // peaks 69 GB, 19.7 GB spilled; one pool-exhaustion OOM as a
+    // catalog member in the r14 sweep). 4× the partitions (128 at the
+    // default 32) quarters per-task sort state so tasks spill earlier
+    // and the pool is never all-reserved. Explicit repartition, not a
+    // conf flip: the conf is read at EXECUTION (outside this builder),
+    // and user-specified repartition counts are exempt from AQE
+    // coalescing. Bonus: w1/w2 inherit ONE src-hash exchange instead
+    // of the two the sort-merge join would plan.
+    val m = e.count()
+    val sp = edges.sparkSession.conf
+      .get("spark.sql.shuffle.partitions", "32").toInt
+    val bigCensus = m > 16000000L
+    val cpar = math.max(sp * 4, 128)
+    val orientedW =
+      if (bigCensus) oriented.repartition(cpar, col("src")) else oriented
     // Wedges at each source: unordered out-neighbor pairs, ordered by
     // (degree, id) so the closing edge is oriented lo -> hi.
-    val w1 = oriented.select(col("src"), col("dst").as("x"),
+    val w1 = orientedW.select(col("src"), col("dst").as("x"),
       col("ddst").as("dx"))
-    val w2 = oriented.select(col("src"), col("dst").as("y"),
+    val w2 = orientedW.select(col("src"), col("dst").as("y"),
       col("ddst").as("dy"))
     val wedges = w1.join(w2, Seq("src"))
       .filter(col("dx") < col("dy") ||
@@ -254,7 +272,6 @@ object Graph {
     // semi join — the standard distributed-triangle shape at edge
     // counts where the exact edge set no longer broadcasts. The count
     // is a cheap job: e is already checkpointed.
-    val m = e.count()
     val closing0 = oriented.select(col("src").as("b"), col("dst").as("c"))
     val tris =
       if (m <= broadcastEdgeLimit)
@@ -294,10 +311,17 @@ object Graph {
           log.warn(f"triangleCounts: realized bloom fpp " +
             f"${bloom.expectedFpp()}%.3f — pruning will be weak")
         val bytes = graft.functions.SketchGate.serializeBloom(bloom)
-        wedges
+        val pruned = wedges
           .filter(graft.functions.SketchGate.bloom_contains(bytes,
             xxhash64(col("b"), col("c"))))
-          .join(closing0, Seq("b", "c"), "left_semi")
+        // the semi join shuffles both sides by (b, c) regardless —
+        // explicit repartition just pins the census partition count
+        // (same exchanges, 4× finer tasks; see orientedW above)
+        if (bigCensus)
+          pruned.repartition(cpar, col("b"), col("c"))
+            .join(closing0.repartition(cpar, col("b"), col("c")),
+              Seq("b", "c"), "left_semi")
+        else pruned.join(closing0, Seq("b", "c"), "left_semi")
       }
     // ONE consumer of the wedge pipeline: a 3-way union of selects would
     // re-execute the wedge join + semi probe per branch (the round-5
