@@ -25,11 +25,13 @@ object Queries17 {
     Tables(s, dir, name)
 
   /** Customer-name near-collision audit: all name pairs within
-    * Levenshtein distance 1 ([[Dedup.editDistancePairs]] — lossless
-    * deletion-neighborhood blocking, exact verify), summarized as a
-    * histogram over the POSITION of the differing character (the
-    * digit-position fingerprint of an id-collision pattern). Pair mass
-    * is real (~262k pairs at sf0.1) but the panel is |positions| rows.
+    * Levenshtein distance 1 ([[Dedup.editDistancePairCounts]] —
+    * lossless deletion-neighborhood blocking, exact verify, copy
+    * counts instead of id expansion), summarized as a histogram over
+    * the POSITION of the differing character (the digit-position
+    * fingerprint of an id-collision pattern). Pair mass is real
+    * (~262k id pairs at sf0.1, ~1B at sf10) but flows as
+    * count-weighted TEXT pairs; the panel is |positions| rows.
     */
   def q170_name_collisions(s: SparkSession, dir: String): DataFrame =
     // count-weighted text pairs (editDistancePairCounts): the histogram
