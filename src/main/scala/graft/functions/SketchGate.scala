@@ -171,6 +171,117 @@ object SketchGate {
       copy(sketch = newChildren(0), item = newChildren(1))
   }
 
+  /** `bloom_contains_bc(bc, item)`: [[BloomContains]] with the filter
+    * bytes carried by a BROADCAST handle instead of a Literal child —
+    * the at-scale form (r15 q172 root cause): a Literal rides the task
+    * binary, so EVERY task deserializes its own copy of the filter
+    * (`ObjectInputStream.readArray` of 116 MiB at the 100× census ×
+    * 128 tasks × 32 concurrent = multi-GB heap churn of humongous
+    * allocations — the reproduced catalog-member OOM, stack trace in
+    * PLANS.md). The broadcast VALUE is fetched once per executor JVM,
+    * and the deserialized `BloomFilter` (another 116 MiB of long[] per
+    * `readFrom`) is shared across tasks through a small per-JVM LRU
+    * keyed by broadcast id. Cluster-correct: the handle serializes
+    * with the expression; executors resolve it through the
+    * BroadcastManager like any closure-captured broadcast.
+    */
+  case class BloomContainsBc(
+      bc: org.apache.spark.broadcast.Broadcast[Array[Byte]],
+      bcId: Expression, item: Expression) extends Expression {
+
+    override def children: Seq[Expression] = Seq(bcId, item)
+    override def dataType: DataType = BooleanType
+    override def nullable: Boolean = item.nullable
+    override def prettyName: String = "bloom_contains_bc"
+
+    override def checkInputDataTypes(): TypeCheckResult = {
+      if (!bcId.foldable || bcId.dataType != LongType)
+        TypeCheckResult.TypeCheckFailure(
+          "bloom_contains_bc: first arg must be a foldable LONG " +
+            "broadcast id (construct through SketchGate.bloom_contains_bc)")
+      else item.dataType match {
+        case StringType | BinaryType | ByteType | ShortType |
+            IntegerType | LongType => TypeCheckResult.TypeCheckSuccess
+        case other => TypeCheckResult.TypeCheckFailure(
+          s"bloom_contains_bc: unsupported item type $other " +
+            "(string, binary and integral items only)")
+      }
+    }
+
+    def containsBytes(b: Array[Byte]): Boolean =
+      BloomBcCache.get(bc).mightContainBinary(b)
+    def containsLong(l: Long): Boolean =
+      BloomBcCache.get(bc).mightContainLong(l)
+
+    override def eval(input: InternalRow): Any = {
+      val v = item.eval(input)
+      if (v == null) null
+      else v match {
+        case s: UTF8String => containsBytes(s.getBytes)
+        case b: Array[Byte] => containsBytes(b)
+        case n: java.lang.Number => containsLong(n.longValue())
+      }
+    }
+
+    override protected def doGenCode(ctx: CodegenContext,
+        ev: ExprCode): ExprCode = {
+      import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+      val self = ctx.addReferenceObj("bloomContainsBc", this,
+        classOf[BloomContainsBc].getName)
+      val i = item.genCode(ctx)
+      val call = item.dataType match {
+        case StringType => s"$self.containsBytes((${i.value}).getBytes())"
+        case BinaryType => s"$self.containsBytes(${i.value})"
+        case _ => s"$self.containsLong((long) ${i.value})"
+      }
+      ev.copy(code =
+        code"""
+          ${i.code}
+          boolean ${ev.isNull} = ${i.isNull};
+          boolean ${ev.value} = false;
+          if (!${ev.isNull}) { ${ev.value} = $call; }
+        """)
+    }
+
+    override protected def withNewChildrenInternal(
+        newChildren: IndexedSeq[Expression]): Expression =
+      copy(bcId = newChildren(0), item = newChildren(1))
+  }
+
+  /** Per-JVM deserialized-filter LRU (max 2 — one live census filter
+    * plus one draining): `BloomFilter.readFrom` materializes the full
+    * bit array, so an unbounded id-keyed cache would retain 116 MiB
+    * per census RUN across a catalog pass.
+    */
+  private object BloomBcCache {
+    private val MaxEntries = 2
+    private val m =
+      new java.util.LinkedHashMap[Long, BloomFilter](4, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[Long, BloomFilter]): Boolean =
+          size() > MaxEntries
+      }
+    def get(bc: org.apache.spark.broadcast.Broadcast[Array[Byte]])
+        : BloomFilter = m.synchronized {
+      val cached = m.get(bc.id)
+      if (cached != null) cached
+      else {
+        val bf = BloomFilter.readFrom(
+          new java.io.ByteArrayInputStream(bc.value))
+        m.put(bc.id, bf)
+        bf
+      }
+    }
+  }
+
+  // Driver-side plan-construction detour: the function registry builds
+  // expressions from Expression children only, so the broadcast HANDLE
+  // is stashed here under its id (a long literal child) during
+  // analysis. Executors never read this map — the handle serializes
+  // inside the expression.
+  private val bcHandles = new java.util.concurrent.ConcurrentHashMap[
+    Long, org.apache.spark.broadcast.Broadcast[Array[Byte]]]()
+
   // once per session — see VectorExprs.registeredSessions for rationale
   private val registeredSessions = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
@@ -184,6 +295,15 @@ object SketchGate {
         exprs => CmsEstimate(exprs(0), exprs(1)), "built-in")
       reg.createOrReplaceTempFunction("bloom_contains",
         exprs => BloomContains(exprs(0), exprs(1)), "built-in")
+      reg.createOrReplaceTempFunction("bloom_contains_bc",
+        exprs => {
+          val id = exprs(0).eval().asInstanceOf[Number].longValue()
+          val bc = bcHandles.get(id)
+          require(bc != null,
+            s"bloom_contains_bc: unknown broadcast id $id — construct " +
+              "through SketchGate.bloom_contains_bc")
+          BloomContainsBc(bc, exprs(0), exprs(1))
+        }, "built-in")
     }
   }
 
@@ -202,6 +322,18 @@ object SketchGate {
   def bloom_contains(bloomBytes: Array[Byte], item: Column): Column = {
     ensureRegistered()
     call_function("bloom_contains", lit(bloomBytes), item)
+  }
+
+  /** Broadcast-handle membership probe — use this form whenever the
+    * serialized filter is more than a few MiB (see [[BloomContainsBc]];
+    * the Literal form re-deserializes the filter per task).
+    */
+  def bloom_contains_bc(
+      bc: org.apache.spark.broadcast.Broadcast[Array[Byte]],
+      item: Column): Column = {
+    ensureRegistered()
+    bcHandles.put(bc.id, bc): Unit
+    call_function("bloom_contains_bc", lit(bc.id), item)
   }
 
   def serializeBloom(bf: BloomFilter): Array[Byte] = {

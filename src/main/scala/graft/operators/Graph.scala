@@ -310,9 +310,16 @@ object Graph {
         if (bloom.expectedFpp() > 0.2)
           log.warn(f"triangleCounts: realized bloom fpp " +
             f"${bloom.expectedFpp()}%.3f — pruning will be weak")
+        // BROADCAST the serialized filter (r15 q172 root cause): as a
+        // Literal it rides the task binary and EVERY task deserializes
+        // its own 116 MiB copy — ObjectInputStream.readArray was the
+        // exact OOM frame in the reproduced catalog-member failure.
+        // One broadcast value per executor + a shared deserialized
+        // filter (SketchGate.BloomBcCache) replace ~task-count copies.
         val bytes = graft.functions.SketchGate.serializeBloom(bloom)
+        val bcBloom = edges.sparkSession.sparkContext.broadcast(bytes)
         val pruned = wedges
-          .filter(graft.functions.SketchGate.bloom_contains(bytes,
+          .filter(graft.functions.SketchGate.bloom_contains_bc(bcBloom,
             xxhash64(col("b"), col("c"))))
         // the semi join shuffles both sides by (b, c) regardless —
         // explicit repartition just pins the census partition count

@@ -134,8 +134,14 @@ object Joins {
         f"bloomPrunedSemiJoin: bloom over $n keys, realized fpp " +
           f"${bloom.expectedFpp()}%.4f (requested $fpp%.4f)")
     }
+    // broadcast handle, not a Literal: a Literal filter rides the task
+    // binary and re-deserializes PER TASK (the r15 q172 census OOM —
+    // clamped filters here are ≤ 8 MiB, but the bc form is strictly
+    // better and identical in result)
     val bytes = graft.functions.SketchGate.serializeBloom(bloom)
-    big.filter(graft.functions.SketchGate.bloom_contains(bytes, col(bigKey)))
+    val bcBloom = big.sparkSession.sparkContext.broadcast(bytes)
+    big.filter(
+        graft.functions.SketchGate.bloom_contains_bc(bcBloom, col(bigKey)))
       .join(smallCk.select(col(smallKey)), col(bigKey) === col(smallKey),
         "left_semi")
   }

@@ -132,6 +132,35 @@ class SketchGateSpec extends SparkSpec {
     }
   }
 
+  test("bloom_contains_bc == bloom_contains over the item type matrix " +
+      "(broadcast handle carries the filter; null -> null)") {
+    for ((name, df, dt, present, absent) <- typeMatrix) {
+      val bytes = dt match {
+        case BinaryType =>
+          val bf = BloomFilter.create(100, 0.01)
+          present.foreach(b => bf.putBinary(b.asInstanceOf[Array[Byte]]))
+          SketchGate.serializeBloom(bf)
+        case _ => SketchGate.serializeBloom(
+          df.stat.bloomFilter(col("k"), 100, 0.01))
+      }
+      val bc = spark.sparkContext.broadcast(bytes)
+      val probes = (present ++ absent) :+ null
+      val probeDf = spark.createDataFrame(
+        spark.sparkContext.parallelize(probes.map(Row(_)), 2),
+        StructType(Seq(StructField("k", dt, nullable = true))))
+      val both = probeDf.select(col("k"),
+          SketchGate.bloom_contains(bytes, col("k")).as("lit"),
+          SketchGate.bloom_contains_bc(bc, col("k")).as("bc"))
+        .collect()
+      both.foreach { r =>
+        assert(r.isNullAt(1) == r.isNullAt(2) &&
+          (r.isNullAt(1) || r.getBoolean(1) == r.getBoolean(2)),
+          s"$name: literal vs broadcast diverged on ${r.get(0)}: $r")
+      }
+      assert(both.count(_.isNullAt(2)) == 1) // the null probe
+    }
+  }
+
   test("null item → null through BOTH paths; null never probes the sketch") {
     val bytes = cmsBytesOf(Seq("x").toDF("k"))
     val bBytes = SketchGate.serializeBloom(
