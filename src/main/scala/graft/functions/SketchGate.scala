@@ -208,10 +208,14 @@ object SketchGate {
       }
     }
 
-    def containsBytes(b: Array[Byte]): Boolean =
-      BloomBcCache.get(bc).mightContainBinary(b)
-    def containsLong(l: Long): Boolean =
-      BloomBcCache.get(bc).mightContainLong(l)
+    // resolve the shared filter ONCE per expression instance (≈ per
+    // task): the cache lookup takes a monitor, and taking it per PROBE
+    // serialized all 32 workers on one lock across 4.1B wedge rows
+    // (r15 wedged-run stack dump — every thread BLOCKED on the cache)
+    @transient private lazy val bloom: BloomFilter = BloomBcCache.get(bc)
+
+    def containsBytes(b: Array[Byte]): Boolean = bloom.mightContainBinary(b)
+    def containsLong(l: Long): Boolean = bloom.mightContainLong(l)
 
     override def eval(input: InternalRow): Any = {
       val v = item.eval(input)

@@ -298,11 +298,19 @@ object Graph {
         val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
         val prevBits = conf.get(bitsKey, "67108864")
         val prevItems = conf.get(itemsKey, "4000000")
+        // BOUND the build's concurrency (r15 standalone OOM repro): the
+        // partial aggregation holds ONE full-size filter buffer PER
+        // TASK (~116 MiB at the 100× census) and the final row write
+        // doubles it through BufferHolder.grow (~240 MB humongous
+        // allocations) — 32 concurrent partials tipped a 24 GB heap.
+        // coalesce (no shuffle) to 16 build tasks caps the transient
+        // at ~16×360 MB; the build is a one-time corpus pass.
         val bloom =
           try {
             conf.set(bitsKey, "4294967296")
             conf.set(itemsKey, "4294967296")
-            closing0.stat.bloomFilter(xxhash64(col("b"), col("c")), m, 0.02)
+            closing0.coalesce(16)
+              .stat.bloomFilter(xxhash64(col("b"), col("c")), m, 0.02)
           } finally {
             conf.set(bitsKey, prevBits)
             conf.set(itemsKey, prevItems)
