@@ -23,7 +23,28 @@ object ProbeDhash {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val t0 = System.nanoTime()
-    val sigs = graft.Queries24.imageSigs(spark, dir)
+    // `syn:<n>` measures the BANDING GEOMETRY in isolation: n DISTINCT
+    // random signatures (the collapse output shape — ScaleUp corpora
+    // cap distinct texts at 26·base, so a real corpus can't produce
+    // millions of distinct sigs) + a planted ≤3-bit neighbor of the
+    // previous id at id%17==3 (the q203 plant density).
+    val sigs = (if (dir.startsWith("syn:")) {
+      val n = dir.drop(4).toLong
+      def b(idCol: org.apache.spark.sql.Column, i: Int) =
+        pmod(xxhash64(idCol, lit(i), lit(4099L)), lit(65536L)).cast("int")
+      spark.range(n).select(col("id"),
+        when(col("id") % 17 === 3 && col("id") > 0,
+          b(col("id") - 1, 0).bitwiseXOR(lit(1))).otherwise(b(col("id"), 0))
+          .as("b0"),
+        when(col("id") % 17 === 3 && col("id") > 0,
+          b(col("id") - 1, 1).bitwiseXOR(lit(2))).otherwise(b(col("id"), 1))
+          .as("b1"),
+        when(col("id") % 17 === 3 && col("id") > 0,
+          b(col("id") - 1, 2).bitwiseXOR(lit(4))).otherwise(b(col("id"), 2))
+          .as("b2"),
+        when(col("id") % 17 === 3 && col("id") > 0, b(col("id") - 1, 3))
+          .otherwise(b(col("id"), 3)).as("b3"))
+    } else graft.Queries24.imageSigs(spark, dir))
       .localCheckpoint(eager = true,
         org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val n = sigs.count()
