@@ -176,6 +176,15 @@ object Bench {
         }
       })
     val memRows = scala.collection.mutable.ArrayBuffer[String]()
+    // Counters reset at query START, not inside the post-query snapshot
+    // (r15 ADVICE): listener-bus delivery is ASYNC, so a reset at
+    // snapshot time could race the query's own tail TaskEnd events and
+    // attribute them to the NEXT query's row — and the pre-pass warmup
+    // tasks were credited to the first query. Tail events arriving
+    // after the snapshot are still lost to the row (inherent to the
+    // async bus; noted in the queries_mem doc) but never misattributed.
+    def memReset(): Unit =
+      if (memLog) { memMaxPeak.set(0); memSumPeak.set(0); memSpill.set(0) }
     def memSnap(name: String, tag: String, dt: Double): Unit =
       if (memLog) {
         val rt = Runtime.getRuntime
@@ -189,10 +198,10 @@ object Bench {
           s""""peak_exec_mb":${memMaxPeak.get >> 20},""" +
           s""""sum_peak_exec_mb":${memSumPeak.get >> 20},""" +
           s""""spill_mb":${memSpill.get >> 20}}""")
-        memMaxPeak.set(0); memSumPeak.set(0); memSpill.set(0)
       }
     def runPass(tag: String) = selected.toSeq.sortBy(_._1).map {
       case (name, fn) =>
+        memReset()
         val t0 = System.nanoTime()
         val ok =
           try { fn(spark, sfDir).count(); true }
@@ -261,6 +270,7 @@ object Bench {
     val flagged0 = flag(steady)
     val retried: Map[String, Double] = flagged0.flatMap { name =>
       selected.get(name).map { fn =>
+        memReset()
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }
           catch { case scala.util.control.NonFatal(_) => false }

@@ -270,16 +270,24 @@ object Queries24 {
     *    knob) switches to 3-of-6 sub-band combination keys
     *    (~20n²/2³² — see [[Multimodal.dhashComboKeys]]).
     */
-  private[graft] def dhashPairs(sigs: DataFrame,
-      forceCombos: Option[Boolean] = None): DataFrame = {
-    // one row per distinct signature; rep = smallest carrier id
-    val groups = sigs.groupBy(col("b0"), col("b1"), col("b2"), col("b3"))
+  /** Distinct-signature groups of a dHash relation: one row per
+    * distinct (b0..b3) with the smallest carrier id as `rep` and the
+    * group size `k`. Checkpointed — it feeds the band/combo explode,
+    * two verify joins, the member expansion AND the within-group
+    * family.
+    */
+  private[graft] def dhashGroups(sigs: DataFrame): DataFrame =
+    sigs.groupBy(col("b0"), col("b1"), col("b2"), col("b3"))
       .agg(min(col("id")).as("rep"), count(lit(1)).as("k"))
       .localCheckpoint(eager = true,
         org.apache.spark.storage.StorageLevel.DISK_ONLY)
-      // feeds the band/combo explode, two verify joins, the member
-      // expansion AND the within-group family
-    val useCombos = forceCombos.getOrElse(groups.count() >= DhashComboKnee)
+
+  /** The distinct candidate rep-pairs out of the band join under either
+    * geometry — exposed separately so ProbeDhash can measure candidate
+    * mass vs verified output (r15 ADVICE).
+    */
+  private[graft] def dhashCandidates(groups: DataFrame,
+      useCombos: Boolean): DataFrame = {
     val keys =
       if (useCombos)
         groups.select(col("rep"),
@@ -291,11 +299,18 @@ object Queries24 {
           posexplode(array(col("b0").cast("long"), col("b1").cast("long"),
             col("b2").cast("long"), col("b3").cast("long")))
             .as(Seq("bi", "bv")))
-    val cand = keys.as("x").join(keys.as("y"),
+    keys.as("x").join(keys.as("y"),
         col("x.bi") === col("y.bi") && col("x.bv") === col("y.bv") &&
           col("x.rep") < col("y.rep"))
       .select(col("x.rep").as("ra"), col("y.rep").as("rb"))
       .distinct()
+  }
+
+  private[graft] def dhashPairs(sigs: DataFrame,
+      forceCombos: Option[Boolean] = None): DataFrame = {
+    val groups = dhashGroups(sigs)
+    val useCombos = forceCombos.getOrElse(groups.count() >= DhashComboKnee)
+    val cand = dhashCandidates(groups, useCombos)
     val ga = groups.select(col("rep").as("ra"), col("b0").as("a0"),
       col("b1").as("a1"), col("b2").as("a2"), col("b3").as("a3"))
     val gb = groups.select(col("rep").as("rb"), col("b0").as("c0"),

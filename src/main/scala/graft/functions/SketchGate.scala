@@ -255,24 +255,35 @@ object SketchGate {
   /** Per-JVM deserialized-filter LRU (max 2 — one live census filter
     * plus one draining): `BloomFilter.readFrom` materializes the full
     * bit array, so an unbounded id-keyed cache would retain 116 MiB
-    * per census RUN across a catalog pass.
+    * per census RUN across a catalog pass. Keyed by (appId, bc.id),
+    * NOT bc.id alone — broadcast ids restart from 0 per SparkContext,
+    * so after a stop/start cycle in one JVM (test suites, tool reuse)
+    * a recycled id would silently serve the PREVIOUS context's filter
+    * (r15 ADVICE). Instance identity can't be the key: executors
+    * deserialize a fresh Broadcast wrapper per task, and sharing
+    * across tasks is the whole point.
     */
   private object BloomBcCache {
     private val MaxEntries = 2
+    private def appId: String =
+      try org.apache.spark.SparkEnv.get.conf.get("spark.app.id", "")
+      catch { case _: Throwable => "" }
     private val m =
-      new java.util.LinkedHashMap[Long, BloomFilter](4, 0.75f, true) {
+      new java.util.LinkedHashMap[(String, Long), BloomFilter](4, 0.75f,
+        true) {
         override def removeEldestEntry(
-            e: java.util.Map.Entry[Long, BloomFilter]): Boolean =
+            e: java.util.Map.Entry[(String, Long), BloomFilter]): Boolean =
           size() > MaxEntries
       }
     def get(bc: org.apache.spark.broadcast.Broadcast[Array[Byte]])
         : BloomFilter = m.synchronized {
-      val cached = m.get(bc.id)
+      val key = (appId, bc.id)
+      val cached = m.get(key)
       if (cached != null) cached
       else {
         val bf = BloomFilter.readFrom(
           new java.io.ByteArrayInputStream(bc.value))
-        m.put(bc.id, bf)
+        m.put(key, bf)
         bf
       }
     }
@@ -282,9 +293,19 @@ object SketchGate {
   // expressions from Expression children only, so the broadcast HANDLE
   // is stashed here under its id (a long literal child) during
   // analysis. Executors never read this map — the handle serializes
-  // inside the expression.
+  // inside the expression. Values are WEAK references (r15 ADVICE): a
+  // strong map entry would pin every filter's broadcast for the
+  // process lifetime AND block ContextCleaner from ever destroying it
+  // — one 116 MiB census filter per catalog sweep adds up. The
+  // constructed BloomContainsBc holds the strong ref; the contract is
+  // that the caller applies the returned Column to a DataFrame
+  // (triggering analysis, which resolves the handle) while it still
+  // strongly references the Broadcast — true of every call site, which
+  // builds and uses the Column in one expression.
   private val bcHandles = new java.util.concurrent.ConcurrentHashMap[
-    Long, org.apache.spark.broadcast.Broadcast[Array[Byte]]]()
+    Long,
+    java.lang.ref.WeakReference[
+      org.apache.spark.broadcast.Broadcast[Array[Byte]]]]()
 
   // once per session — see VectorExprs.registeredSessions for rationale
   private val registeredSessions = java.util.Collections.synchronizedMap(
@@ -302,10 +323,12 @@ object SketchGate {
       reg.createOrReplaceTempFunction("bloom_contains_bc",
         exprs => {
           val id = exprs(0).eval().asInstanceOf[Number].longValue()
-          val bc = bcHandles.get(id)
+          val ref = bcHandles.get(id)
+          val bc = if (ref == null) null else ref.get()
           require(bc != null,
-            s"bloom_contains_bc: unknown broadcast id $id — construct " +
-              "through SketchGate.bloom_contains_bc")
+            s"bloom_contains_bc: unknown or collected broadcast id $id — " +
+              "construct through SketchGate.bloom_contains_bc and apply " +
+              "the Column while the Broadcast is strongly referenced")
           BloomContainsBc(bc, exprs(0), exprs(1))
         }, "built-in")
     }
@@ -336,7 +359,11 @@ object SketchGate {
       bc: org.apache.spark.broadcast.Broadcast[Array[Byte]],
       item: Column): Column = {
     ensureRegistered()
-    bcHandles.put(bc.id, bc): Unit
+    // prune entries whose broadcast was collected — keeps the map from
+    // accumulating dead ids across a long catalog sweep
+    bcHandles.entrySet().removeIf(e => e.getValue.get() == null): Unit
+    bcHandles.put(bc.id,
+      new java.lang.ref.WeakReference(bc)): Unit
     call_function("bloom_contains_bc", lit(bc.id), item)
   }
 

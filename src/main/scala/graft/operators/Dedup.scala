@@ -182,6 +182,11 @@ object Dedup {
     * all-sentinel minhash signatures would band-collide with EVERY other
     * empty doc and 0/0 division yields NaN — which Spark orders ABOVE
     * every number, so `NaN >= threshold` would pass. Drop them up front.
+    * DISK_ONLY checkpoint: the relation carries corpus-sized `__sh`
+    * shingle-hash arrays, and the default MEMORY_AND_DISK unroll
+    * heap-buffers each partition first (the r13 unroll-OOM class) —
+    * the RESIDENT corpus side of [[nearDupAdmitLoop]] rides this at
+    * full corpus size.
     */
   private def sigPrep(df: DataFrame, id: String, text: String,
       outId: String, shingleWords: Int, numHashes: Int): DataFrame =
@@ -192,7 +197,8 @@ object Dedup {
       .filter(size(col("__sh")) > 0)
       .withColumn("__sig", graft.functions.SketchExprs
         .minhash_array(col("__sh"), numHashes))
-      .localCheckpoint()
+      .localCheckpoint(eager = true,
+        org.apache.spark.storage.StorageLevel.DISK_ONLY)
 
   /** Explode a [[sigPrep]] relation to its (id, band, bandHash) keys. */
   private def sigBands(df: DataFrame, id: String, bands: Int,
