@@ -39,7 +39,7 @@ object CoPurchase {
     val canonical = new java.io.File(dir).getCanonicalPath
     val out = TmpDirs.perProcess("graft_copurchase", canonical)
     this.synchronized {
-      if (!built.contains(canonical)) {
+      if (!built.contains(canonical)) BuildTimes.timed("copurchase_rel") {
         val op = Tables(s, dir, "lineitem")
           .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
           .distinct()

@@ -42,7 +42,7 @@ object Queries21 {
     val canonical = new java.io.File(dir).getCanonicalPath
     val store = TmpDirs.perProcess("graft_pqstore", canonical)
     this.synchronized {
-      if (!builtPq.contains(canonical)) {
+      if (!builtPq.contains(canonical)) BuildTimes.timed("pq_store") {
         val idx = Similarity.PqIndex.trainCached(s"$dir:embeddings:pq",
           base, "e", m = 8, ksub = 16)
         IndexStore.savePq(s, store, idx,
@@ -70,7 +70,7 @@ object Queries21 {
     val canonical = new java.io.File(dir).getCanonicalPath
     val store = TmpDirs.perProcess("graft_ivfpqstore", canonical)
     this.synchronized {
-      if (!builtIvfPq.contains(canonical)) {
+      if (!builtIvfPq.contains(canonical)) BuildTimes.timed("ivfpq_store") {
         val coarse = Similarity.IvfIndex.trainCached(
           s"$dir:embeddings:ivfpq-coarse", base, "e", nlist = 16)
         val pq = Similarity.trainPqResidualsCached(
@@ -168,7 +168,7 @@ object Queries21 {
     val canonical = new java.io.File(dir).getCanonicalPath
     val store = TmpDirs.perProcess("graft_ivfstore", canonical)
     this.synchronized {
-      if (!builtIvf.contains(canonical)) {
+      if (!builtIvf.contains(canonical)) BuildTimes.timed("ivf_store") {
         val (idx, nprobe) = Similarity.IvfIndex.trainCachedScaled(
           s"$dir:embeddings", emb, "embedding")
         IndexStore.saveIvf(s, store, idx,

@@ -146,7 +146,7 @@ object Queries23 {
     val canonical = new java.io.File(dir).getCanonicalPath
     val store = TmpDirs.perProcess("graft_pqappend", canonical)
     this.synchronized {
-      if (!builtAppend.contains(canonical)) {
+      if (!builtAppend.contains(canonical)) BuildTimes.timed("pq_append_store") {
         val idx = Similarity.PqIndex.trainCached(appendPqKey(dir),
           resident, "e", m = 8, ksub = 16)
         IndexStore.savePq(s, store, idx,
@@ -236,7 +236,7 @@ object Queries23 {
     val canonical = new java.io.File(dir).getCanonicalPath
     val store = TmpDirs.perProcess("graft_bm25store", canonical)
     this.synchronized {
-      if (!builtBm25.contains(canonical)) {
+      if (!builtBm25.contains(canonical)) BuildTimes.timed("bm25_store") {
         IndexStore.saveBm25(s, store,
           Retrieval.bm25Postings(corpus.filter(col("id") % 7 =!= 0),
             "id", "toks"), "id")

@@ -109,7 +109,7 @@ object Queries24 {
     val canonical = new java.io.File(dir).getCanonicalPath
     val store = TmpDirs.perProcess("graft_ingest", canonical)
     this.synchronized {
-      if (!builtIngest.contains(canonical)) {
+      if (!builtIngest.contains(canonical)) BuildTimes.timed("ingest_loop_store") {
         val (resident, arrivals) = ingestParts(s, dir)
         IndexStore.saveBm25(s, store,
           Retrieval.bm25Postings(tok(resident), "id", "toks"), "id")

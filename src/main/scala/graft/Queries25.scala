@@ -94,37 +94,36 @@ object Queries25 {
     (resident, Seq(b0, b1, b2))
   }
 
-  private val built = scala.collection.mutable.Map[String, String]()
-
-  /** Build-once (per process/sfDir): run the 3-batch admission loop,
+  /** Build-once, CROSS-PROCESS (r16: [[StableStores]], replacing the
+    * per-process [[TmpDirs]] layout): run the 3-batch admission loop,
     * persist each batch's status frame to parquet, save a BM25 store
     * from the resident corpus and APPEND each admitted batch's
-    * postings in arrival order. Only DISK artifacts are cached across
-    * queries (paths — never Spark-side relations, which the bench's
-    * orphan-block sweep would invalidate between queries). */
+    * postings in arrival order. The artifact is fingerprinted against
+    * `documents.parquet` (a driver regen rebuilds it — the staleness
+    * the old per-process dirs side-stepped by never persisting) and a
+    * SECOND process over the same corpus pays zero rebuild — at sf10
+    * the loop was the heaviest catalog member (86 s), paid once per
+    * sweep before this. */
   private[graft] def ingest2Dir(s: SparkSession, dir: String): String = {
     val canonical = new java.io.File(dir).getCanonicalPath
-    this.synchronized {
-      built.getOrElseUpdate(canonical, {
-        val out = TmpDirs.perProcess("graft_ingest2", canonical)
-        val (resident, batches) = ingest2Parts(s, dir)
-        val statuses = Dedup.nearDupAdmitLoop(resident, "id", "text",
-          batches, "id", "text", threshold = 0.5)
-        val store = s"$out/store"
-        IndexStore.saveBm25(s, store,
-          Retrieval.bm25Postings(tok(resident), "id", "toks"), "id")
-        statuses.zip(batches).zipWithIndex.foreach {
-          case ((st, batch), k) =>
-            st.withColumn("batch", lit(k))
-              .write.mode("overwrite").parquet(s"$out/status_$k.parquet")
-            val admitted = batch.join(
-              st.filter(col("status") === "keep").select(col("id")),
-              Seq("id"))
-            IndexStore.appendCodes(s, store,
-              Retrieval.bm25Postings(tok(admitted), "id", "toks"), "id")
-        }
-        out
-      })
+    val fp = StableStores.fingerprint(s"$canonical/documents.parquet")
+    StableStores.buildOnce("ingest2", canonical, fp) { out =>
+      val (resident, batches) = ingest2Parts(s, dir)
+      val statuses = Dedup.nearDupAdmitLoop(resident, "id", "text",
+        batches, "id", "text", threshold = 0.5)
+      val store = s"$out/store"
+      IndexStore.saveBm25(s, store,
+        Retrieval.bm25Postings(tok(resident), "id", "toks"), "id")
+      statuses.zip(batches).zipWithIndex.foreach {
+        case ((st, batch), k) =>
+          st.withColumn("batch", lit(k))
+            .write.mode("overwrite").parquet(s"$out/status_$k.parquet")
+          val admitted = batch.join(
+            st.filter(col("status") === "keep").select(col("id")),
+            Seq("id"))
+          IndexStore.appendCodes(s, store,
+            Retrieval.bm25Postings(tok(admitted), "id", "toks"), "id")
+      }
     }
   }
 

@@ -497,8 +497,30 @@ object VerifyAssertions {
             .count { case (a, b) => a != b }}")
     }
 
+    // q206 is fully ORACLED by the same exhaustive replay as q204; this
+    // check additionally pins the two ENGINE paths against each other —
+    // the in-memory union-grown loop (q204) vs the persisted-signature-
+    // store loop (load → admit → append, store re-opened per batch) —
+    // row-for-row at every SF (r15 verdict #1's hard gate: store-seeded
+    // == in-memory, i.e. commits through DISK == commits through the
+    // session).
+    val q206 = {
+      def rows(df: DataFrame) = df.collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getString(2),
+          Option(r.get(3)).map(_.asInstanceOf[Long])))
+        .toSeq
+      val mem = rows(Queries25.q204_neardup_ingest(spark, sfDir))
+      val store = rows(Queries26.q206_neardup_sig_store(spark, sfDir))
+      Check("neardup_store_seeded_loop_equals_in_memory_loop",
+        "q206_neardup_sig_store",
+        mem.nonEmpty && store == mem,
+        s"mem_rows=${mem.size} store_rows=${store.size} " +
+          s"mismatches=${store.zipAll(mem, null, null)
+            .count { case (a, b) => a != b }}")
+    }
+
     Seq(q31, q32, q44, q46, q49, q119, q126, q128, q176, q177, q178,
-      q187, q188, q189, q195, q199, q202, q205)
+      q187, q188, q189, q195, q199, q202, q205, q206)
   }
 
   /** Planted-recovery + exact-rescore check for the compressed-scan ANN

@@ -173,6 +173,7 @@ object IndexStore {
       case "ivf"   => Seq(col(idCol), col("list"))
       case "ivfpq" => Seq(col(idCol), col("list"), col("codes"))
       case "bm25"  => Seq(col(idCol), col("dl"), col("term"), col("tf"))
+      case "sig"   => Seq(col(idCol), col("__sh"), col("__sig"))
       case other   => sys.error(s"appendCodes: unknown store kind '$other' in $dir")
     }
     // distinct: bm25 postings carry many rows per id — the guard only
@@ -230,6 +231,42 @@ object IndexStore {
     require(meta.get("kind").contains("bm25"),
       s"$dir is not a BM25 store (kind=${meta.get("kind")})")
     spark.read.parquet(s"$dir/codes.parquet")
+  }
+
+  /** Persist a MinHash SIGNATURE relation — the near-dup admission
+    * loop's standing-corpus artifact ([[Dedup.sigRelation]] output:
+    * `idCol`, `__sh` sorted distinct shingle hashes, `__sig` MinHash
+    * signature). At 100 TB the corpus sketch IS the dominant admission
+    * cost; persisting it turns the loop resumable — a new ingestion
+    * job loads the store, sketches only its arriving batches, and
+    * APPENDS admitted signatures through [[appendCodes]]
+    * ([[Dedup.nearDupAdmitLoopFromStore]] is the consumer). The sketch
+    * GEOMETRY (shingleWords, numHashes) rides the meta so every later
+    * batch provably sketches with the same parameters as the persisted
+    * corpus — mixed-geometry signatures would silently band-join
+    * garbage.
+    */
+  def saveSig(spark: SparkSession, dir: String, sigs: DataFrame,
+      idCol: String, shingleWords: Int, numHashes: Int): Unit = {
+    requireStorableId(idCol)
+    new java.io.File(dir).mkdirs()
+    sigs.select(col(idCol), col("__sh"), col("__sig"))
+      .write.mode("overwrite").parquet(s"$dir/codes.parquet")
+    writeMeta(dir, s"""{"kind": "sig", "shingleWords": $shingleWords, """ +
+      s""""numHashes": $numHashes, "idCol": "$idCol"}""")
+  }
+
+  /** Load a signature store: (shingleWords, numHashes, idCol, sigs).
+    * The relation is the parquet scan — re-opening the store after an
+    * append sees the appended files.
+    */
+  def loadSig(spark: SparkSession,
+      dir: String): (Int, Int, String, DataFrame) = {
+    val meta = readMeta(dir)
+    require(meta.get("kind").contains("sig"),
+      s"$dir is not a sig store (kind=${meta.get("kind")})")
+    (meta("shingleWords").toInt, meta("numHashes").toInt, meta("idCol"),
+      spark.read.parquet(s"$dir/codes.parquet"))
   }
 
   /** Persist an IVF-PQ composite: coarse centroids, residual PQ books,
