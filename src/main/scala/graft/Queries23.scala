@@ -32,7 +32,7 @@ object Queries23 {
   // lowercase-safe; if a testdata regen ever carries such bytes, the
   // gate flips HERE, not in the scorer — normalize tokens with an
   // engine-neutral charset filter before re-litigating BM25 math.
-  private def tokenized(s: SparkSession, dir: String): DataFrame =
+  private[graft] def tokenized(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
       .filter(length(trim(col("text"))) > 0)
       .select(col("doc_id").as("id"),

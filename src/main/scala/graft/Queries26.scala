@@ -64,10 +64,38 @@ object Queries26 {
       .orderBy(col("batch"), col("id"))
   }
 
-  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q206_neardup_sig_store" -> q206_neardup_sig_store _)
+  /** q197's exact contract served from the persisted q201 store
+    * through the MAX-SCORE pruned sparse path — FORCED, not
+    * auto-routed (r15 verdict #5: the catalog corpora always route
+    * dense because their vocabulary fits the cap after df-pruning, so
+    * the pruned sparse engine path — the one a 100 TB sparse-vocab
+    * corpus would serve through — sat only under bit-equality specs
+    * and the ProbeBm25Sparse measurement, never under a DuckDB
+    * oracle). Oracle: q197's SQL verbatim; a green row proves the
+    * FP-interval pruning + exact refold reproduces the exhaustive
+    * recomputation from the raw table, hash-for-hash.
+    */
+  def q207_bm25_maxscore_store(s: SparkSession, dir: String): DataFrame = {
+    val store = Queries23.bm25Store(s, dir)
+    val panel = Queries23.tokenized(s, dir)
+      .filter(col("id") % 40 === 0 && col("id") < 2000)
+      .select(col("id").as("qid"), array_distinct(col("toks")).as("qterms"))
+    graft.operators.Retrieval.bm25TopKFromPostingsMaxScore(
+        IndexStore.loadBm25(s, store), "id",
+        panel, "qid", "qterms", k = 10, excludeSelf = true,
+        assumeStable = true) // store postings ARE the file-backed scan
+      .select(col("query_id"), col("match_id"),
+        round(col("score"), 9).as("bm25"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
 
-  // verdicts are store-invariant: the q204 replay IS the q206 oracle
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q206_neardup_sig_store" -> q206_neardup_sig_store _,
+    "q207_bm25_maxscore_store" -> q207_bm25_maxscore_store _)
+
+  // verdicts are store-invariant: the q204 replay IS the q206 oracle;
+  // max-score is bit-equal to unpruned: q197's replay IS the q207 oracle
   val oracles: Map[String, String] = Map(
-    "q206_neardup_sig_store" -> Queries25.oracles("q204_neardup_ingest"))
+    "q206_neardup_sig_store" -> Queries25.oracles("q204_neardup_ingest"),
+    "q207_bm25_maxscore_store" -> Queries23.oracles("q197_bm25_topk"))
 }

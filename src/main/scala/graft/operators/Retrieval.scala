@@ -167,9 +167,10 @@ object Retrieval {
       queries: DataFrame, qidCol: String, qtermsCol: String,
       k: Int, k1: Double = 1.2, b: Double = 0.75,
       excludeSelf: Boolean = false,
-      maxDfFrac: Double = 1.0): DataFrame = {
+      maxDfFrac: Double = 1.0,
+      assumeStable: Boolean = false): DataFrame = {
     bm25Validate(k, k1, b, maxDfFrac)
-    val p = bm25Prep(postings, idCol, maxDfFrac, stable = false)
+    val p = bm25Prep(postings, idCol, maxDfFrac, stable = assumeStable)
     val qub = bm25Qub(p, queries, qidCol, qtermsCol)
     bm25MaxScoreFinish(p, qub, bm25Contrib(p, qub, k1, b, excludeSelf),
       k, k1, b)
