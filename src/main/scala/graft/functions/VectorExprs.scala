@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.call_function
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType}
 
 /** Native Catalyst expressions for embedding math.
   *
@@ -524,6 +524,121 @@ object VectorExprs {
       copy(left = newLeft, right = newRight)
   }
 
+  /** ivf2_lists(vec, supFlat, childFlat, nsup, kSup, kChild) →
+    * array<int>: TWO-LEVEL IVF probe-list selection in one kernel —
+    * the coarse-quantizer shape past the flat-nlist compute ceiling
+    * (r15 verdict #4; FAISS's IVF-with-HNSW-coarse idea in its
+    * simplest exact form). Ranks the `nsup` superclusters by the same
+    * d² surrogate as [[AffineMap]]-based flat assignment
+    * (`|c|² − 2·v·c`, ties → lower id), takes the best `kSup`; within
+    * each, ranks that supercluster's children and takes `kChild`.
+    * Emits global list ids `s·childrenPerSup + c` in (sup rank, child
+    * rank) order — `kSup = kChild = 1` is the ASSIGNMENT, larger
+    * values the query-side multiprobe. Cost is O((nsup +
+    * kSup·childrenPerSup)·dim) per row — at nsup = childrenPerSup =
+    * √nlist an assignment costs 2·√nlist dots instead of nlist
+    * (4096 → 128, the 32× that makes a 20M-row corpus build
+    * tractable). Matrices ride as primitive flat arrays (the PqAdc
+    * convention); malformed vectors (short / null slot) yield null.
+    */
+  case class Ivf2Lists(child: Expression, supFlat: Array[Double],
+      childFlat: Array[Double], nsup: Int, kSup: Int, kChild: Int)
+      extends UnaryExpression
+      with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    require(nsup > 0 && supFlat.length % nsup == 0,
+      s"ivf2_lists: supFlat length ${supFlat.length} not divisible by $nsup")
+    override def prettyName: String = "ivf2_lists"
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def nullable: Boolean = true
+    private def elemType: DataType =
+      child.dataType.asInstanceOf[ArrayType].elementType
+
+    @transient private lazy val dim = supFlat.length / nsup
+    @transient private lazy val cps = {
+      require(childFlat.length % (nsup * dim) == 0,
+        s"ivf2_lists: childFlat length ${childFlat.length} not divisible " +
+          s"by nsup*dim = ${nsup * dim}")
+      childFlat.length / (nsup * dim)
+    }
+    @transient private lazy val supHalf: Array[Double] =
+      Array.tabulate(nsup) { s =>
+        var h = 0.0; var j = 0
+        while (j < dim) { val x = supFlat(s * dim + j); h += x * x; j += 1 }
+        h
+      }
+    @transient private lazy val childHalf: Array[Double] =
+      Array.tabulate(nsup * cps) { i =>
+        var h = 0.0; var j = 0
+        while (j < dim) { val x = childFlat(i * dim + j); h += x * x; j += 1 }
+        h
+      }
+
+    // ascending-(score, id) top-k indices over scores — matches the
+    // flat assignK array_sort(struct(d, i)) tie order
+    private def topK(scores: Array[Double], k: Int): Array[Int] = {
+      val n = scores.length
+      val kk = math.min(k, n)
+      val taken = new Array[Boolean](n)
+      val out = new Array[Int](kk)
+      var r = 0
+      while (r < kk) {
+        var best = -1; var bestD = Double.MaxValue
+        var i = 0
+        while (i < n) {
+          if (!taken(i) && scores(i) < bestD) { best = i; bestD = scores(i) }
+          i += 1
+        }
+        taken(best) = true; out(r) = best; r += 1
+      }
+      out
+    }
+
+    override def nullSafeEval(input: Any): Any = {
+      val x = input.asInstanceOf[ArrayData]
+      if (x.numElements() < dim) return null
+      val v = new Array[Double](dim)
+      var j = 0
+      while (j < dim) {
+        if (x.isNullAt(j)) return null
+        v(j) = elemEval(x, elemType, j); j += 1
+      }
+      val supScores = new Array[Double](nsup)
+      var s = 0
+      while (s < nsup) {
+        var d = 0.0; var k = 0; val off = s * dim
+        while (k < dim) { d += supFlat(off + k) * v(k); k += 1 }
+        supScores(s) = supHalf(s) - 2.0 * d
+        s += 1
+      }
+      val sups = topK(supScores, kSup)
+      val out = new Array[Int](sups.length * math.min(kChild, cps))
+      var o = 0
+      var si = 0
+      while (si < sups.length) {
+        val sup = sups(si)
+        val childScores = new Array[Double](cps)
+        var c = 0
+        while (c < cps) {
+          val li = sup * cps + c
+          var d = 0.0; var k = 0; val off = li * dim
+          while (k < dim) { d += childFlat(off + k) * v(k); k += 1 }
+          childScores(c) = childHalf(li) - 2.0 * d
+          c += 1
+        }
+        val kids = topK(childScores, kChild)
+        var ci = 0
+        while (ci < kids.length) {
+          out(o) = sup * cps + kids(ci); o += 1; ci += 1
+        }
+        si += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   // registered once per session (WeakHashMap so dropped sessions release);
   // the per-call createOrReplaceTempFunction churn spammed "replaced a
   // previously registered function" warnings and re-built FunctionBuilders
@@ -567,7 +682,25 @@ object VectorExprs {
         "pq_adc", exprs => PqAdc(exprs(0), exprs(1),
           exprs(2).eval().asInstanceOf[ArrayData].toDoubleArray(),
           exprs(3).eval().asInstanceOf[Number].intValue()), "built-in")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "ivf2_lists", exprs => {
+          def intLit(e: Expression): Int =
+            e.eval().asInstanceOf[Number].intValue()
+          Ivf2Lists(exprs(0),
+            exprs(1).eval().asInstanceOf[ArrayData].toDoubleArray(),
+            exprs(2).eval().asInstanceOf[ArrayData].toDoubleArray(),
+            intLit(exprs(3)), intLit(exprs(4)), intLit(exprs(5)))
+        }, "built-in")
     }
+  }
+
+  def ivf2_lists(vec: Column, supFlat: Array[Double],
+      childFlat: Array[Double], nsup: Int, kSup: Int,
+      kChild: Int): Column = {
+    ensureRegistered()
+    import org.apache.spark.sql.functions.lit
+    call_function("ivf2_lists", vec, lit(supFlat), lit(childFlat),
+      lit(nsup), lit(kSup), lit(kChild))
   }
 
   def bitset_pack(indices: Column): Column = {

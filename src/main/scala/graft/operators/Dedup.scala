@@ -102,11 +102,13 @@ object Dedup {
   def lshCandidates(
       sig: DataFrame, idCol: String,
       bands: Int, rowsPerBand: Int): DataFrame = {
-    val bandHashes = (0 until bands).map { j =>
-      xxhash64(slice(col("sig"), j * rowsPerBand + 1, rowsPerBand))
-    }
+    // one-kernel band derivation (SketchExprs.BandHashes, value-equal
+    // to the per-band xxhash64(slice(...)) columns it replaced — that
+    // form paid `bands` boxed slice copies per row, 13.4 s of a 21 s
+    // admission step at 495k docs)
     val banded = sig.select(col(idCol),
-      posexplode(array(bandHashes: _*)).as(Seq("__band", "__bh")))
+      posexplode(graft.functions.SketchExprs.band_hashes(
+        col("sig"), bands, rowsPerBand)).as(Seq("__band", "__bh")))
     val l = banded.select(col(idCol).as("id_a"), col("__band"), col("__bh"))
     val r = banded.select(col(idCol).as("id_b"), col("__band"), col("__bh"))
     l.join(r, Seq("__band", "__bh"))
@@ -200,14 +202,14 @@ object Dedup {
       .localCheckpoint(eager = true,
         org.apache.spark.storage.StorageLevel.DISK_ONLY)
 
-  /** Explode a [[sigPrep]] relation to its (id, band, bandHash) keys. */
+  /** Explode a [[sigPrep]] relation to its (id, band, bandHash) keys
+    * (one-kernel derivation — see [[lshCandidates]]).
+    */
   private def sigBands(df: DataFrame, id: String, bands: Int,
-      rowsPerBand: Int): DataFrame = {
-    val bandHashes = (0 until bands).map(j =>
-      xxhash64(slice(col("__sig"), j * rowsPerBand + 1, rowsPerBand)))
+      rowsPerBand: Int): DataFrame =
     df.select(col(id),
-      posexplode(array(bandHashes: _*)).as(Seq("__band", "__bh")))
-  }
+      posexplode(graft.functions.SketchExprs.band_hashes(
+        col("__sig"), bands, rowsPerBand)).as(Seq("__band", "__bh")))
 
   /** Exact sorted-merge Jaccard verification of (id_a, id_b) candidates
     * against two [[sigPrep]] relations; keeps pairs with

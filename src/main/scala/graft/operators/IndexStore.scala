@@ -174,6 +174,7 @@ object IndexStore {
       case "ivfpq" => Seq(col(idCol), col("list"), col("codes"))
       case "bm25"  => Seq(col(idCol), col("dl"), col("term"), col("tf"))
       case "sig"   => Seq(col(idCol), col("__sh"), col("__sig"))
+      case "ivf2"  => Seq(col(idCol), col("list"))
       case other   => sys.error(s"appendCodes: unknown store kind '$other' in $dir")
     }
     // distinct: bm25 postings carry many rows per id — the guard only
@@ -231,6 +232,47 @@ object IndexStore {
     require(meta.get("kind").contains("bm25"),
       s"$dir is not a BM25 store (kind=${meta.get("kind")})")
     spark.read.parquet(s"$dir/codes.parquet")
+  }
+
+  /** Persist a TWO-LEVEL IVF index ([[Similarity.IvfIndex2]]): sup
+    * centroids, child books (one book row-group per supercluster) and
+    * the corpus assignment (`idCol`, `list` — the [[Similarity
+    * .ivf2Assign]] output, global list ids `s·childrenPerSup + c`).
+    * The stored (kSup, kChild) is the measured serving geometry, the
+    * [[saveIvf]] nprobe convention.
+    */
+  def saveIvf2(spark: SparkSession, dir: String,
+      index: Similarity.IvfIndex2, assigned: DataFrame, idCol: String,
+      kSup: Int, kChild: Int): Unit = {
+    requireStorableId(idCol)
+    new java.io.File(dir).mkdirs()
+    writeBooks(spark, s"$dir/coarse_centroids.parquet",
+      Array(index.sup))
+    writeBooks(spark, s"$dir/child_centroids.parquet",
+      Array.tabulate(index.nsup)(s => index.children.slice(
+        s * index.childrenPerSup, (s + 1) * index.childrenPerSup)))
+    assigned.select(col(idCol), col("list"))
+      .write.mode("overwrite").parquet(s"$dir/codes.parquet")
+    writeMeta(dir, s"""{"kind": "ivf2", "nsup": ${index.nsup}, """ +
+      s""""childrenPerSup": ${index.childrenPerSup}, """ +
+      s""""kSup": $kSup, "kChild": $kChild, "idCol": "$idCol"}""")
+  }
+
+  /** Load a two-level IVF store: (index, kSup, kChild, assignment). */
+  def loadIvf2(spark: SparkSession,
+      dir: String): (Similarity.IvfIndex2, Int, Int, DataFrame) = {
+    val meta = readMeta(dir)
+    require(meta.get("kind").contains("ivf2"),
+      s"$dir is not an ivf2 store (kind=${meta.get("kind")})")
+    val sup = readBooks(spark, s"$dir/coarse_centroids.parquet").head
+    val childBooks = readBooks(spark, s"$dir/child_centroids.parquet")
+    val idx = Similarity.IvfIndex2(sup, childBooks.flatten)
+    require(idx.nsup == meta("nsup").toInt &&
+        idx.childrenPerSup == meta("childrenPerSup").toInt,
+      s"ivf2 shape ${idx.nsup}x${idx.childrenPerSup} != meta " +
+        s"${meta("nsup")}x${meta("childrenPerSup")}")
+    (idx, meta("kSup").toInt, meta("kChild").toInt,
+      spark.read.parquet(s"$dir/codes.parquet"))
   }
 
   /** Persist a MinHash SIGNATURE relation — the near-dup admission

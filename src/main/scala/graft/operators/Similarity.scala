@@ -573,6 +573,15 @@ object Similarity {
         .map(_.getSeq[Number](0).map(_.doubleValue()).toArray)
       require(sample.length >= nlist,
         s"need at least nlist=$nlist sample vectors, got ${sample.length}")
+      IvfIndex(lloydArrays(sample, nlist, seed, maxIter))
+    }
+
+    /** The driver-side k-means++ + Lloyd core behind [[train]], over an
+      * in-memory sample — shared with the per-supercluster child books
+      * of [[Similarity.IvfIndex2]].
+      */
+    private[operators] def lloydArrays(sample: Array[Array[Double]],
+        nlist: Int, seed: Long, maxIter: Int): Array[Array[Double]] = {
       val dim = sample.head.length
       val rnd = new java.util.SplittableRandom(seed)
 
@@ -635,7 +644,7 @@ object Similarity {
         }
         iter += 1
       }
-      IvfIndex(centers)
+      centers
     }
 
     // train-once cache: repeated queries against the same corpus reuse the
@@ -878,6 +887,140 @@ object Similarity {
     corpus
       .filter(vec_l2norm(col(vecCol)) > 0)
       .select(col(idCol), index.assignAuto(col(vecCol), 1)(0).as("list"))
+
+  // ------------------------------------------------------- two-level IVF
+
+  /** TWO-LEVEL IVF coarse quantizer — the BUILD path past the flat
+    * [[IvfInlineCorpusCap]] (r15 verdict #4): √n at 20M rows is
+    * nlist ≈ 4500, and the flat corpus assignment is O(n·nlist·dim) —
+    * extrapolating the r14 measured AffineMap rate, hours on 32 cores
+    * for a single build pass. The classical fix (FAISS residual/HNSW
+    * coarse families) is hierarchy: `nsup` superclusters, each with
+    * `childrenPerSup` children; an assignment ranks nsup sups then one
+    * sup's children — O((nsup + childrenPerSup)·dim) per row, a
+    * √nlist-factor saving (4096 → 128 dots at 64×64) that makes the
+    * q195-style persisted-assignment store BUILDABLE at the scales its
+    * contract routes here. `children` is flat-indexed
+    * (`s·childrenPerSup + c` — the global list id).
+    *
+    * The partition differs from flat k-means-4096 (a vector whose
+    * nearest flat centroid sits across a supercluster boundary lands
+    * elsewhere), so recall at a matched probed-corpus fraction is the
+    * thing to MEASURE, not assume — ProbeIvf2 rows in PLANS.md.
+    */
+  final case class IvfIndex2(sup: Array[Array[Double]],
+      children: Array[Array[Double]]) {
+    require(children.length % sup.length == 0,
+      s"children ${children.length} not divisible by nsup ${sup.length}")
+    def nsup: Int = sup.length
+    def childrenPerSup: Int = children.length / sup.length
+    def nlist: Int = children.length
+    @transient private lazy val supFlat: Array[Double] = sup.flatten
+    @transient private lazy val childFlat: Array[Double] = children.flatten
+
+    /** Probe lists (kSup × kChild global list ids, best-first);
+      * `(1, 1)` is the assignment. One kernel call
+      * ([[graft.functions.VectorExprs.Ivf2Lists]]).
+      */
+    def lists(vec: Column, kSup: Int, kChild: Int): Column =
+      graft.functions.VectorExprs.ivf2_lists(vec, supFlat, childFlat,
+        nsup, kSup, kChild)
+  }
+
+  object IvfIndex2 {
+    /** Train the hierarchy: level 1 on the [[IvfIndex.train]] driver
+      * sample; level 2 per supercluster over a STRATIFIED corpus
+      * sample (deterministic hash filter → sup-assigned → capped at
+      * `samplePerSup` per cell → one driver collect of ≤
+      * nsup·samplePerSup vectors, Lloyd per cell on the driver).
+      * A cell with fewer than `childrenPerSup` sample vectors keeps
+      * its samples as children padded with the sup centroid —
+      * harmless dead lists, uniform childrenPerSup.
+      */
+    def train(corpus: DataFrame, idCol: String, vecCol: String,
+        nsup: Int = 64, childrenPerSup: Int = 64,
+        samplePerSup: Int = 2048, seed: Long = 42L): IvfIndex2 = {
+      val supIdx = IvfIndex.train(corpus, vecCol, nsup, seed)
+      val dim = supIdx.centroids.head.length
+      val n = corpus.count()
+      val p = math.max(1L, n / math.max(1L, 2L * nsup * samplePerSup))
+      val samp = corpus
+        .filter(vec_l2norm(col(vecCol)) > 0)
+        .filter(pmod(xxhash64(col(idCol)), lit(p)) === 0)
+        .select(col(idCol).as("__id"), col(vecCol).as("__v"),
+          supIdx.assignAuto(col(vecCol), 1)(0).as("__s"))
+        .withColumn("__rn", row_number().over(
+          Window.partitionBy(col("__s")).orderBy(col("__id"))))
+        .filter(col("__rn") <= samplePerSup)
+        .select(col("__s"), col("__v"))
+        .collect()
+      val bySup = samp.groupBy(_.getInt(0)).map { case (s, rows) =>
+        s -> rows.map(_.getSeq[Number](1).map(_.doubleValue()).toArray)
+      }
+      val children = new Array[Array[Double]](nsup * childrenPerSup)
+      var s = 0
+      while (s < nsup) {
+        val cell = bySup.getOrElse(s, Array.empty[Array[Double]])
+        val centers =
+          if (cell.length >= childrenPerSup)
+            IvfIndex.lloydArrays(cell, childrenPerSup, seed + s, 8)
+          else Array.tabulate(childrenPerSup) { c =>
+            if (c < cell.length) cell(c).clone()
+            else supIdx.centroids(s).clone()
+          }
+        var c = 0
+        while (c < childrenPerSup) {
+          children(s * childrenPerSup + c) = centers(c); c += 1
+        }
+        s += 1
+      }
+      require(children.forall(c => c != null && c.length == dim),
+        "ivf2 training produced a malformed child book")
+      IvfIndex2(supIdx.centroids, children)
+    }
+  }
+
+  /** [[ivfAssign]] for a two-level index — the tractable build pass.
+    */
+  def ivf2Assign(corpus: DataFrame, idCol: String, vecCol: String,
+      index: IvfIndex2): DataFrame =
+    corpus
+      .filter(vec_l2norm(col(vecCol)) > 0)
+      .select(col(idCol),
+        element_at(index.lists(col(vecCol), 1, 1), 1).as("list"))
+      .filter(col("list").isNotNull)
+
+  /** [[ivfTopK]]'s persisted-assignment serving shape for a two-level
+    * index: queries multiprobe `kSup × kChild` lists; the corpus scan
+    * joins its STORED list ids — no inline corpus assignment ever.
+    * Probed corpus fraction ≈ (kSup/nsup)·(kChild/childrenPerSup) at
+    * uniform occupancy; match it to the flat geometry's nprobe/nlist
+    * when comparing recall.
+    */
+  def ivf2TopK(
+      queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      index: IvfIndex2, assigned: DataFrame,
+      kSup: Int, kChild: Int): DataFrame = {
+    val bucketedCorpus = corpus.select(col(idCol).as("match_id"),
+        col(vecCol).as("__cv"), vec_l2norm(col(vecCol)).as("__cn"))
+      .filter(col("__cn") > 0)
+      .join(assigned.select(col(idCol).as("match_id"),
+        col("list").as("__list")), "match_id")
+    val probes = queries.select(col(idCol).as("query_id"),
+        col(vecCol).as("__qv"),
+        explode(index.lists(col(vecCol), kSup, kChild)).as("__list"),
+        vec_l2norm(col(vecCol)).as("__qn"))
+      .filter(col("__qn") > 0)
+    val scored = bucketedCorpus.join(broadcast(probes), Seq("__list"))
+      .filter(col("match_id") =!= col("query_id"))
+      .select(col("query_id"), col("match_id"),
+        (vec_dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")))
+          .as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("match_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
 
   /** Bucketed ANN top-k: corpus bucketed by LSH signature; each query
     * probes only its own bucket. Returns (query_id, match_id, cos, rank)

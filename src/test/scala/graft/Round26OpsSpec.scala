@@ -113,6 +113,33 @@ class Round26OpsSpec extends SparkSpec {
     assert(storedIds == resident.map(_._1).toSet ++ kept)
   }
 
+  test("band_hashes kernel is value-identical to the per-band " +
+      "xxhash64(slice(...)) columns it replaced") {
+    val rnd = new java.util.SplittableRandom(3L)
+    val sigs = (0L until 200L).map(id =>
+      (id, Array.fill(128)(rnd.nextLong()).toSeq)).toDF("id", "sig")
+    val bands = 64; val rpb = 2
+    val legacy = sigs.select(col("id"),
+      posexplode(array((0 until bands).map(j =>
+        xxhash64(slice(col("sig"), j * rpb + 1, rpb))): _*))
+        .as(Seq("band", "bh")))
+    val kernel = sigs.select(col("id"),
+      posexplode(graft.functions.SketchExprs.band_hashes(
+        col("sig"), bands, rpb)).as(Seq("band", "bh")))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+        .sortBy(t => (t._1, t._2)).toSeq
+    assert(rows(kernel) == rows(legacy))
+    // uneven tail geometry too (bands*rpb > sig length)
+    val legacyTail = sigs.select(
+      xxhash64(slice(col("sig"), 127, 3)).as("bh"))
+    val kernelTail = sigs.select(
+      element_at(graft.functions.SketchExprs.band_hashes(
+        col("sig"), 43, 3), 43).as("bh"))
+    assert(kernelTail.collect().map(_.getLong(0)).toSeq ==
+      legacyTail.collect().map(_.getLong(0)).toSeq)
+  }
+
   test("StableStores builds once per fingerprint, rebuilds on " +
       "fingerprint change, and publishes atomically") {
     val src = tmpDir("graft_stable_src")
