@@ -89,9 +89,62 @@ object Queries26 {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Two-level IVF geometry for a catalog corpus: nsup =
+    * childrenPerSup = clamp(2, 64, round(n^¼)) (so nlist ≈ √n, the
+    * flat scaled rule, split across two levels), probing ~1/8 of the
+    * lists (kSup ≈ nsup/2, kChild ≈ childrenPerSup/4 — the flat
+    * nprobe = nlist/8 fraction).
+    */
+  private[graft] def ivf2Geometry(n: Long): (Int, Int, Int) = {
+    val side = math.max(2, math.min(64,
+      math.round(math.pow(math.max(1L, n).toDouble, 0.25)).toInt))
+    (side, math.max(1, math.round(side / 2.0).toInt),
+      math.max(1, math.round(side / 4.0).toInt))
+  }
+
+  /** TWO-LEVEL IVF ANN served from a persisted store (r15 verdict #4's
+    * serving half): the [[graft.operators.Similarity.IvfIndex2]]
+    * hierarchy makes the store BUILD tractable past the flat-nlist
+    * compute ceiling (assignment is O((nsup+childrenPerSup)·dim) per
+    * row — ProbeIvf2 measured the 20M×(64×64) build; PLANS.md), and
+    * this query runs its q195-shape serving path in-catalog: store
+    * built once over the planted corpus ([[StableStores]],
+    * fingerprinted on embeddings.parquet), panel multiprobes
+    * kSup×kChild lists against the STORED assignment. Rows-only
+    * (k-means books aren't DuckDB-reproducible); the Verify assertion
+    * is the q176 contract — every planted query recovers its jittered
+    * copy and every emitted cosine equals the raw recomputation.
+    */
+  def q208_ivf2_store_topk(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Similarity
+    val base = Tables(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val corpus = QueryFixtures.plantedEmbeddings(base)
+    val canonical = new java.io.File(dir).getCanonicalPath
+    val fp = StableStores.fingerprint(s"$canonical/embeddings.parquet")
+    val out = StableStores.buildOnce("ivf2", canonical, fp) { tmp =>
+      val n = corpus.count()
+      val (side, kSup, kChild) = ivf2Geometry(n)
+      val idx = Similarity.IvfIndex2.train(corpus, "vec_id", "e",
+        nsup = side, childrenPerSup = side)
+      IndexStore.saveIvf2(s, s"$tmp/store", idx,
+        Similarity.ivf2Assign(corpus, "vec_id", "e", idx),
+        "vec_id", kSup, kChild)
+    }
+    val (idx, kSup, kChild, assigned) = IndexStore.loadIvf2(s, s"$out/store")
+    val queries = corpus.filter(col("vec_id") % 10 === 0 &&
+      col("vec_id") < 500)
+    Similarity.ivf2TopK(queries, corpus, "vec_id", "e", k = 5,
+        idx, assigned, kSup, kChild)
+      .select(col("query_id"), col("match_id"),
+        round(col("cos"), 6).as("cos"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q206_neardup_sig_store" -> q206_neardup_sig_store _,
-    "q207_bm25_maxscore_store" -> q207_bm25_maxscore_store _)
+    "q207_bm25_maxscore_store" -> q207_bm25_maxscore_store _,
+    "q208_ivf2_store_topk" -> q208_ivf2_store_topk _)
 
   // verdicts are store-invariant: the q204 replay IS the q206 oracle;
   // max-score is bit-equal to unpruned: q197's replay IS the q207 oracle

@@ -519,8 +519,14 @@ object VerifyAssertions {
             .count { case (a, b) => a != b }}")
     }
 
+    // q208 serves through the two-level IVF store (the build path past
+    // the flat-nlist compute ceiling) — same planted contract as
+    // q176/q177: recover every jittered twin, every cosine exact.
+    val q208 = plantedAnnCheck(spark, sfDir, "q208_ivf2_store_topk",
+      "ivf2_store_planted_recovery_and_exact_rescore")
+
     Seq(q31, q32, q44, q46, q49, q119, q126, q128, q176, q177, q178,
-      q187, q188, q189, q195, q199, q202, q205, q206)
+      q187, q188, q189, q195, q199, q202, q205, q206, q208)
   }
 
   /** Planted-recovery + exact-rescore check for the compressed-scan ANN
