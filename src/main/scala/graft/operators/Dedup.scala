@@ -1082,9 +1082,12 @@ object Dedup {
     * shingled and signed ONCE and each batch's already-computed
     * signatures UNION into the corpus signature relation on commit —
     * k batches cost 1 corpus sketch + k batch sketches, not k corpus
-    * sketches (at 100 TB the corpus sketch IS the dominant cost, and a
-    * real loop would persist the signature relation beside the index
-    * store exactly like [[graft.operators.IndexStore]] persists codes).
+    * sketches (at 100 TB the corpus sketch IS the dominant cost; the
+    * PERSISTED form of that idea — signatures saved as an
+    * [[graft.operators.IndexStore]] `sig` store, loaded and appended
+    * across PROCESSES — is [[nearDupAdmitLoopFromStore]], the q206
+    * path; this in-memory form remains the single-session twin the
+    * Verify gate compares it against).
     * Band joins stay candidate-proportional per batch; the commit is a
     * batch-sized anti-join, never a corpus re-scan. Spec-pinned equal
     * to the re-sketching formulation (k sequential incrementalNearDup
