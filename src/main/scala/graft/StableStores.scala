@@ -28,11 +28,26 @@ object StableStores {
   private val ready =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
+  /** Build-code version token folded into every fingerprint: the
+    * source-data digest alone can't see a CHANGED BUILD PATH (sketch
+    * geometry, store layout, admission policy), so without this a
+    * /tmp artifact built by older code would be silently served until
+    * /tmp is cleared — Verify's oracle catches verdict drift for the
+    * oracled stores, but rows-only stores (q208) and Bench have no
+    * oracle. Bump whenever any [[buildOnce]] build body or the
+    * geometry feeding it changes.
+    */
+  val CodeVersion: String = "graft-stores-v17"
+
   /** Fingerprint of the source files an artifact derives from: md5
-    * over the sorted recursive (name, length, mtime) listing.
+    * over [[CodeVersion]] + the sorted recursive (name, length, mtime)
+    * listing. A MISSING source path fails loudly — silently hashing
+    * nothing would make a typo'd/moved source validate forever.
     */
   def fingerprint(paths: String*): String = {
     val md = java.security.MessageDigest.getInstance("MD5")
+    md.update(s"$CodeVersion\n".getBytes(
+      java.nio.charset.StandardCharsets.UTF_8))
     def add(f: java.io.File): Unit =
       if (f.isDirectory)
         Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
@@ -40,7 +55,13 @@ object StableStores {
       else
         md.update(s"${f.getName}:${f.length}:${f.lastModified}\n".getBytes(
           java.nio.charset.StandardCharsets.UTF_8))
-    paths.foreach(p => add(new java.io.File(p)))
+    paths.foreach { p =>
+      val f = new java.io.File(p)
+      require(f.exists(),
+        s"StableStores.fingerprint: source path does not exist: $p " +
+          "(a missing source must fail the build, not validate it)")
+      add(f)
+    }
     md.digest().map(b => f"$b%02x").mkString
   }
 
@@ -61,27 +82,35 @@ object StableStores {
       if (ready.contains(s"$dir|$fp")) return dir
       if (!valid(dir, fp)) {
         val t0 = System.nanoTime()
+        // sweep private build dirs abandoned by crashed processes (their
+        // shutdown never ran; store-sized parquet orphans are the q93
+        // disk-full class) — any live builder of this dir holds the same
+        // process-wide lock, so siblings here are always dead
+        val parent = new java.io.File(dir).getParentFile
+        val base = new java.io.File(dir).getName + ".build."
+        Option(parent.listFiles()).getOrElse(Array.empty[java.io.File])
+          .filter(_.getName.startsWith(base)).foreach(deleteRec)
         val tmp = new java.io.File(s"$dir.build.${
           ProcessHandle.current().pid()}")
-        deleteRec(tmp)
         tmp.mkdirs(): Unit
-        build(tmp.getPath)
-        java.nio.file.Files.writeString(
-          tmp.toPath.resolve("_FINGERPRINT"), fp): Unit
-        deleteRec(new java.io.File(dir))
-        try
-          java.nio.file.Files.move(tmp.toPath,
-            java.nio.file.Paths.get(dir)): Unit
-        catch {
-          case _: java.nio.file.FileAlreadyExistsException |
-              _: java.nio.file.DirectoryNotEmptyException =>
-            // another process published between our delete and move —
-            // accept its artifact iff it matches our inputs
-            deleteRec(tmp)
-            require(valid(dir, fp),
-              s"concurrent publication of $dir has a different " +
-                "fingerprint — inputs changed mid-build; rerun")
-        }
+        try {
+          build(tmp.getPath)
+          java.nio.file.Files.writeString(
+            tmp.toPath.resolve("_FINGERPRINT"), fp): Unit
+          deleteRec(new java.io.File(dir))
+          try
+            java.nio.file.Files.move(tmp.toPath,
+              java.nio.file.Paths.get(dir)): Unit
+          catch {
+            case _: java.nio.file.FileAlreadyExistsException |
+                _: java.nio.file.DirectoryNotEmptyException =>
+              // another process published between our delete and move —
+              // accept its artifact iff it matches our inputs
+              require(valid(dir, fp),
+                s"concurrent publication of $dir has a different " +
+                  "fingerprint — inputs changed mid-build; rerun")
+          }
+        } finally deleteRec(tmp) // no-op after a successful rename
         BuildTimes.record(name, (System.nanoTime() - t0) / 1e9)
       }
       ready.add(s"$dir|$fp"): Unit

@@ -499,17 +499,30 @@ object VerifyAssertions {
 
     // q206 is fully ORACLED by the same exhaustive replay as q204; this
     // check additionally pins the two ENGINE paths against each other —
-    // the in-memory union-grown loop (q204) vs the persisted-signature-
-    // store loop (load → admit → append, store re-opened per batch) —
+    // the in-memory union-grown loop vs the persisted-signature-store
+    // loop (load → admit → append, store re-opened per batch) —
     // row-for-row at every SF (r15 verdict #1's hard gate: store-seeded
     // == in-memory, i.e. commits through DISK == commits through the
-    // session).
+    // session). The in-memory side runs FRESH here rather than reading
+    // q204's StableStores-persisted statuses (r16 ADVICE: two cached
+    // parquet files from the same earlier run would pin nothing on a
+    // resumed process) — the loop is batch-sized, so every Verify
+    // re-executes one live admission path against the stored one.
     val q206 = {
       def rows(df: DataFrame) = df.collect()
         .map(r => (r.getInt(0), r.getLong(1), r.getString(2),
           Option(r.get(3)).map(_.asInstanceOf[Long])))
         .toSeq
-      val mem = rows(Queries25.q204_neardup_ingest(spark, sfDir))
+      val mem = {
+        val (resident, batches) = Queries25.ingest2Parts(spark, sfDir)
+        val statuses = graft.operators.Dedup.nearDupAdmitLoop(
+          resident, "id", "text", batches, "id", "text", threshold = 0.5)
+        rows(statuses.zipWithIndex
+          .map { case (st, k) => st.withColumn("batch", lit(k)) }
+          .reduce(_ unionByName _)
+          .select(col("batch"), col("id"), col("status"), col("match_id"))
+          .orderBy(col("batch"), col("id")))
+      }
       val store = rows(Queries26.q206_neardup_sig_store(spark, sfDir))
       Check("neardup_store_seeded_loop_equals_in_memory_loop",
         "q206_neardup_sig_store",
@@ -525,8 +538,27 @@ object VerifyAssertions {
     val q208 = plantedAnnCheck(spark, sfDir, "q208_ivf2_store_topk",
       "ivf2_store_planted_recovery_and_exact_rescore")
 
+    // q209 pins incremental maintenance for the ivf2 kind (r16 verdict
+    // item 2 — the one store kind whose appendCodes path had no gate):
+    // a store built as resident-save + arriving-batch append (assigned
+    // with the LOADED frozen hierarchy) must serve exactly what a full
+    // inline re-assignment with the same index serves, row-for-row —
+    // the q199/q205 append==rebuild discipline.
+    val q209 = {
+      def rows(df: DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+        .toSeq
+      val served = rows(Queries27.q209_ivf2_append_topk(spark, sfDir))
+      val rebuilt = rows(Queries27.q209_rebuild(spark, sfDir))
+      Check("ivf2_append_equals_full_rebuild", "q209_ivf2_append_topk",
+        served.nonEmpty && served == rebuilt,
+        s"served_rows=${served.size} rebuilt_rows=${rebuilt.size} " +
+          s"mismatches=${served.zipAll(rebuilt, null, null)
+            .count { case (a, b) => a != b }}")
+    }
+
     Seq(q31, q32, q44, q46, q49, q119, q126, q128, q176, q177, q178,
-      q187, q188, q189, q195, q199, q202, q205, q206, q208)
+      q187, q188, q189, q195, q199, q202, q205, q206, q208, q209)
   }
 
   /** Planted-recovery + exact-rescore check for the compressed-scan ANN

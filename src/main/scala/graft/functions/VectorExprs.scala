@@ -588,6 +588,10 @@ object VectorExprs {
           if (!taken(i) && scores(i) < bestD) { best = i; bestD = scores(i) }
           i += 1
         }
+        // unreachable with the finite-input guard in nullSafeEval (all
+        // scores finite ⇒ some candidate beats MaxValue); kept so an
+        // all-NaN round can never index taken(-1)
+        if (best < 0) return java.util.Arrays.copyOf(out, r)
         taken(best) = true; out(r) = best; r += 1
       }
       out
@@ -600,7 +604,12 @@ object VectorExprs {
       var j = 0
       while (j < dim) {
         if (x.isNullAt(j)) return null
-        v(j) = elemEval(x, elemType, j); j += 1
+        v(j) = elemEval(x, elemType, j)
+        // a NaN/Infinity element makes every list score NaN, so no
+        // candidate ever wins topK's `<` and taken(-1) would throw in
+        // the executor — malformed input yields null like short/null
+        if (!java.lang.Double.isFinite(v(j))) return null
+        j += 1
       }
       val supScores = new Array[Double](nsup)
       var s = 0

@@ -78,6 +78,74 @@ object Dedup {
         coalesce(col("dup_spans"), lit(0L)).as("dup_spans"))
   }
 
+  /** Corpus-wide EXACT-SUBSTRING span dedup (the Lee et al. 2022
+    * train-set shape, arXiv:2107.06499): per doc, the text that
+    * SURVIVES removing every corpus-duplicated word span — a token
+    * position is duplicated iff it is covered by some word k-gram whose
+    * exact text occurs ≥ 2 times across the corpus (multiplicity, not
+    * distinct docs: within-doc repeats count). Returns one row per
+    * input doc: (idCol, text_dedup, total_tokens, kept_tokens);
+    * text_dedup is the surviving tokens joined by single spaces ("" if
+    * everything was removed). [[repeatedSpans]] counts this signal;
+    * this emits the deduplicated text itself.
+    *
+    * Scale shape — never a driver suffix array: gram identity is an
+    * 8-byte xxhash64 bucket (one map-side-combinable groupBy for the
+    * global frequency; ~n²/2^65 expected colliding pairs — switch to a
+    * 128-bit double-hash past ~10^12 grams); coverage is a per-doc
+    * WINDOW over token positions (a dup start s covers s..s+k-1, so
+    * position p is covered iff a dup start lies in [p-k+1, p] — max
+    * over the last k rows of the position-ordered window; positions
+    * are dense, so rows == positions); reassembly is a per-doc bounded
+    * collect_list. Every stage is doc-bounded or hash-keyed.
+    */
+  def dedupSpans(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 10): DataFrame = {
+    require(k >= 1, "dedupSpans needs k >= 1")
+    val base = PlanUtil
+      .widenIfNarrow(docs.select(col(idCol), col(textCol).as("__t")))
+      .select(col(idCol),
+        graft.functions.TextFunctions.tokensWs(col("__t")).as("__w"))
+      .localCheckpoint() // 3 consumers: grams, token explode, totals
+    // (id, start, gramHash) — start is 0-based; the n<k guard keeps the
+    // HOF range total (the winnowing sequence(1,0)-descends lesson)
+    val grams = {
+      val n = size(col("__w"))
+      base.select(col(idCol),
+          posexplode(when(n < k, array().cast("array<string>"))
+            .otherwise(transform(sequence(lit(1), n - (k - 1)),
+              i => concat_ws(" ", slice(col("__w"), i, lit(k))))))
+            .as(Seq("__s", "__g")))
+        .select(col(idCol), col("__s"), xxhash64(col("__g")).as("__h"))
+        .localCheckpoint() // 2 consumers: global freq + join back
+    }
+    val freq = grams.groupBy(col("__h")).agg(count(lit(1)).as("__c"))
+    val dupStarts = grams.join(freq.filter(col("__c") > 1), Seq("__h"))
+      .select(col(idCol), col("__s"))
+    val toks = base.select(col(idCol),
+      posexplode(col("__w")).as(Seq("__p", "__tok")))
+    val marked = toks.join(
+      dupStarts.select(col(idCol), col("__s").as("__p"), lit(1).as("__ds")),
+      Seq(idCol, "__p"), "left")
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("__p"))
+      .rowsBetween(-(k - 1).toLong, 0L)
+    val kept = marked.withColumn("__cov", max(col("__ds")).over(win))
+      .filter(col("__cov").isNull)
+    val rebuilt = kept.groupBy(col(idCol))
+      .agg(
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("__p"), col("__tok")))),
+          x => x.getField("__tok"))).as("text_dedup"),
+        count(lit(1)).as("kept_tokens"))
+    base.select(col(idCol), size(col("__w")).cast("long").as("total_tokens"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("text_dedup"), lit("")).as("text_dedup"),
+        col("total_tokens"),
+        coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"))
+  }
+
   // ---------------------------------------------------------------- minhash
 
   /** MinHash signatures: one row per doc with an array<long> `sig` column.
