@@ -137,11 +137,79 @@ object Queries27 {
         k = 8)
       .orderBy(col("id"))
 
+  // ----------------------------------------- streaming admission (q211)
+
+  private val builtAdmitStream = scala.collection.mutable.Set[String]()
+
+  /** Build-once (per process/sfDir): run q204's 3 ingest batches
+    * through [[graft.streaming.Streams.nearDupAdmitStream]] — a REAL
+    * Structured Streaming query over a file source (one staged parquet
+    * file per arriving batch, `processAllAvailable` between stages so
+    * each batch is its own trigger) admitting against a fresh persisted
+    * signature store; per-trigger verdicts land in `status/` tagged
+    * with the micro-batch id. The store is per-process (the stream
+    * APPENDS to it — sharing q206's cross-process artifact would
+    * corrupt it).
+    */
+  private[graft] def admitStreamDir(s: SparkSession, dir: String): String = {
+    val canonical = new java.io.File(dir).getCanonicalPath
+    val root = TmpDirs.perProcess("graft_admitstream", canonical)
+    this.synchronized {
+      if (!builtAdmitStream.contains(canonical))
+        BuildTimes.timed("admit_stream") {
+          val (resident, batches) = Queries25.ingest2Parts(s, dir)
+          val store = s"$root/store"
+          graft.operators.IndexStore.saveSig(s, store,
+            graft.operators.Dedup.sigRelation(resident, "id", "text",
+              shingleWords = 3, numHashes = 128),
+            "id", shingleWords = 3, numHashes = 128)
+          val watched = s"$root/in"
+          new java.io.File(watched).mkdirs(): Unit
+          val outDir = s"$root/status"
+          val src = s.readStream.schema("id LONG, text STRING")
+            .parquet(watched)
+          val q = graft.streaming.Streams.nearDupAdmitStream(
+            src, store, "id", "text", threshold = 0.5) { (df, bid) =>
+            df.withColumn("batch", lit(bid.toInt))
+              .write.mode("append").parquet(outDir)
+          }
+          try batches.foreach { b =>
+            b.select(col("id"), col("text"))
+              .coalesce(1).write.mode("append").parquet(watched)
+            q.processAllAvailable()
+          } finally q.stop()
+          builtAdmitStream.add(canonical): Unit
+        }
+    }
+    root
+  }
+
+  /** The STREAMING near-dup admission loop's verdicts — FULLY ORACLED
+    * by q204's DuckDB CTE verbatim (the exhaustive sequential
+    * exact-Jaccard replay): a Structured Streaming micro-batch pipeline
+    * over the persisted signature store must produce exactly the
+    * verdicts of the sequential batch loop, including commits visible
+    * across triggers (batch 2's plants match batch-0 admissions). The
+    * engine's third admission path (in-memory q204, store-seeded q206,
+    * streaming q211) under one oracle.
+    */
+  def q211_neardup_admit_stream(s: SparkSession, dir: String): DataFrame = {
+    val root = admitStreamDir(s, dir)
+    s.read.parquet(s"$root/status")
+      .select(col("batch"), col("id"), col("status"), col("match_id"))
+      .orderBy(col("batch"), col("id"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q209_ivf2_append_topk" -> q209_ivf2_append_topk _,
-    "q210_span_dedup" -> q210_span_dedup _)
+    "q210_span_dedup" -> q210_span_dedup _,
+    "q211_neardup_admit_stream" -> q211_neardup_admit_stream _)
 
   val oracles: Map[String, String] = Map(
+    // verdicts are path-invariant: the q204 exhaustive replay IS the
+    // streaming loop's oracle (same arrivals, same policy, same order)
+    "q211_neardup_admit_stream" ->
+      Queries25.oracles("q204_neardup_ingest"),
     "q210_span_dedup" ->
       """WITH uni AS (
         |  SELECT doc_id AS id, text FROM documents

@@ -484,9 +484,19 @@ object Dedup {
     *    container.
     *
     * Same exact prefix-filtered candidate machinery (recall exactly 1),
-    * then a doc-keyed max instead of pair materialization; the verdict
-    * aggregation is one keyed window over the qualifying-pair relation
-    * (output-mass-sized) plus one keyed join back to the corpus.
+    * with an IDENTICAL-SET COLLAPSE in front (r16 verdict item 4 — the
+    * q203 duplicate-signature lesson in its containment form): docs
+    * with equal surviving shingle sets form one CLASS; the candidate +
+    * verify machinery runs over one representative per class (within a
+    * class every pair is containment 1.0 by identity — no candidate
+    * generation, no array-payload verify shuffle, which on a
+    * replica-heavy corpus IS the pair mass: the 100× rehearsal's ~723k
+    * identical-text pairs verify as 0 class pairs), and verdicts expand
+    * back per doc. Class-level bests are a map-side-combinable
+    * min(struct) aggregation, not a pair-mass window. Per doc the best
+    * candidate is max score, ties to the smallest partner id — the
+    * best partner inside any class is its min id, which IS the class
+    * representative, so class-level comparison loses nothing.
     * Requires `idCol` unique per document (the corpus contract; a
     * duplicated id would merge two docs' verdicts).
     */
@@ -496,27 +506,55 @@ object Dedup {
       maxShingleDf: Int = DefaultMaxShingleDf): DataFrame = {
     require(threshold > 0 && threshold <= 1,
       "threshold must be in (0, 1] (at 0 every co-shingled pair qualifies)")
-    // the qualifying-pair relation feeds TWO side-projections below —
-    // checkpoint it (pair-mass-sized) or the whole prefix candidate +
-    // verify pipeline executes twice (the round-5 re-execution lesson)
-    val pairs = prefixPairStats(df, idCol, textCol, shingleWords,
-        maxShingleDf, alphaCoef = threshold - 1e-4)
+    // class structure over identical surviving sets: rep = min id (the
+    // class's best-partner doc by the tie order), m = class size,
+    // second = min other id (the rep's own within-class partner).
+    // __byRarity is derived from the GLOBAL df relation, so equal sets
+    // always carry equal arrays — the partition key is exact.
+    val wCls = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__n"), col("__byRarity"))
+    val docMap = perDocSets(df, idCol, textCol, shingleWords, maxShingleDf)
+      .select(col("id"), col("__n"), col("__byRarity"),
+        min(col("id")).over(wCls).as("__rep"),
+        count(lit(1)).over(wCls).as("__m"))
+      .withColumn("__second",
+        min(when(col("id") =!= col("__rep"), col("id"))).over(wCls))
+      .localCheckpoint() // consumers: reps machinery + both expansions
+    val reps = docMap.filter(col("id") === col("__rep"))
+      .select(col("id"), col("__n"), col("__byRarity"))
+    val pairsC = prefixPairsFromSets(reps, alphaCoef = threshold - 1e-4)
       .select(col("id_a"), col("id_b"), col("n_a"), col("n_b"),
         round(col("inter").cast("double") / least(col("n_a"), col("n_b")), 4)
           .as("containment"))
       .filter(col("containment") >= threshold)
-      .localCheckpoint()
-    val sides = pairs.filter(col("n_a") <= col("n_b"))
-        .select(col("id_a").as("__cid"), col("id_b").as("__p"),
+    val sidesC = pairsC.filter(col("n_a") <= col("n_b"))
+        .select(col("id_a").as("__crep"), col("id_b").as("__p"),
           col("containment"))
-      .unionAll(pairs.filter(col("n_b") <= col("n_a"))
-        .select(col("id_b").as("__cid"), col("id_a").as("__p"),
+      .unionAll(pairsC.filter(col("n_b") <= col("n_a"))
+        .select(col("id_b").as("__crep"), col("id_a").as("__p"),
           col("containment")))
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("__cid"))
-      .orderBy(col("containment").desc, col("__p").asc)
-    val best = sides.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .select(col("__cid"), col("__p"), col("containment"))
+    // best cross-class candidate per class: min(struct(-score, partner))
+    // == (max score, ties to smallest partner rep) — map-side combinable
+    val bestCross = sidesC.groupBy(col("__crep"))
+      .agg(min(struct((-col("containment")).as("ns"), col("__p").as("p")))
+        .as("__b"))
+      .select(col("__crep"), (-col("__b.ns")).as("__score"),
+        col("__b.p").as("__partner"))
+    val candCross = docMap.join(bestCross, col("__rep") === col("__crep"))
+      .select(col("id"), col("__score"), col("__partner"))
+    // within a class of m >= 2 identical sets every pair scores exactly
+    // 1.0; the per-doc partner is the rep (or the second-smallest id
+    // for the rep itself)
+    val candWithin = docMap.filter(col("__m") >= 2)
+      .select(col("id"), lit(1.0).as("__score"),
+        when(col("id") === col("__rep"), col("__second"))
+          .otherwise(col("__rep")).as("__partner"))
+    val best = candCross.unionByName(candWithin)
+      .groupBy(col("id"))
+      .agg(min(struct((-col("__score")).as("ns"), col("__partner").as("p")))
+        .as("__b"))
+      .select(col("id").as("__cid"), (-col("__b.ns")).as("containment"),
+        col("__b.p").as("__p"))
     df.select(col(idCol))
       .join(best, col(idCol) === col("__cid"), "left")
       .select(col(idCol),
@@ -559,8 +597,21 @@ object Dedup {
   private def prefixPairStats(
       df: DataFrame, idCol: String, textCol: String,
       shingleWords: Int, maxShingleDf: Int,
-      alphaCoef: Double): DataFrame = {
-    import graft.functions.VectorExprs.sorted_inter_count
+      alphaCoef: Double): DataFrame =
+    prefixPairsFromSets(
+      perDocSets(df, idCol, textCol, shingleWords, maxShingleDf),
+      alphaCoef)
+
+  /** Per-doc surviving shingle sets: (id, __n, __byRarity) with
+    * __byRarity the (global df, hash) struct list sorted ascending —
+    * rarest first, the AllPairs prefix order. Hot shingles past
+    * `maxShingleDf` are removed from every doc BEFORE sizes (the
+    * distributed-stopword contract shared by every prefix-filter
+    * caller). Docs with no surviving shingle emit no row.
+    */
+  private def perDocSets(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleWords: Int, maxShingleDf: Int): DataFrame = {
     val ex0 = PlanUtil
       .widenIfNarrow(df.select(col(idCol).as("id"), col(textCol).as("__t")))
       .select(col("id"),
@@ -570,16 +621,25 @@ object Dedup {
     val ex =
       if (maxShingleDf <= 0) ex0.join(freq, "h")
       else ex0.join(freq.filter(col("__df") <= maxShingleDf), "h")
+    ex.groupBy(col("id"))
+      .agg(sort_array(collect_list(struct(col("__df"), col("h"))))
+          .as("__byRarity"),
+        count(lit(1)).as("__n"))
+  }
+
+  /** The pigeonhole candidate + exact-verify stage over PREPARED sets
+    * ((id, __n, __byRarity) rows — [[perDocSets]] output, or the
+    * class-representative subset [[containmentSummary]] collapses to).
+    */
+  private def prefixPairsFromSets(sets: DataFrame,
+      alphaCoef: Double): DataFrame = {
+    import graft.functions.VectorExprs.sorted_inter_count
     // one row per doc: shingles ascending by (df, hash) for the prefix
     // cut, plus the hash-sorted array the merge-scan verifier needs.
     // Feeds FOUR consumers (probe + postings explodes, both verify
     // sides) — checkpoint once (the round-5 re-execution lesson).
     val alpha = ceil(lit(alphaCoef) * col("__n")).cast("int")
-    val perDoc = ex
-      .groupBy(col("id"))
-      .agg(sort_array(collect_list(struct(col("__df"), col("h"))))
-          .as("__byRarity"),
-        count(lit(1)).as("__n"))
+    val perDoc = sets
       .select(col("id"), col("__n"),
         array_sort(transform(col("__byRarity"), _.getField("h")))
           .as("__sorted"),

@@ -329,13 +329,26 @@ object CsvReader {
     val conn = uri.toURL.openConnection()
     effectiveHeaders(headers, credentials, uri)
       .foreach { case (k, v) => conn.setRequestProperty(k, v) }
-    val in = conn.getInputStream
-    val content =
-      try new String(in.readAllBytes(),
-        opts.encoding.getOrElse("UTF-8"))
-      finally in.close()
+    val scan = readInputStream(spark, conn.getInputStream, opts)
     if (credentials == UrlCredentials.Include)
       cookieJar.put(uri, conn.getHeaderFields) // stores Set-Cookie replies
+    scan
+  }
+
+  /** ReadableStream scan (reference src/ts/parser.ts:472-497): drain an
+    * arbitrary InputStream to EOF, then buffer-parse — the JVM mapping
+    * of the reference's stream reader and the path [[readUrl]] rides.
+    * `readAllBytes` loops over short reads, so a slow or chunky
+    * producer (a pipe, a socket) parses identically to a one-shot
+    * buffer; the stream is always closed. Driver-side by nature (a
+    * stream is inherently single-reader) — at scale land the data and
+    * use [[read]].
+    */
+  def readInputStream(spark: SparkSession, in: java.io.InputStream,
+      opts: CsvOptions = CsvOptions()): CsvScan = {
+    val content =
+      try new String(in.readAllBytes(), opts.encoding.getOrElse("UTF-8"))
+      finally in.close()
     readString(spark, content, opts)
   }
 

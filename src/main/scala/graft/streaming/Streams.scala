@@ -62,6 +62,42 @@ object Streams {
     df.withWatermark(tsCol, watermark)
       .dropDuplicates(keyCols :+ tsCol)
 
+  /** Streaming near-dup ADMISSION — the streaming twin of
+    * [[graft.operators.Dedup.nearDupAdmitLoopFromStore]] (the batch
+    * ingestion loop under q204/q206): every arriving micro-batch of
+    * (idCol, textCol) docs is admitted against the persisted signature
+    * store (load → band-join → exact shingle-Jaccard verify, all
+    * batch-sized against a file-backed column-pruned corpus scan) and
+    * its admitted signatures are APPENDED before the next micro-batch
+    * runs, so a near-dup of a doc admitted three triggers ago verdicts
+    * `corpus_dup` exactly as the sequential batch loop would. Each
+    * batch's (idCol, status, match_id) verdict frame goes to `sink`.
+    *
+    * State bound (the watermark question): this operator keeps NO
+    * Spark streaming state — the signature STORE is the state,
+    * disk-resident with one row per admitted doc, shared across
+    * restarts and processes. Nothing in it ever expires (it IS the
+    * standing corpus), so no watermark applies; the streaming engine's
+    * strict micro-batch serialization is what makes
+    * commit-before-next-batch sound, exactly like the single-writer
+    * contract `IndexStore.appendCodes` documents.
+    */
+  def nearDupAdmitStream(docs: DataFrame, storeDir: String,
+      idCol: String, textCol: String, threshold: Double)(
+      sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row],
+          batchId: Long) =>
+        if (!batch.isEmpty) {
+          val status = graft.operators.Dedup.nearDupAdmitLoopFromStore(
+            batch.sparkSession, storeDir, Seq(batch.toDF()),
+            idCol, textCol, threshold).head
+          sink(status, batchId)
+        }
+      }
+      .start()
+
   // ------------------------------------------------------- sessionization
 
   final case class Event(user_id: Long, ts: java.sql.Timestamp, value: Double)

@@ -23,6 +23,24 @@ class CliSpec extends SparkSpec {
     assert(code == 0 && out.trim == "3")
   }
 
+  test("stdin scan: file '-' reads the CSV from standard input " +
+      "(reference src/cli/index.ts:294-299)") {
+    val csv = "name,qty\nApple,10\nBanana,25\n"
+    val prev = System.in
+    def withStdin[T](body: => T): T =
+      try {
+        System.setIn(new java.io.ByteArrayInputStream(
+          csv.getBytes("UTF-8")))
+        body
+      } finally System.setIn(prev)
+    val (code, out) = withStdin(runCli("count", "-"))
+    assert(code == 0 && out.trim == "2")
+    // fields parse too, not just the row count
+    val (code2, out2) = withStdin(
+      runCli("select", "-", "--columns", "name", "--format", "csv"))
+    assert(code2 == 0 && out2.startsWith("name") && out2.contains("Banana"))
+  }
+
   test("head respects -n and csv format") {
     val (code, out) = runCli("head", fixture, "-n", "2", "--format", "csv")
     assert(code == 0)

@@ -433,4 +433,31 @@ class CsvReaderSpec extends SparkSpec {
       graft.sources.CsvOptions(multiLine = true))
     assert(bufMl.source.isEmpty && !bufMl.fileModified)
   }
+
+  test("stream scan drains a chunky InputStream to EOF and parses " +
+      "identically to a one-shot buffer (ref parser.ts:472-497)") {
+    val csv = "a,b\n\"line\nbreak\",2\nCherry,3\n"
+    // a producer that never returns more than 3 bytes per read — a
+    // drain that trusted one read() would truncate after 3 bytes
+    class Chunky(data: Array[Byte]) extends java.io.InputStream {
+      private var pos = 0
+      var closed = false
+      override def read(): Int =
+        if (pos >= data.length) -1 else { pos += 1; data(pos - 1) & 0xff }
+      override def read(b: Array[Byte], off: Int, len: Int): Int = {
+        if (pos >= data.length) return -1
+        val n = math.min(3, math.min(len, data.length - pos))
+        System.arraycopy(data, pos, b, off, n); pos += n; n
+      }
+      override def close(): Unit = closed = true
+    }
+    val in = new Chunky(csv.getBytes("UTF-8"))
+    val opts = graft.sources.CsvOptions(multiLine = true)
+    val got = CsvReader.readInputStream(spark, in, opts)
+      .df.collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val exp = CsvReader.readString(spark, csv, opts)
+      .df.collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == exp && got == Set(("line\nbreak", "2"), ("Cherry", "3")))
+    assert(in.closed, "the drained stream must be closed")
+  }
 }

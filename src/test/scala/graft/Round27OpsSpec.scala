@@ -156,6 +156,60 @@ class Round27OpsSpec extends SparkSpec {
     assert(got == Seq(1L -> false, 2L -> true, 3L -> true))
   }
 
+  // ------------------------------------------- streaming near-dup admission
+
+  test("nearDupAdmitStream verdicts == the sequential batch admission " +
+      "loop, including commits visible across triggers") {
+    import graft.streaming.Streams
+    val rnd = new java.util.SplittableRandom(7L)
+    val vocab = Array.tabulate(40)(i => s"w$i")
+    def randText(): String =
+      (0 until 12 + rnd.nextInt(7)).map(_ => vocab(rnd.nextInt(40)))
+        .mkString(" ")
+    def mut(t: String): String =
+      (t.split(" ").dropRight(1) :+ "MUT").mkString(" ")
+    val resident = (100L until 120L).map(id => id -> randText())
+    val t0 = randText()
+    val b0 = Seq(0L -> t0, 4L -> mut(resident.head._2), 8L -> mut(t0),
+      12L -> "one two")
+    val t20 = randText()
+    val b1 = Seq(16L -> mut(t0), 20L -> t20) // 16: dup of a batch-0 KEEP
+    val b2 = Seq(24L -> mut(t20), 28L -> randText()) // 24: dup of batch-1
+    val batches = Seq(b0, b1, b2)
+    val residentDF = resident.toDF("id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, String, Any)] =
+      df.collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) null else Long.box(r.getLong(2)): Any)).toSet
+    val expected = Dedup.nearDupAdmitLoop(residentDF, "id", "text",
+      batches.map(_.toDF("id", "text")), "id", "text",
+      threshold = 0.5).map(rows)
+
+    val root = {
+      val d = java.nio.file.Files.createTempDirectory("graft_admitstream")
+      SparkSpec.cleanupAtExit(d.toFile)
+      d.toString
+    }
+    val store = s"$root/store"
+    IndexStore.saveSig(spark, store,
+      Dedup.sigRelation(residentDF, "id", "text", 3, 128), "id", 3, 128)
+    val watched = s"$root/in"
+    new java.io.File(watched).mkdirs()
+    val got = scala.collection.mutable.ArrayBuffer[Set[(Long, String, Any)]]()
+    val src = spark.readStream.schema("id LONG, text STRING")
+      .parquet(watched)
+    val q = Streams.nearDupAdmitStream(src, store, "id", "text", 0.5) {
+      (df, _) => got += rows(df)
+    }
+    try batches.foreach { b =>
+      b.toDF("id", "text").coalesce(1).write.mode("append").parquet(watched)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(got.toSeq == expected)
+    // the cross-trigger commit really happened: batch 1's doc 16 is a
+    // corpus_dup of doc 0, which was only ADMITTED in trigger 0
+    assert(got(1).contains((16L, "corpus_dup", Long.box(0L): Any)))
+  }
+
   // ------------------------------------------------------ StableStores
 
   test("StableStores.fingerprint fails loudly on a missing source path") {
