@@ -52,4 +52,13 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // PLANS.md q172 section). 32 MB regions put 16 MB pages under the
   // humongous threshold; harmless at small test heaps.
   "-XX:G1HeapRegionSize=32m",
+  // Hotspot's GCLocker allocation retry budget defaults to 2: with 32
+  // executor threads holding JNI critical sections (parquet/zstd) while
+  // others allocate 16 MB Tungsten pages, two retries lose the race and
+  // the JVM throws a SPURIOUS OutOfMemoryError with free heap — the
+  // r17 sweep-2 failure (q93's verify stage: "Retried waiting for
+  // GCLocker too often" across 32 workers, then heap OOM in the
+  // Context Cleaner). A larger budget waits out the critical section.
+  "-XX:+UnlockDiagnosticVMOptions",
+  "-XX:GCLockerRetryAllocationCount=64",
 )

@@ -593,14 +593,60 @@ object Dedup {
     * returns (id_a, id_b, inter, n_a, n_b) for every pair whose smaller
     * set shares ≥ ceil(alphaCoef · |S|) shingles with the larger —
     * superset of any score whose overlap bound is alphaCoef·min.
+    *
+    * Runs the candidate + array-verify machinery over ONE
+    * representative per identical-shingle-set CLASS and expands class
+    * pairs back to doc pairs as a pure projection (r17 — the q165
+    * collapse applied to the pair-emitting forms): identical sets have
+    * identical intersections with any third set, so a class pair's
+    * (inter, n_a, n_b) holds verbatim for every member pair, and
+    * within-class pairs are (n, n, n) by identity with no verification
+    * at all. On the 100× replica corpus (~3.85 identical copies per
+    * doc) this cut the verify shuffle ~15× and removed the ~723k
+    * identical-pair array-verify mass that OOM'd a 24 GB sweep
+    * (GCLocker retry storm during q93's sorted_inter_count stage).
+    * Output is EXACTLY the uncollapsed relation — the expansion emits
+    * only pairs the pigeonhole bound admits (identical sets share all
+    * n ≥ ceil(alphaCoef·n) shingles for alphaCoef ≤ 1).
     */
   private def prefixPairStats(
       df: DataFrame, idCol: String, textCol: String,
       shingleWords: Int, maxShingleDf: Int,
-      alphaCoef: Double): DataFrame =
-    prefixPairsFromSets(
-      perDocSets(df, idCol, textCol, shingleWords, maxShingleDf),
-      alphaCoef)
+      alphaCoef: Double): DataFrame = {
+    val wCls = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__n"), col("__byRarity"))
+    val docMap = perDocSets(df, idCol, textCol, shingleWords, maxShingleDf)
+      .select(col("id"), col("__n"), col("__byRarity"),
+        min(col("id")).over(wCls).as("__rep"),
+        count(lit(1)).over(wCls).as("__m"))
+      .localCheckpoint() // consumers: reps machinery + both expansions
+    val reps = docMap.filter(col("id") === col("__rep"))
+      .select(col("id"), col("__n"), col("__byRarity"))
+    val repPairs = prefixPairsFromSets(reps, alphaCoef)
+    // cross-class expansion: every member pair inherits the class
+    // pair's stats; sizes re-key to the member-id order the caller sees
+    val members = docMap.select(col("__rep"), col("id"))
+    val cross = repPairs
+      .join(members.select(col("__rep").as("id_a"), col("id").as("__ma")),
+        "id_a")
+      .join(members.select(col("__rep").as("id_b"), col("id").as("__mb")),
+        "id_b")
+      .select(least(col("__ma"), col("__mb")).as("id_a"),
+        greatest(col("__ma"), col("__mb")).as("id_b"),
+        col("inter"),
+        when(col("__ma") < col("__mb"), col("n_a")).otherwise(col("n_b"))
+          .as("n_a"),
+        when(col("__ma") < col("__mb"), col("n_b")).otherwise(col("n_a"))
+          .as("n_b"))
+    // within-class pairs: identical sets, inter = n, no verification
+    val withinPairs = docMap.filter(col("__m") >= 2)
+      .select(col("__rep"), col("id").as("id_a"), col("__n"))
+      .join(docMap.select(col("__rep"), col("id").as("id_b")), "__rep")
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("__n").as("inter"),
+        col("__n").as("n_a"), col("__n").as("n_b"))
+    cross.unionByName(withinPairs)
+  }
 
   /** Per-doc surviving shingle sets: (id, __n, __byRarity) with
     * __byRarity the (global df, hash) struct list sorted ascending —
