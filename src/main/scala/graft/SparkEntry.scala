@@ -18,7 +18,8 @@ object SparkEntry {
       Queries12.all ++ Queries13.all ++ Queries14.all ++ Queries15.all ++
       Queries16.all ++ Queries17.all ++ Queries18.all ++ Queries19.all ++
       Queries20.all ++ Queries21.all ++ Queries22.all ++ Queries23.all ++
-      Queries24.all ++ Queries25.all ++ Queries26.all ++ Queries27.all
+      Queries24.all ++ Queries25.all ++ Queries26.all ++ Queries27.all ++
+      Queries28.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -32,5 +33,5 @@ object SparkEntry {
       Queries18.oracles ++ Queries19.oracles ++ Queries20.oracles ++
       Queries21.oracles ++ Queries22.oracles ++ Queries23.oracles ++
       Queries24.oracles ++ Queries25.oracles ++ Queries26.oracles ++
-      Queries27.oracles
+      Queries27.oracles ++ Queries28.oracles
 }

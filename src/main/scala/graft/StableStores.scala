@@ -82,14 +82,28 @@ object StableStores {
       if (ready.contains(s"$dir|$fp")) return dir
       if (!valid(dir, fp)) {
         val t0 = System.nanoTime()
-        // sweep private build dirs abandoned by crashed processes (their
+        // sweep private build dirs abandoned by CRASHED processes (their
         // shutdown never ran; store-sized parquet orphans are the q93
-        // disk-full class) — any live builder of this dir holds the same
-        // process-wide lock, so siblings here are always dead
+        // disk-full class). The lock above is JVM-local while builds are
+        // cross-process (the FileAlreadyExistsException race below is
+        // real), so a sibling dir may belong to a LIVE builder in
+        // another process — deleting it mid-build would let that
+        // process publish an incomplete artifact that validates forever
+        // (the fingerprint covers sources, not artifact contents).
+        // Only dirs whose embedded pid is provably dead are swept; the
+        // own-pid dir is always reclaimed (no live twin of this JVM).
         val parent = new java.io.File(dir).getParentFile
         val base = new java.io.File(dir).getName + ".build."
+        val selfPid = ProcessHandle.current().pid()
         Option(parent.listFiles()).getOrElse(Array.empty[java.io.File])
-          .filter(_.getName.startsWith(base)).foreach(deleteRec)
+          .filter { f =>
+            f.getName.startsWith(base) && {
+              val pid = f.getName.stripPrefix(base).toLongOption
+              pid.contains(selfPid) || !pid.exists(p =>
+                ProcessHandle.of(p).map[java.lang.Boolean](_.isAlive)
+                  .orElse(java.lang.Boolean.FALSE).booleanValue())
+            }
+          }.foreach(deleteRec)
         val tmp = new java.io.File(s"$dir.build.${
           ProcessHandle.current().pid()}")
         tmp.mkdirs(): Unit

@@ -557,8 +557,29 @@ object VerifyAssertions {
             .count { case (a, b) => a != b }}")
     }
 
+    // q212 pins the STREAMING refresh path for the ivf2 store (r17
+    // verdict item 4): the stream-refreshed store (arrivals delivered
+    // as three real micro-batches, each assigned with the loaded
+    // frozen hierarchy and appended per trigger) must serve exactly
+    // what q209's single-shot batch append serves, row-for-row — two
+    // append PATHS under ONE frozen model (never two fits, the q178
+    // lesson).
+    val q212 = {
+      def rows(df: DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+        .toSeq
+      val streamed = rows(Queries28.q212_ivf2_stream_topk(spark, sfDir))
+      val batch = rows(Queries27.q209_ivf2_append_topk(spark, sfDir))
+      Check("ivf2_stream_append_equals_batch_append",
+        "q212_ivf2_stream_topk",
+        streamed.nonEmpty && streamed == batch,
+        s"streamed_rows=${streamed.size} batch_rows=${batch.size} " +
+          s"mismatches=${streamed.zipAll(batch, null, null)
+            .count { case (a, b) => a != b }}")
+    }
+
     Seq(q31, q32, q44, q46, q49, q119, q126, q128, q176, q177, q178,
-      q187, q188, q189, q195, q199, q202, q205, q206, q208, q209)
+      q187, q188, q189, q195, q199, q202, q205, q206, q208, q209, q212)
   }
 
   /** Planted-recovery + exact-rescore check for the compressed-scan ANN

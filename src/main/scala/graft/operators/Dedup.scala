@@ -1710,6 +1710,23 @@ object Dedup {
     * then measures similarity over the SURVIVING vocabulary (norms are
     * recomputed over kept tokens, so the metric stays a true cosine of
     * the pruned vectors; the [[maxShingleDf]] semantics).
+    *
+    * IDENTICAL-VECTOR COLLAPSE (r18 — the q165/q93 class machinery in
+    * its tf form; q194 was the heaviest sf10 spiller left, 78–138 GB a
+    * pass, after those two were fixed): docs with equal surviving
+    * (term, tf) multisets form one CLASS keyed by the sorted struct
+    * array; the posting self-join runs over ONE representative per
+    * class and class pairs expand back as a pure projection —
+    * identical vectors have identical dots with any third vector and
+    * identical norms, so a class pair's cos holds verbatim for every
+    * member pair. Within a class every pair scores exactly 1.0:
+    * dot = ‖v‖² as longs, and round(n2/(sqrt(n2)·sqrt(n2)), 4) = 1.0
+    * for any n2 ≥ 1 (the ≤2-ulp sqrt round-trip error is invisible at
+    * 4 decimals — in both engines, so the emitted literal matches the
+    * oracle's computed value). On the 100× replica corpus (~3.85
+    * identical copies per doc) the replica-quadratic pair mass that
+    * WAS the spill leaves the join entirely. Output is exactly the
+    * uncollapsed relation.
     */
   def tfCosinePairs(df: DataFrame, idCol: String, textCol: String,
       threshold: Double, maxTokenDf: Long = 1000L,
@@ -1737,13 +1754,28 @@ object Dedup {
         .filter(col("__df") > maxTokenDf).select(col("__t"))
       tf.join(hot, Seq("__t"), "left_anti").localCheckpoint()
     } else tf
-    val norms = kept.groupBy(col("__id"))
-      .agg(sum(col("__tf") * col("__tf")).as("__n2"))
-    val a = kept.select(col("__t"), col("__id").as("id_a"),
+    // class structure over identical surviving tf vectors: the window
+    // key is the exact sorted (term, tf) array, so equal vectors — and
+    // only equal vectors — share a class; rep = min id (__n2 rides
+    // along: members share the rep's norm by identity)
+    val wCls = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__vec"))
+    val docMap = kept.groupBy(col("__id"))
+      .agg(sort_array(collect_list(struct(col("__t"), col("__tf"))))
+          .as("__vec"),
+        sum(col("__tf") * col("__tf")).as("__n2"))
+      .select(col("__id"), col("__n2"),
+        min(col("__id")).over(wCls).as("__rep"),
+        count(lit(1)).over(wCls).as("__m"))
+      .localCheckpoint() // consumers: rep postings, norms, 2 expansions
+    val reps = docMap.filter(col("__id") === col("__rep"))
+    val keptR = kept.join(reps.select(col("__id")), Seq("__id"))
+    val norms = reps.select(col("__id"), col("__n2"))
+    val a = keptR.select(col("__t"), col("__id").as("id_a"),
       col("__tf").as("__fa"))
-    val b = kept.select(col("__t"), col("__id").as("id_b"),
+    val b = keptR.select(col("__t"), col("__id").as("id_b"),
       col("__tf").as("__fb"))
-    a.join(b, Seq("__t")).filter(col("id_a") < col("id_b"))
+    val repPairs = a.join(b, Seq("__t")).filter(col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(sum(col("__fa") * col("__fb")).as("__dot"))
       .join(norms.withColumnRenamed("__id", "id_a")
@@ -1755,5 +1787,23 @@ object Dedup {
           (sqrt(col("__na2").cast("double")) *
             sqrt(col("__nb2").cast("double"))), 4).as("cos"))
       .filter(col("cos") >= threshold)
+    // cross-class expansion: every member pair inherits the class
+    // pair's cos (identical vectors ⇒ identical dot and norms, same
+    // double arithmetic on the same longs)
+    val members = docMap.select(col("__rep"), col("__id"))
+    val cross = repPairs
+      .join(members.select(col("__rep").as("id_a"), col("__id").as("__ma")),
+        Seq("id_a"))
+      .join(members.select(col("__rep").as("id_b"), col("__id").as("__mb")),
+        Seq("id_b"))
+      .select(least(col("__ma"), col("__mb")).as("id_a"),
+        greatest(col("__ma"), col("__mb")).as("id_b"), col("cos"))
+    // within-class pairs: cos exactly 1.0, no posting join at all
+    val within = docMap.filter(col("__m") >= 2 && lit(1.0 >= threshold))
+      .select(col("__rep"), col("__id").as("id_a"))
+      .join(docMap.select(col("__rep"), col("__id").as("id_b")), Seq("__rep"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), lit(1.0).as("cos"))
+    cross.unionByName(within)
   }
 }

@@ -98,6 +98,50 @@ object Streams {
       }
       .start()
 
+  /** Streaming refresh for the persisted index-store kinds (r17
+    * verdict item 4 — [[nearDupAdmitStream]] proved the foreachBatch
+    * pattern for the `sig` kind; this is the model-backed twin for the
+    * ANN/lexical stores): every arriving micro-batch is ENCODED with
+    * the store's own frozen model by `encode` (which must load the
+    * model from the store — loaded per trigger, so the store stays the
+    * ONLY state, shared across restarts) and appended through
+    * [[graft.operators.IndexStore.appendCodes]] before the next
+    * trigger. Never a retrain, never a corpus re-encode — the
+    * q199/q209 nightly-refresh discipline made continuous.
+    *
+    * Same single-writer contract as the batch appends: the streaming
+    * engine's strict micro-batch serialization is the in-process
+    * serializer; across processes the caller must ensure one ingestion
+    * stream per store.
+    */
+  def storeAppendStream(docs: DataFrame, storeDir: String, idCol: String)(
+      encode: (SparkSession, DataFrame) => DataFrame)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row],
+          _: Long) =>
+        if (!batch.isEmpty) {
+          val s = batch.sparkSession
+          graft.operators.IndexStore.appendCodes(s, storeDir,
+            encode(s, batch.toDF()), idCol)
+        }
+      }
+      .start()
+
+  /** The two-level-IVF instantiation of [[storeAppendStream]]: each
+    * arriving batch of (idCol, vecCol) vectors is assigned with the
+    * LOADED frozen hierarchy (per-row pure given the index, so the
+    * streamed store is row-identical to a single batch append of the
+    * union — the q212 gate pins it).
+    */
+  def ivf2AppendStream(vecs: DataFrame, storeDir: String,
+      idCol: String, vecCol: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    storeAppendStream(vecs, storeDir, idCol) { (s, batch) =>
+      val (idx, _, _, _) = graft.operators.IndexStore.loadIvf2(s, storeDir)
+      graft.operators.Similarity.ivf2Assign(batch, idCol, vecCol, idx)
+    }
+
   // ------------------------------------------------------- sessionization
 
   final case class Event(user_id: Long, ts: java.sql.Timestamp, value: Double)

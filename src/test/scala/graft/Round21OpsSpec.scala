@@ -170,10 +170,17 @@ class Round21OpsSpec extends SparkSpec {
     "vocabulary, not the exactness") {
     val words = Vector("aa", "bb", "cc", "dd", "ee")
     val rng = new Lcg(23L)
-    val docs = (0L until 30L).map { id =>
+    val base = (0L until 30L).map { id =>
       val n = 4 + rng.nextInt(20)
       (id, (0 until n).map(_ => words(rng.nextInt(words.size))).mkString(" "))
     }
+    // planted identical-vector classes (r18 collapse coverage): exact
+    // text copies AND a shuffled copy (same multiset, different order —
+    // same tf vector, so same class) force within-class 1.0 emission
+    // and cross-class expansion through the rep machinery
+    val docs = base ++ Seq(
+      (100L, base(0)._2), (101L, base(0)._2),
+      (102L, base(1)._2.split(" ").reverse.mkString(" ")))
     val df = docs.toDF("doc_id", "text")
     for (ng <- Seq(1, 3)) {
       def terms(text: String): Seq[String] = {
