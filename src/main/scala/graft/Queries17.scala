@@ -43,10 +43,11 @@ object Queries17 {
         t(s, dir, "customer").select(col("c_custkey"), col("c_name")),
         "c_custkey", "c_name", maxDist = 1)
       .filter(col("dist") === 1)
-      .select(expr(
-        """filter(sequence(1, greatest(length(text_a), length(text_b))),
-          |  i -> substr(text_a, i, 1) <> substr(text_b, i, 1))[0]
-          |""".stripMargin).cast("long").as("pos"),
+      // first_diff_pos = the filter(sequence(...substr...))[0] HOF chain
+      // as one codegen byte walk (bit-identical incl. the exhausted-side
+      // "" semantics; spec-pinned) — the chain was ~2 s of q170's 6.4 s
+      .select(graft.functions.TextExprs.first_diff_pos(
+          col("text_a"), col("text_b")).as("pos"),
         col("n_pairs"))
       .groupBy(col("pos")).agg(sum(col("n_pairs")).as("n_pairs"))
       .orderBy(col("pos"))

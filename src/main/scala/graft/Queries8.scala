@@ -68,11 +68,15 @@ object Queries8 {
     * sf0.001/0.01/0.1).
     */
   def q119_distinct_sketch(s: SparkSession, dir: String): DataFrame = {
+    // ngram_hashes kernel == xxhash64(ngrams(...)) bit-for-bit
+    // (spec-pinned): the HOF chain allocated a slice array, a concat
+    // string and a 32-hex digest per gram through interpreted
+    // transform(); estimates are unchanged because the hash VALUES are
     val tg = t(s, dir, "documents")
       .filter(length(trim(col("text"))) > 0)
       .select(col("source"),
-        explode(TextFunctions.ngrams(col("text"), 3)).as("w"))
-      .select(col("source"), xxhash64(col("w")).as("h"))
+        explode(graft.functions.SketchExprs.ngram_hashes(
+          TextFunctions.tokensWs(col("text")), 3)).as("h"))
     val per = tg.groupBy(col("source"))
       .agg(hll_sketch_agg(col("h"), lit(14)).as("__hll"))
       .localCheckpoint() // feeds the per-source rows AND the union row

@@ -85,6 +85,72 @@ object SketchExprs {
       copy(child = newChild)
   }
 
+  /** ngram_hashes(tokens, k) → array<long>: POSITIONAL xxhash64 of every
+    * k-token gram string, bit-identical to
+    * `transform(ngrams(text, k), g => xxhash64(g))` over
+    * `tokens = tokensWs(text)` — i.e. element i is
+    * `xxhash64(concat_ws(" ", tokens[i..i+k-1]))` (seed 42 over the
+    * UTF-8 bytes of the space-joined gram), duplicates kept, document
+    * order preserved, empty array when there are fewer than k tokens.
+    * Unlike [[ShingleHashes]] (combined per-token hashes, deduped and
+    * sorted for set-similarity) these are hashes OF THE GRAM STRING, so
+    * they equal what the explode(ngrams)+xxhash64 pipelines (q71 spans,
+    * q119 distinct sketch, q210 span dedup) already compute — those
+    * pipelines built a slice array, a concat string and a hash per gram
+    * through interpreted HOFs; this reuses one byte buffer per row.
+    * concat_ws parity: null tokens are SKIPPED (no separator), empty
+    * strings kept (tokensWs emits "" edge tokens, never null).
+    */
+  case class NgramHashes(child: Expression, k: Int)
+      extends UnaryExpression with CodegenFallback {
+    require(k >= 1, "k must be >= 1")
+    override def prettyName: String = "ngram_hashes"
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      if (n < k) return new GenericArrayData(Array.empty[Long])
+      // token byte slices, materialized once per row
+      val toks = new Array[Array[Byte]](n)
+      var i = 0
+      while (i < n) {
+        val s = arr.getUTF8String(i)
+        toks(i) = if (s == null) null else s.getBytes
+        i += 1
+      }
+      val m = n - k + 1
+      val out = new Array[Long](m)
+      var buf = new Array[Byte](64)
+      i = 0
+      while (i < m) {
+        var len = 0
+        var wrote = false
+        var j = i
+        while (j < i + k) {
+          val t = toks(j)
+          if (t != null) { // concat_ws skips nulls, keeps empties
+            val need = len + t.length + 1
+            if (need > buf.length)
+              buf = java.util.Arrays.copyOf(buf, math.max(need, buf.length * 2))
+            if (wrote) { buf(len) = ' '; len += 1 }
+            System.arraycopy(t, 0, buf, len, t.length)
+            len += t.length
+            wrote = true
+          }
+          j += 1
+        }
+        out(i) = XXH64.hashUnsafeBytes(buf,
+          org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, len, XxSeed)
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** minhash_array(shingles, n) → array<long>: component-wise minima of
     * the Kirsch–Mitzenmacher family h1 + i·h2 over all elements —
     * identical values to MinHashAgg over exploded rows. Accepts either
@@ -224,7 +290,17 @@ object SketchExprs {
         "shingle_hashes",
         exprs => ShingleHashes(exprs(0), exprs(1).eval().asInstanceOf[Int]),
         "built-in")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "ngram_hashes",
+        exprs => NgramHashes(exprs(0), exprs(1).eval().asInstanceOf[Int]),
+        "built-in")
     }
+  }
+
+  def ngram_hashes(tokens: Column, k: Int): Column = {
+    ensureRegistered()
+    call_function("ngram_hashes", tokens,
+      org.apache.spark.sql.functions.lit(k))
   }
 
   def shingle_hashes(tokens: Column, k: Int): Column = {

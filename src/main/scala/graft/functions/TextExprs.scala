@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.functions.call_function
@@ -252,6 +252,187 @@ object TextExprs {
       copy(child = newChild)
   }
 
+  /** first_diff_pos(a, b) → bigint: the 1-based CODEPOINT position of
+    * the first difference between two strings, bit-identical to the
+    * HOF chain it replaces (q170's histogram key):
+    * `cast(filter(sequence(1, greatest(length(a), length(b))),
+    *   i -> substr(a, i, 1) <> substr(b, i, 1))[0] as bigint)`
+    * — i.e. the first index where the single-codepoint substrings
+    * differ, where an exhausted side yields "" (so the first position
+    * past the shorter string differs unless both are exhausted), and
+    * NULL when the strings are equal. The chain allocates a sequence
+    * array plus 2·max(len) single-char UTF8Strings per row through
+    * interpreted HOF machinery (~2 s of q170's 6.4 s on 262k verified
+    * pairs); this is one lockstep byte walk, zero allocation.
+    *
+    * Codepoint accounting matches Spark `length`/`substr`
+    * (UTF8String.numChars: UTF-8 lead bytes); single-codepoint string
+    * equality is byte equality of the codepoint's UTF-8 encoding, so
+    * comparing the byte slices is exact.
+    */
+  case class FirstDiffPos(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def prettyName: String = "first_diff_pos"
+    override def dataType: DataType =
+      org.apache.spark.sql.types.LongType
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val ab = a.asInstanceOf[UTF8String].getBytes
+      val bb = b.asInstanceOf[UTF8String].getBytes
+      var i = 0
+      var j = 0
+      var pos = 1L
+      while (i < ab.length && j < bb.length) {
+        val la = UTF8String.numBytesForFirstByte(ab(i))
+        val lb = UTF8String.numBytesForFirstByte(bb(j))
+        if (la != lb) return pos
+        var k = 0
+        while (k < la) {
+          // clamp to the buffer (malformed tail: a lead byte promising
+          // more bytes than remain) — substr's copy would just be short,
+          // and the shorter slice compares unequal to a longer one
+          val ai = i + k; val bj = j + k
+          val av: Int = if (ai < ab.length) ab(ai).toInt else -1
+          val bv: Int = if (bj < bb.length) bb(bj).toInt else -1
+          if (av != bv) return pos
+          k += 1
+        }
+        i += la
+        j += lb
+        pos += 1L
+      }
+      // one side exhausted: "" vs a real codepoint differs; both
+      // exhausted: equal strings -> null (filter kept nothing)
+      if (i < ab.length || j < bb.length) pos else null
+    }
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  /** winnow_fps(normalizedText, k, w) → array<string>: the DISTINCT
+    * winnowing-selected gram fingerprints of an already-normalized
+    * document, bit-identical to the Column chain it replaces
+    * (Dedup.winnowingFingerprints r17 form):
+    * {{{
+    * toks    = split(trim(t), "\\s+")              // t pre-normalized
+    * grams_i = substring(md5(concat_ws("", slice(toks, i, k))), 1, 15)
+    * out     = array_distinct(transform(sequence(1, nGrams - w + 1),
+    *             i => array_min(slice(grams, i, w))))
+    * }}}
+    * The chain runs per-row through INTERPRETED higher-order functions
+    * — per gram it allocates a slice array, a concat string, a fresh
+    * commons-codec digest, a 32-char hex string and a substring; per
+    * window another slice plus w string comparisons. Measured 4.0 s
+    * for 5,500 docs at sf0.1 (0.7 ms/doc) where the pair join beneath
+    * it is 0.44 s. This kernel does ONE pass: tokenize by space, md5
+    * each gram from a reused byte buffer through a thread-local
+    * MessageDigest, keep only the first 60 bits as a long (15
+    * lowercase hex chars = 60 bits, and lexicographic order on
+    * fixed-width lowercase hex IS numeric order on those bits), take
+    * window minima with a monotonic deque in O(G), dedup into a hash
+    * set, and hex-render only the survivors.
+    *
+    * Input MUST be the [[NormalizeText]] output (single spaces, no
+    * border whitespace, never null unless the raw text was null):
+    * tokenization here is split-on-' ' which equals
+    * `split(trim(t), "\\s+")` exactly on that alphabet.
+    */
+  case class WinnowFingerprints(child: Expression, k: Int, w: Int)
+      extends UnaryExpression with CodegenFallback {
+    require(k >= 1 && w >= 1, "k and w must be >= 1")
+    override def prettyName: String = "winnow_fps"
+    override def dataType: DataType =
+      ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
+
+    @transient private lazy val md5Local =
+      new ThreadLocal[java.security.MessageDigest] {
+        override def initialValue(): java.security.MessageDigest =
+          java.security.MessageDigest.getInstance("MD5")
+      }
+
+    override def nullSafeEval(input: Any): Any = {
+      val bytes = input.asInstanceOf[UTF8String].getBytes
+      // token boundaries (normalized text: single 0x20 separators)
+      var nTok = 0
+      var i = 0
+      val n = bytes.length
+      // upper bound on token count for the boundary arrays
+      val starts = new Array[Int](n / 2 + 2)
+      val ends = new Array[Int](n / 2 + 2)
+      while (i < n) {
+        while (i < n && bytes(i) == ' ') i += 1
+        if (i < n) {
+          starts(nTok) = i
+          while (i < n && bytes(i) != ' ') i += 1
+          ends(nTok) = i
+          nTok += 1
+        }
+      }
+      val nGrams = nTok - (k - 1)
+      if (nGrams < 1) return new GenericArrayData(Array.empty[Any])
+      val md = md5Local.get()
+      val grams = new Array[Long](nGrams)
+      var g = 0
+      while (g < nGrams) {
+        md.reset()
+        var t = g
+        while (t < g + k) {
+          md.update(bytes, starts(t), ends(t) - starts(t))
+          t += 1
+        }
+        val d = md.digest()
+        // first 15 hex chars = top 60 bits of the first 8 digest bytes
+        var v = 0L
+        var b = 0
+        while (b < 8) { v = (v << 8) | (d(b) & 0xffL); b += 1 }
+        grams(g) = v >>> 4
+        g += 1
+      }
+      val nWin = nGrams - (w - 1)
+      val seen = new java.util.LinkedHashSet[java.lang.Long]()
+      if (nWin < 1) {
+        // the Column chain emits nothing when there are fewer grams
+        // than a full window (transform over an empty sequence)
+        return new GenericArrayData(Array.empty[Any])
+      }
+      // monotonic deque sliding-window minimum over grams, window w
+      val dq = new Array[Int](nGrams)
+      var head = 0
+      var tail = 0 // [head, tail) holds candidate indices, values increasing
+      var p = 0
+      while (p < nGrams) {
+        while (tail > head && grams(dq(tail - 1)) >= grams(p)) tail -= 1
+        dq(tail) = p; tail += 1
+        val winStart = p - (w - 1)
+        if (dq(head) < winStart) head += 1
+        if (winStart >= 0) seen.add(grams(dq(head))): Unit
+        p += 1
+      }
+      val out = new Array[Any](seen.size)
+      val it = seen.iterator()
+      var o = 0
+      val hexDigits = "0123456789abcdef"
+      while (it.hasNext) {
+        val v = it.next().longValue()
+        val cs = new Array[Byte](15)
+        var h = 0
+        while (h < 15) {
+          cs(h) = hexDigits.charAt(((v >>> (4 * (14 - h))) & 0xf).toInt)
+            .toByte
+          h += 1
+        }
+        out(o) = UTF8String.fromBytes(cs)
+        o += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   // once per session — see VectorExprs.registeredSessions for rationale
   private val registeredSessions = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
@@ -265,7 +446,32 @@ object TextExprs {
         "quality_score", exprs => QualityScore(exprs.head), "built-in")
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         "normalize_text", exprs => NormalizeText(exprs.head), "built-in")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "first_diff_pos",
+        exprs => FirstDiffPos(exprs.head, exprs(1)), "built-in")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "winnow_fps",
+        { exprs =>
+          def intLit(e: Expression): Int = e match {
+            case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+            case other => throw new IllegalArgumentException(
+              s"winnow_fps k/w must be int literals, got $other")
+          }
+          WinnowFingerprints(exprs.head, intLit(exprs(1)), intLit(exprs(2)))
+        }, "built-in")
     }
+  }
+
+  def winnow_fps(normalizedText: Column, k: Int, w: Int): Column = {
+    ensureRegistered()
+    call_function("winnow_fps", normalizedText,
+      org.apache.spark.sql.functions.lit(k),
+      org.apache.spark.sql.functions.lit(w))
+  }
+
+  def first_diff_pos(a: Column, b: Column): Column = {
+    ensureRegistered()
+    call_function("first_diff_pos", a, b)
   }
 
   def lang_marker_scores(loweredText: Column): Column = {

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.TextFunctions
+import graft.functions.{TextExprs, TextFunctions}
 
 /** Deduplication operators for training-data pipelines: exact, MinHash+LSH,
   * SimHash, and exact n-gram Jaccard (the verifier for the sketches).
@@ -60,9 +60,11 @@ object Dedup {
     // the explode doesn't run per consuming branch
     val grams = PlanUtil
       .widenIfNarrow(docs.select(col(idCol), col(textCol).as("__t")))
+      // ngram_hashes == xxhash64(ngrams(...)) bit-for-bit (spec-pinned);
+      // the HOF chain paid a slice+concat+hex per gram interpreted
       .select(col(idCol),
-        explode(graft.functions.TextFunctions.ngrams(col("__t"), k)).as("__g"))
-      .select(col(idCol), xxhash64(col("__g")).as("__h"))
+        explode(graft.functions.SketchExprs.ngram_hashes(
+          graft.functions.TextFunctions.tokensWs(col("__t")), k)).as("__h"))
       .groupBy(col(idCol), col("__h"))
       .agg(count(lit(1)).as("__n"))
       .localCheckpoint()
@@ -109,16 +111,13 @@ object Dedup {
       .localCheckpoint() // 3 consumers: grams, token explode, totals
     // (id, start, gramHash) — start is 0-based; the n<k guard keeps the
     // HOF range total (the winnowing sequence(1,0)-descends lesson)
-    val grams = {
-      val n = size(col("__w"))
-      base.select(col(idCol),
-          posexplode(when(n < k, array().cast("array<string>"))
-            .otherwise(transform(sequence(lit(1), n - (k - 1)),
-              i => concat_ws(" ", slice(col("__w"), i, lit(k))))))
-            .as(Seq("__s", "__g")))
-        .select(col(idCol), col("__s"), xxhash64(col("__g")).as("__h"))
-        .localCheckpoint() // 2 consumers: global freq + join back
-    }
+    // ngram_hashes emits the positional xxhash64-of-gram values the
+    // when-guarded transform+concat_ws+xxhash64 chain produced (the
+    // n<k guard lives inside the kernel; spec-pinned bit-identical)
+    val grams = base.select(col(idCol),
+        posexplode(graft.functions.SketchExprs.ngram_hashes(col("__w"), k))
+          .as(Seq("__s", "__h")))
+      .localCheckpoint() // 2 consumers: global freq + join back
     val freq = grams.groupBy(col("__h")).agg(count(lit(1)).as("__c"))
     val dupStarts = grams.join(freq.filter(col("__c") > 1), Seq("__h"))
       .select(col(idCol), col("__s"))
@@ -1532,7 +1531,14 @@ object Dedup {
       .select(col("__sa"), col("__sb"))
       .distinct()
       .select(col("__sa"), col("__sb"),
-        levenshtein(col("__sa"), col("__sb")).as("dist"))
+        // banded DP: levenshtein(a, b, k) early-exits at distance > k
+        // (returns -1, which the >= 1 filter drops) — O(L·k) per
+        // candidate instead of O(L²), and the candidate verify IS the
+        // hot loop of this operator (the pushed-down join condition
+        // pays it once per bucket collision); values for surviving
+        // pairs are the exact distance, so consumers and the oracle
+        // are unchanged
+        levenshtein(col("__sa"), col("__sb"), maxDist).as("dist"))
       .filter(col("dist") >= 1 && col("dist") <= maxDist)
     (based, tpairs)
   }
@@ -1623,28 +1629,23 @@ object Dedup {
   def winnowingFingerprints(df: DataFrame, idCol: String, textCol: String,
       k: Int = 4, w: Int = 4): DataFrame = {
     require(k >= 1 && w >= 1, "k and w must be >= 1")
-    val toks = TextFunctions.tokensWs(
-      TextFunctions.normalizeText(col(textCol)))
-    // grams(i) = tokens[i..i+k-1] joined; docs shorter than k tokens
-    // have no gram and drop out (nothing to fingerprint)
-    // sequence(1, 0) is DESCENDING in Spark ([1, 0] — step defaults to
-    // -1 when start > stop), so a doc shorter than k tokens would feed
-    // slice() a 0 index and THROW; the when() guards emit an empty
-    // array instead (caught by the fuzz spec, invisible on the corpus)
-    val nGrams = size(toks) - (k - 1)
-    val grams = when(nGrams >= 1, transform(
-        sequence(lit(1), nGrams),
-        i => substring(md5(concat_ws("",
-          slice(toks, i, lit(k)))), 1, 15)))
-      .otherwise(array().cast("array<string>"))
-    // two selects keep the plan readable; the q193 oracle pins the
-    // whole construction hash-equal to DuckDB's mirror
-    val nWin = size(col("__g")) - (w - 1)
-    df.select(col(idCol), grams.as("__g"))
-      .select(col(idCol), explode(array_distinct(
-        when(nWin >= 1, transform(sequence(lit(1), nWin),
-          i => array_min(slice(col("__g"), i, lit(w)))))
-          .otherwise(array().cast("array<string>")))).as("fingerprint"))
+    // r18: one fused kernel (TextExprs.WinnowFingerprints) replaces the
+    // interpreted HOF chain
+    //   toks  = tokensWs(normalizeText(text))
+    //   grams = transform(sequence(1, size(toks) - k + 1),
+    //             i => substring(md5(concat_ws("", slice(toks, i, k))), 1, 15))
+    //   fps   = array_distinct(transform(sequence(1, size(grams) - w + 1),
+    //             i => array_min(slice(grams, i, w))))
+    // bit-identically (spec-pinned, oracle unchanged): 15 fixed-width
+    // lowercase hex chars are the md5's top 60 bits, so lexicographic
+    // string minima are numeric long minima; the chain's per-gram
+    // slice/concat/digest/hex allocations were 4.0 s of q193's 4.8 s
+    // at sf0.1 (the pair join beneath is 0.44 s). Docs shorter than
+    // k + w - 1 tokens emit nothing, as before (sequence(1, 0)
+    // descends — the when() guards this kernel absorbs were the r7
+    // fuzz lesson).
+    df.select(col(idCol), explode(TextExprs.winnow_fps(
+        TextFunctions.normalizeText(col(textCol)), k, w)).as("fingerprint"))
       .filter(col("fingerprint").isNotNull)
   }
 
@@ -1739,12 +1740,17 @@ object Dedup {
     // cos ≈ 0.9 background; trigrams live in a ~30k-term space where
     // background overlap is a few shared grams)
     val toks = TextFunctions.tokensWs(TextFunctions.normalizeText(col(textCol)))
-    val nT = size(toks) - (ngram - 1)
-    val terms =
-      if (ngram == 1) toks
-      else when(nT >= 1, transform(sequence(lit(1), nT),
-          i => concat_ws(" ", slice(toks, i, lit(ngram)))))
-        .otherwise(array().cast("array<string>")) // sequence(1,0) descends
+    // r18: terms ride as their xxhash64 gram hashes (SketchExprs.
+    // NgramHashes — the n<k guard and the sequence(1,0)-descends hazard
+    // live inside the kernel), not as gram STRINGS: the term never
+    // reaches the output — only term EQUALITY feeds the tf groupBy, the
+    // df prune, the posting join and the class key — so an 8-byte key
+    // is output-identical up to 64-bit gram collisions (~n²/2⁶⁵: zero
+    // expected below billions of distinct grams — the q119 sketch-item
+    // precedent; the 4-SF oracle gates would catch any drift) and the
+    // per-gram slice+concat allocations plus the string shuffle keys
+    // leave the pipeline.
+    val terms = graft.functions.SketchExprs.ngram_hashes(toks, ngram)
     val tf = df.select(col(idCol).as("__id"), explode(terms).as("__t"))
       .groupBy(col("__id"), col("__t"))
       .agg(count(lit(1)).as("__tf"))
