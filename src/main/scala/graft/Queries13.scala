@@ -74,14 +74,12 @@ object Queries13 {
     // the bipartite labels pack into even/odd LONGS for every heavy
     // phase (distinct, checkpoint, per-iteration shuffles carry 8-byte
     // keys, not label strings — measured ~3× lighter at 100M edges);
-    // the 'c…'/'s…' labels are restored on the node-sized result only
-    val pairs = t(s, dir, "orders")
-      .join(t(s, dir, "lineitem"),
-        col("o_orderkey") === col("l_orderkey"))
-      .select((col("o_custkey") * 2).as("c"),
-        (col("l_suppkey") * 2 + 1).as("s"))
-      .distinct()
-      .localCheckpoint() // both union branches read it
+    // the 'c…'/'s…' labels are restored on the node-sized result only.
+    // r18: the (c, s) pair relation comes from the SHARED TradeGraph
+    // parquet scratch (q148's unweighted edge set is exactly its key
+    // set) — both PageRank queries re-derived the same orders⋈lineitem
+    // distinct, the largest stage of each (1.1 s steady at sf0.1)
+    val pairs = TradeGraph.pairOrders(s, dir).select(col("c"), col("s"))
     val edges = pairs.select(col("c").as("src"), col("s").as("dst"))
       .union(pairs.select(col("s").as("src"), col("c").as("dst")))
     Graph.pageRank(edges, col("src"), col("dst"), iters = 2,

@@ -94,15 +94,11 @@ object Queries16 {
     * identical association.
     */
   def q168_weighted_pagerank(s: SparkSession, dir: String): DataFrame = {
-    val pw = t(s, dir, "orders")
-      .join(t(s, dir, "lineitem"),
-        col("o_orderkey") === col("l_orderkey"))
-      .select((col("o_custkey") * 2).as("c"),
-        (col("l_suppkey") * 2 + 1).as("s"), col("o_orderkey"))
-      .distinct()
-      .groupBy(col("c"), col("s"))
-      .agg(count(lit(1)).as("w"))
-      .localCheckpoint() // both union branches read it
+    // r18: served from the SHARED TradeGraph parquet relation (same
+    // construction, built once per process for q148+q168 — see
+    // TradeGraph scaladoc); parquet scan branches are safe to read
+    // twice, unlike the un-checkpointed plan this replaced
+    val pw = TradeGraph.pairOrders(s, dir)
     val edges = pw.select(col("c").as("src"), col("s").as("dst"), col("w"))
       .union(pw.select(col("s").as("src"), col("c").as("dst"), col("w")))
     graft.operators.Graph.pageRank(edges, col("src"), col("dst"),
