@@ -167,6 +167,14 @@ object Bench {
       } catch { case scala.util.control.NonFatal(_) => (-1.0, -1.0) }
     val envRows = scala.collection.mutable.ArrayBuffer[String]()
     var extCpuMax = -1.0 // worst residual foreign CPU across passes
+    // r19 (r18 verdict item 1 — bench-refusal mode): when a settle gate
+    // exhausts SPARK_GRAFT_MAXWAIT_S with residual foreign CPU still
+    // above the threshold, the whole artifact is tagged
+    // `"contaminated":true` on BOTH the stdout line and the detail —
+    // a poisoned run self-identifies instead of producing a
+    // plausible-looking total (the r18 driver ran at ext_cpu 0.978 and
+    // its 369 s cold total was read as a regression).
+    var contaminated = false
     def settle(tag: String): Unit = {
       val maxFrac = sys.env.get("SPARK_GRAFT_EXTCPU_MAX")
         .flatMap(_.toDoubleOption).getOrElse(0.25)
@@ -179,6 +187,11 @@ object Bench {
           f"$maxFrac%.2f — waiting for the box to settle")
         Thread.sleep(10000L); waited += 10
         ext = externalCpuFrac(500)
+      }
+      if (ext > maxFrac) {
+        contaminated = true
+        System.err.println(f"[bench] $tag: settle wait exhausted at " +
+          f"foreign CPU $ext%.2f — tagging this run contaminated")
       }
       extCpuMax = math.max(extCpuMax, ext)
       val load = java.lang.management.ManagementFactory
@@ -651,7 +664,7 @@ object Bench {
       advisArr("cold_contaminated", coldContam) +
       advisArr("steady_over_cold", steadyOverCold)
     val detail =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${qmap(results)}$steadyJson,"failed":$failed,"regressions":$regJson$advisJson$assertSummary,"parse_mbps":$parseMbps,"parse_mbps_best":$parseMbpsBest,"parse_spread":$parseSpread$envJson$memJson$buildJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${qmap(results)}$steadyJson,"failed":$failed,"regressions":$regJson$advisJson$assertSummary,"parse_mbps":$parseMbps,"parse_mbps_best":$parseMbpsBest,"parse_spread":$parseSpread,"contaminated":$contaminated$envJson$memJson$buildJson,"sf":"$sfDir"}"""
     // full runs only: a SPARK_GRAFT_QUERIES spot run must not clobber the
     // committed full-catalog artifact. SPARK_GRAFT_DETAIL redirects the
     // full map elsewhere (rehearsal sweeps record per-query factors
@@ -678,7 +691,7 @@ object Bench {
         s""","n_cold_regressions":${coldClean.size}""" else "") +
       (if (steadyOverCold.nonEmpty)
         s""","n_steady_over_cold":${steadyOverCold.size}""" else "")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":${qmap(slowest)}$steadyHead,"failed":$failed,"regressions":$regJsonHead$advisHead$assertSummary,"parse_mbps":$parseMbps,"parse_mbps_best":$parseMbpsBest,"parse_spread":$parseSpread,"ext_cpu_max":${f"$extCpuMax%.3f"},"detail":"$detailName","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":${qmap(slowest)}$steadyHead,"failed":$failed,"regressions":$regJsonHead$advisHead$assertSummary,"parse_mbps":$parseMbps,"parse_mbps_best":$parseMbpsBest,"parse_spread":$parseSpread,"ext_cpu_max":${f"$extCpuMax%.3f"},"contaminated":$contaminated,"detail":"$detailName","sf":"$sfDir"}""")
     spark.stop()
   }
 }

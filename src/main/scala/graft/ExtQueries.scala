@@ -74,8 +74,10 @@ object ExtQueries {
     * dense-vocab kernel; jaccardPairs as the sparse ungated one.
     */
   def q30_jaccard_pairs(s: SparkSession, dir: String): DataFrame =
-    Dedup.jaccardPairsLsh(t(s, dir, "documents"), "doc_id", "text",
-        threshold = 0.5, shingleWords = 3)
+    // r19: served from the shared per-process NearDupGraph build — the
+    // same jaccardPairsLsh(0.5, 3) relation q51/q83/q169 consume,
+    // derived once per process instead of four times (guide §2.4).
+    NearDupGraph.pairs05(s, dir)
       .orderBy(col("id_a"), col("id_b"))
 
   /** MinHash + LSH near-dup pairs (the 100 TB dedup path; rows-only check,

@@ -34,8 +34,13 @@ object Queries16 {
     * see [[graft.operators.Dedup.containmentSummary]]. |docs| rows.
     */
   def q165_containment_summary(s: SparkSession, dir: String): DataFrame =
-    Dedup.containmentSummary(t(s, dir, "documents"), "doc_id", "text",
-        threshold = 0.6, shingleWords = 3)
+    // r19: served from the shared per-process ContainmentRel build
+    // (see q93 — guide §2.4); only the class-level best aggregation
+    // and per-doc expansion run here. Output identical to the inline
+    // containmentSummary.
+    Dedup.containmentSummaryFrom(t(s, dir, "documents"), "doc_id",
+        ContainmentRel.docMap(s, dir), ContainmentRel.repPairs(s, dir),
+        threshold = ContainmentRel.Threshold)
       .orderBy(col("doc_id"))
 
   /** Item co-occurrence mining: the top-20 part pairs most often
@@ -119,11 +124,10 @@ object Queries16 {
     * Everything after the CC is |clusters|-row aggregates.
     */
   def q169_cluster_sizes(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
-    val pairs = Dedup.jaccardPairsLsh(
-      docs, "doc_id", "text", threshold = 0.5, shingleWords = 3)
-    Dedup.connectedComponents(docs.select(col("doc_id")), "doc_id",
-        pairs, "id_a", "id_b")
+    // r19: labels from the shared per-process NearDupGraph build (the
+    // identical jaccardPairsLsh(0.5) + CC pipeline q51/q83 also
+    // consume — guide §2.4); everything below is |clusters|-row aggs.
+    NearDupGraph.labels05(s, dir)
       .groupBy(col("comp")).agg(count(lit(1)).as("sz"))
       .groupBy(col("sz").as("cluster_size"))
       .agg(count(lit(1)).as("n_clusters"))

@@ -216,17 +216,14 @@ object Queries2 {
     * dedup pass, oracled against a DuckDB recursive-CTE transitive
     * closure.
     */
-  def q51_dedup_clusters(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
-    val pairs = graft.operators.Dedup.jaccardPairsLsh(
-      docs, "doc_id", "text", threshold = 0.5, shingleWords = 3)
-    graft.operators.Dedup
-      .connectedComponents(docs.select(col("doc_id")), "doc_id",
-        pairs, "id_a", "id_b")
+  def q51_dedup_clusters(s: SparkSession, dir: String): DataFrame =
+    // r19: labels from the shared per-process NearDupGraph build (the
+    // identical jaccardPairsLsh(0.5) + connectedComponents pipeline,
+    // derived once per process for q51/q83/q169 — guide §2.4)
+    NearDupGraph.labels05(s, dir)
       .select(col("id").as("doc_id"), col("comp").as("cluster"),
         when(col("id") === col("comp"), 1L).otherwise(0L).as("keep"))
       .orderBy(col("doc_id"))
-  }
 
   /** Sequence packing: documents concatenated in id order, bin boundary
     * every 2048 tokens (the pretraining batch-packing op). Total-order

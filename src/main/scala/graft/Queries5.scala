@@ -34,10 +34,10 @@ object Queries5 {
     */
   def q83_cluster_canonical(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val pairs = Dedup.jaccardPairsLsh(docs, "doc_id", "text",
-      threshold = 0.5, shingleWords = 3)
-    val labels = Dedup.connectedComponents(docs.select(col("doc_id")),
-        "doc_id", pairs, "id_a", "id_b")
+    // r19: labels from the shared per-process NearDupGraph build (the
+    // identical jaccardPairsLsh(0.5) + CC pipeline q51/q169 also
+    // consume — guide §2.4); only the canonical policy differs.
+    val labels = NearDupGraph.labels05(s, dir)
       .select(col("id").as("doc_id"), col("comp").as("cluster"))
     Dedup.canonicalPerCluster(labels, "doc_id", "cluster",
         docs.select(col("doc_id"), col("n_chars")), "doc_id", col("n_chars"))

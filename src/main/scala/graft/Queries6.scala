@@ -70,8 +70,13 @@ object Queries6 {
     * the prefix probe is candidate-proportional.
     */
   def q93_containment_pairs(s: SparkSession, dir: String): DataFrame =
-    Dedup.containmentPairsPrefix(t(s, dir, "documents"), "doc_id", "text",
-        threshold = 0.6, shingleWords = 3)
+    // r19: served from the shared per-process ContainmentRel build —
+    // the per-doc sets + class window + pigeonhole candidate + verify
+    // stages are derived once per process for q93/q165 (guide §2.4);
+    // only the cheap expansion + threshold filter runs here. Output
+    // identical to the inline containmentPairsPrefix.
+    Dedup.containmentPairsPrefixFrom(ContainmentRel.docMap(s, dir),
+        ContainmentRel.repPairs(s, dir), threshold = ContainmentRel.Threshold)
       .select(col("id_a"), col("id_b"), col("inter"), col("containment"))
       .orderBy(col("id_a"), col("id_b"))
 

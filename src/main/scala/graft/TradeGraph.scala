@@ -37,14 +37,24 @@ object TradeGraph {
     val out = TmpDirs.perProcess("graft_tradegraph", canonical)
     this.synchronized {
       if (!built.contains(canonical)) BuildTimes.timed("tradegraph_rel") {
-        Tables(s, dir, "orders")
+        // r19 build diet (r18 verdict item 3, guide §2.4/§3.1): the r18
+        // form (broadcast join → distinct(c,s,o) → groupBy(c,s)) paid
+        // TWO full-width post-join exchanges — the broadcast join left
+        // the output file-partitioned, so the distinct shuffled the
+        // whole (c,s,o) relation and the count shuffled it again
+        // (46.95 s at sf10 in the driver's detail). SHUFFLE_HASH on the
+        // orders side makes the join output hash-partitioned by
+        // orderkey (no SMJ sorts either), which the countDistinct's
+        // first aggregate REUSES — plan: 2 post-join Exchanges → 1
+        // (plans/r19/tradegraph_rel_{before,after}.txt); probe at sf10:
+        // 48.3 s cold / 10.7 steady → 6.8 steady (ProbeTradeGraph).
+        Tables(s, dir, "orders").hint("shuffle_hash")
           .join(Tables(s, dir, "lineitem"),
             col("o_orderkey") === col("l_orderkey"))
           .select((col("o_custkey") * 2).as("c"),
             (col("l_suppkey") * 2 + 1).as("s"), col("o_orderkey"))
-          .distinct()
           .groupBy(col("c"), col("s"))
-          .agg(count(lit(1)).as("w"))
+          .agg(count_distinct(col("o_orderkey")).as("w"))
           .write.mode("overwrite").parquet(out)
         built.add(canonical): Unit
       }

@@ -275,6 +275,10 @@ object TextExprs {
     override def prettyName: String = "first_diff_pos"
     override def dataType: DataType =
       org.apache.spark.sql.types.LongType
+    // equal strings yield null even when both inputs are non-nullable —
+    // BinaryExpression would otherwise derive nullable=false from the
+    // children and Catalyst could miscompile a caller (r18 ADVICE item)
+    override def nullable: Boolean = true
 
     override def nullSafeEval(a: Any, b: Any): Any = {
       val ab = a.asInstanceOf[UTF8String].getBytes

@@ -467,6 +467,22 @@ object Dedup {
       .filter(col("containment") >= threshold)
   }
 
+  /** [[containmentPairsPrefix]] over PREBUILT relations (see
+    * [[expandRepPairs]] for the contracts) — identical output; lets
+    * [[graft.ContainmentRel]] serve q93 from the shared per-process
+    * build.
+    */
+  private[graft] def containmentPairsPrefixFrom(docMap: DataFrame,
+      repPairs: DataFrame, threshold: Double): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      "threshold must be in (0, 1] (at 0 every co-shingled pair qualifies)")
+    expandRepPairs(docMap, repPairs)
+      .select(col("id_a"), col("id_b"), col("inter"),
+        round(col("inter").cast("double") / least(col("n_a"), col("n_b")), 4)
+          .as("containment"))
+      .filter(col("containment") >= threshold)
+  }
+
   /** Per-document containment VERDICT — the pipeline-facing form of
     * [[containmentPairsPrefix]] for corpora whose true-pair mass makes
     * the pair list itself the dominant output (the 100× rehearsal corpus
@@ -505,23 +521,25 @@ object Dedup {
       maxShingleDf: Int = DefaultMaxShingleDf): DataFrame = {
     require(threshold > 0 && threshold <= 1,
       "threshold must be in (0, 1] (at 0 every co-shingled pair qualifies)")
-    // class structure over identical surviving sets: rep = min id (the
-    // class's best-partner doc by the tie order), m = class size,
-    // second = min other id (the rep's own within-class partner).
-    // __byRarity is derived from the GLOBAL df relation, so equal sets
-    // always carry equal arrays — the partition key is exact.
-    val wCls = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("__n"), col("__byRarity"))
-    val docMap = perDocSets(df, idCol, textCol, shingleWords, maxShingleDf)
-      .select(col("id"), col("__n"), col("__byRarity"),
-        min(col("id")).over(wCls).as("__rep"),
-        count(lit(1)).over(wCls).as("__m"))
-      .withColumn("__second",
-        min(when(col("id") =!= col("__rep"), col("id"))).over(wCls))
+    val docMap = perDocSetsWithClasses(df, idCol, textCol, shingleWords,
+        maxShingleDf)
       .localCheckpoint() // consumers: reps machinery + both expansions
-    val reps = docMap.filter(col("id") === col("__rep"))
-      .select(col("id"), col("__n"), col("__byRarity"))
-    val pairsC = prefixPairsFromSets(reps, alphaCoef = threshold - 1e-4)
+    containmentSummaryFrom(df, idCol, docMap,
+      repPairsFromDocMap(docMap, alphaCoef = threshold - 1e-4), threshold)
+  }
+
+  /** The [[containmentSummary]] tail over PREBUILT relations — `docMap`
+    * needs (id, __rep, __m, __second) (the [[perDocSetsWithClasses]]
+    * columns minus __byRarity, which only the pair machinery reads) and
+    * `repPairs` is [[repPairsFromDocMap]] output at
+    * alphaCoef = threshold − 1e-4. Lets [[graft.ContainmentRel]] serve
+    * q93 and q165 from ONE per-process build; output is identical to
+    * the inline form (same relations, same operations).
+    */
+  private[graft] def containmentSummaryFrom(
+      df: DataFrame, idCol: String, docMap: DataFrame,
+      repPairs: DataFrame, threshold: Double): DataFrame = {
+    val pairsC = repPairs
       .select(col("id_a"), col("id_b"), col("n_a"), col("n_b"),
         round(col("inter").cast("double") / least(col("n_a"), col("n_b")), 4)
           .as("containment"))
@@ -612,16 +630,29 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       shingleWords: Int, maxShingleDf: Int,
       alphaCoef: Double): DataFrame = {
-    val wCls = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("__n"), col("__byRarity"))
-    val docMap = perDocSets(df, idCol, textCol, shingleWords, maxShingleDf)
-      .select(col("id"), col("__n"), col("__byRarity"),
-        min(col("id")).over(wCls).as("__rep"),
-        count(lit(1)).over(wCls).as("__m"))
+    val docMap = perDocSetsWithClasses(df, idCol, textCol, shingleWords,
+        maxShingleDf)
       .localCheckpoint() // consumers: reps machinery + both expansions
-    val reps = docMap.filter(col("id") === col("__rep"))
-      .select(col("id"), col("__n"), col("__byRarity"))
-    val repPairs = prefixPairsFromSets(reps, alphaCoef)
+    expandRepPairs(docMap, repPairsFromDocMap(docMap, alphaCoef))
+  }
+
+  /** Class-representative candidate + exact-verify pairs over a
+    * [[perDocSetsWithClasses]] relation (one row per CLASS pair; the
+    * caller expands members via [[expandRepPairs]]).
+    */
+  private[graft] def repPairsFromDocMap(docMap: DataFrame,
+      alphaCoef: Double): DataFrame =
+    prefixPairsFromSets(docMap.filter(col("id") === col("__rep"))
+      .select(col("id"), col("__n"), col("__byRarity")), alphaCoef)
+
+  /** The [[prefixPairStats]] expansion tail over PREBUILT relations —
+    * `docMap` needs (id, __n, __rep, __m); `repPairs` is
+    * [[repPairsFromDocMap]] output. Identical output to the inline
+    * form (same relations, same operations); lets
+    * [[graft.ContainmentRel]] serve q93 from the shared build.
+    */
+  private[graft] def expandRepPairs(docMap: DataFrame,
+      repPairs: DataFrame): DataFrame = {
     // cross-class expansion: every member pair inherits the class
     // pair's stats; sizes re-key to the member-id order the caller sees
     val members = docMap.select(col("__rep"), col("id"))
@@ -654,6 +685,28 @@ object Dedup {
     * distributed-stopword contract shared by every prefix-filter
     * caller). Docs with no surviving shingle emit no row.
     */
+  /** [[perDocSets]] plus the identical-set CLASS columns shared by the
+    * prefix-filter family and [[graft.ContainmentRel]]: __rep = class
+    * min id (the class's best-partner doc by the tie order), __m =
+    * class size, __second = min other id in the class (null for
+    * singletons — the rep's own within-class partner). __byRarity is
+    * derived from the GLOBAL df relation, so equal sets always carry
+    * equal arrays — the partition key is exact. All three ride ONE
+    * Window operator (same partition spec).
+    */
+  private[graft] def perDocSetsWithClasses(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleWords: Int, maxShingleDf: Int): DataFrame = {
+    val wCls = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__n"), col("__byRarity"))
+    perDocSets(df, idCol, textCol, shingleWords, maxShingleDf)
+      .select(col("id"), col("__n"), col("__byRarity"),
+        min(col("id")).over(wCls).as("__rep"),
+        count(lit(1)).over(wCls).as("__m"))
+      .withColumn("__second",
+        min(when(col("id") =!= col("__rep"), col("id"))).over(wCls))
+  }
+
   private def perDocSets(
       df: DataFrame, idCol: String, textCol: String,
       shingleWords: Int, maxShingleDf: Int): DataFrame = {
