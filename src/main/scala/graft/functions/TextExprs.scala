@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.functions.call_function
@@ -437,6 +437,87 @@ object TextExprs {
       copy(child = newChild)
   }
 
+  /** del_var_hashes(s, maxDist) → array<long>: the xxhash64 (seed 42 —
+    * Spark's `xxhash64`) values of the string's deletion-neighborhood
+    * variant SET — the string itself, every single-codepoint deletion,
+    * and (maxDist = 2) every two-codepoint deletion — deduplicated.
+    * SET-equal by construction to
+    * `transform(array_distinct(delVariants), v -> xxhash64(v))` over
+    * the interpreted `transform(sequence → concat(substr, substr))`
+    * chain it replaces in [[graft.operators.Dedup.editDistanceTextPairs]]
+    * (spec-pinned, fuzz incl. multi-byte): substr counts CODEPOINTS, so
+    * deletions remove whole UTF-8 codepoint spans. One byte pass + one
+    * reused buffer per row, no variant strings materialized — the
+    * FastSS blocking join then shuffles 8-byte longs instead of name
+    * strings, and a 64-bit collision can only ADD a candidate, which
+    * the exact banded-levenshtein verify drops (output lossless, not
+    * merely up-to-collision).
+    */
+  case class DeletionVariantHashes(child: Expression, maxDist: Int)
+      extends UnaryExpression with CodegenFallback {
+    require(maxDist >= 1 && maxDist <= 2, "maxDist must be 1 or 2")
+    override def prettyName: String = "del_var_hashes"
+    override def dataType: DataType =
+      ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+
+    override def nullSafeEval(input: Any): Any = {
+      val b = input.asInstanceOf[UTF8String].getBytes
+      val len = b.length
+      // codepoint start offsets (offs(n) = len)
+      var n = 0
+      var i = 0
+      while (i < len) {
+        i += math.max(1, UTF8String.numBytesForFirstByte(b(i))); n += 1
+      }
+      val offs = new Array[Int](n + 1)
+      i = 0; var c = 0
+      while (i < len) {
+        offs(c) = i
+        i += math.max(1, UTF8String.numBytesForFirstByte(b(i))); c += 1
+      }
+      offs(n) = len
+      val seen = new java.util.HashSet[java.lang.Long]()
+      val out = new scala.collection.mutable.ArrayBuffer[Long](
+        n + 1 + (if (maxDist == 2) n * (n - 1) / 2 else 0))
+      def add(h: Long): Unit =
+        if (seen.add(h)) { out += h; () }
+      val off = org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET
+      // the identity string
+      add(XXH64.hashUnsafeBytes(b, off, len, 42L))
+      val buf = new Array[Byte](len)
+      // single deletions: bytes minus codepoint i's span
+      i = 0
+      while (i < n) {
+        val (s0, s1) = (offs(i), offs(i + 1))
+        System.arraycopy(b, 0, buf, 0, s0)
+        System.arraycopy(b, s1, buf, s0, len - s1)
+        add(XXH64.hashUnsafeBytes(buf, off, len - (s1 - s0), 42L))
+        i += 1
+      }
+      if (maxDist == 2 && n >= 2) {
+        i = 0
+        while (i < n) {
+          var j = i + 1
+          while (j < n) {
+            val (a0, a1) = (offs(i), offs(i + 1))
+            val (c0, c1) = (offs(j), offs(j + 1))
+            System.arraycopy(b, 0, buf, 0, a0)
+            System.arraycopy(b, a1, buf, a0, c0 - a1)
+            val p = a0 + (c0 - a1)
+            System.arraycopy(b, c1, buf, p, len - c1)
+            add(XXH64.hashUnsafeBytes(buf, off, p + (len - c1), 42L))
+            j += 1
+          }
+          i += 1
+        }
+      }
+      new GenericArrayData(out.toArray)
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   // once per session — see VectorExprs.registeredSessions for rationale
   private val registeredSessions = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
@@ -463,7 +544,23 @@ object TextExprs {
           }
           WinnowFingerprints(exprs.head, intLit(exprs(1)), intLit(exprs(2)))
         }, "built-in")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "del_var_hashes",
+        { exprs =>
+          val k = exprs(1) match {
+            case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+            case other => throw new IllegalArgumentException(
+              s"del_var_hashes maxDist must be an int literal, got $other")
+          }
+          DeletionVariantHashes(exprs.head, k)
+        }, "built-in")
     }
+  }
+
+  def del_var_hashes(s: Column, maxDist: Int): Column = {
+    ensureRegistered()
+    call_function("del_var_hashes", s,
+      org.apache.spark.sql.functions.lit(maxDist))
   }
 
   def winnow_fps(normalizedText: Column, k: Int, w: Int): Column = {

@@ -257,7 +257,7 @@ object Dedup {
     * the RESIDENT corpus side of [[nearDupAdmitLoop]] rides this at
     * full corpus size.
     */
-  private def sigPrep(df: DataFrame, id: String, text: String,
+  private[graft] def sigPrep(df: DataFrame, id: String, text: String,
       outId: String, shingleWords: Int, numHashes: Int): DataFrame =
     PlanUtil.widenIfNarrow(df.select(col(id).as(outId), col(text).as("__t")))
       .select(col(outId),
@@ -272,7 +272,7 @@ object Dedup {
   /** Explode a [[sigPrep]] relation to its (id, band, bandHash) keys
     * (one-kernel derivation — see [[lshCandidates]]).
     */
-  private def sigBands(df: DataFrame, id: String, bands: Int,
+  private[graft] def sigBands(df: DataFrame, id: String, bands: Int,
       rowsPerBand: Int): DataFrame =
     df.select(col(id),
       posexplode(graft.functions.SketchExprs.band_hashes(
@@ -282,7 +282,7 @@ object Dedup {
     * against two [[sigPrep]] relations; keeps pairs with
     * round(jaccard, 4) ≥ threshold.
     */
-  private def verifyJaccard(cand: DataFrame, a: DataFrame, b: DataFrame,
+  private[graft] def verifyJaccard(cand: DataFrame, a: DataFrame, b: DataFrame,
       threshold: Double): DataFrame =
     cand
       .join(a.select(col("id_a"), col("__sh").as("__sha")), "id_a")
@@ -1348,7 +1348,7 @@ object Dedup {
     * (batchId, status, match_id) frame — consumed twice (caller +
     * commit decision); batch-sized, so the default level is fine.
     */
-  private def admitStep(batch: DataFrame, b: DataFrame,
+  private[graft] def admitStep(batch: DataFrame, b: DataFrame,
       corpusSigs: DataFrame, batchId: String, threshold: Double,
       bands: Int, rpb: Int): DataFrame = {
     val bBands = sigBands(b, "id_a", bands, rpb)
@@ -1550,28 +1550,24 @@ object Dedup {
       // every output pair through the two expansion joins (the
       // pre-rewrite pair-level distinct absorbed them); dedup up front
       .distinct()
-    // Deletion variants as ONE generated array: the identity, every
-    // single-position deletion, and (k=2) every two-position deletion.
-    val del1 =
-      "transform(sequence(1, length(__s)), i -> " +
-        "concat(substr(__s, 1, i - 1), substr(__s, i + 1)))"
-    // NB sequence(a, b) DESCENDS when a > b — the inner range must be
-    // guarded empty at i = length or it fabricates j < i deletions.
-    val del2 =
-      "flatten(transform(sequence(1, length(__s)), i -> " +
-        "transform(if(i < length(__s), sequence(i + 1, length(__s)), " +
-        "cast(array() as array<int>)), j -> " +
-        "concat(substr(__s, 1, i - 1), substr(__s, i + 1, j - i - 1), " +
-        "substr(__s, j + 1)))))"
-    val variants =
-      if (maxDist == 1) s"array_append($del1, __s)"
-      else s"array_append(concat($del1, if(length(__s) >= 2, $del2, " +
-        s"cast(array() as array<string>))), __s)"
     val based = base.localCheckpoint() // text groups + both expansions
     val texts = based.select(col("__s")).distinct()
       .localCheckpoint() // both variant-join sides
+    // Deletion variants (the identity, every single-codepoint deletion,
+    // k=2: every two-codepoint deletion) ride as their xxhash64 values
+    // (r19, TextExprs.DeletionVariantHashes — one byte pass, set-equal
+    // to xxhash64 over array_distinct of the variant strings;
+    // spec-pinned vs the transform(sequence → concat(substr, substr))
+    // reference formulation in OptimizationR19Spec): the interpreted
+    // HOF chain this replaces built every variant STRING per row, and
+    // the blocking join shuffled those strings as keys. A 64-bit
+    // collision can only ADD a candidate, which the exact levenshtein
+    // verify below drops — output identical, not merely
+    // up-to-collision (guide §2.3 narrower keys, §4 kill interpreted
+    // HOFs on the hot path).
     val exploded = texts
-      .select(col("__s"), explode(array_distinct(expr(variants))).as("__v"))
+      .select(col("__s"), explode(graft.functions.TextExprs
+        .del_var_hashes(col("__s"), maxDist)).as("__v"))
     val ta = exploded.select(col("__s").as("__sa"), col("__v"))
     val tb = exploded.select(col("__s").as("__sb"), col("__v"))
     // NB deliberate exception to the derived-column-filter rule: the

@@ -86,6 +86,45 @@ class OptimizationR19Spec extends SparkSpec {
       s"tfCosinePairs drift: got ${got.length} pairs, want ${want.length}")
   }
 
+  test("del_var_hashes kernel set-equals xxhash64 over the deletion-" +
+      "variant HOF chain it replaced (fuzz incl. multi-byte, k=1 and 2)") {
+    val rnd = new java.util.SplittableRandom(190L)
+    val alphabet = "abc01#éß漢"
+    def word(): String =
+      (0 until (1 + rnd.nextInt(14)))
+        .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    val rows = ((1 to 400).map(_ => word()) ++
+      Seq("a", "ab", "éß", "漢漢漢", "Customer#000000042")).toDF("__s")
+    for (k <- Seq(1, 2)) {
+      // the pre-r19 reference formulation from editDistanceTextPairs
+      val del1 =
+        "transform(sequence(1, length(__s)), i -> " +
+          "concat(substr(__s, 1, i - 1), substr(__s, i + 1)))"
+      val del2 =
+        "flatten(transform(sequence(1, length(__s)), i -> " +
+          "transform(if(i < length(__s), sequence(i + 1, length(__s)), " +
+          "cast(array() as array<int>)), j -> " +
+          "concat(substr(__s, 1, i - 1), substr(__s, i + 1, j - i - 1), " +
+          "substr(__s, j + 1)))))"
+      val variants =
+        if (k == 1) s"array_append($del1, __s)"
+        else s"array_append(concat($del1, if(length(__s) >= 2, $del2, " +
+          s"cast(array() as array<string>))), __s)"
+      val got = rows.select(col("__s"),
+        graft.functions.TextExprs.del_var_hashes(col("__s"), k).as("g"))
+      val want = rows.select(col("__s"),
+        expr(s"transform(array_distinct($variants), v -> xxhash64(v))")
+          .as("w"))
+      val joined = got.join(want, "__s").collect()
+      joined.foreach { r =>
+        val g = r.getSeq[Long](1).toSet
+        val w = r.getSeq[Long](2).toSet
+        assert(g == w, s"del_var_hashes($k) drift on '${r.getString(0)}': " +
+          s"got ${g.size} want ${w.size}")
+      }
+    }
+  }
+
   test("containmentPairsPrefixFrom/containmentSummaryFrom over prebuilt " +
       "(docMap, repPairs) == the inline forms (the ContainmentRel split)") {
     val df = corpus(100, 191L)
