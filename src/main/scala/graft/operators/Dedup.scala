@@ -1800,25 +1800,48 @@ object Dedup {
     // per-gram slice+concat allocations plus the string shuffle keys
     // leave the pipeline.
     val terms = graft.functions.SketchExprs.ngram_hashes(toks, ngram)
-    val tf = df.select(col(idCol).as("__id"), explode(terms).as("__t"))
-      .groupBy(col("__id"), col("__t"))
-      .agg(count(lit(1)).as("__tf"))
-      .localCheckpoint() // feeds df-prune, norms AND both join sides
-    val kept = if (maxTokenDf > 0) {
-      val hot = tf.groupBy(col("__t")).agg(count(lit(1)).as("__df"))
-        .filter(col("__df") > maxTokenDf).select(col("__t"))
-      tf.join(hot, Seq("__t"), "left_anti").localCheckpoint()
-    } else tf
-    // class structure over identical surviving tf vectors: the window
-    // key is the exact sorted (term, tf) array, so equal vectors — and
-    // only equal vectors — share a class; rep = min id (__n2 rides
-    // along: members share the rep's norm by identity)
+    // r19 (guide §2.4): tf aggregation, term-df derivation and the
+    // stopword prune FUSED into one term-partitioned pass — one
+    // repartition(__t) up front satisfies the clustering of the
+    // (id, t) groupBy, the df window AND the prune, so the r18 shape's
+    // second full-width exchange (tf → groupBy(__t) df → anti-join)
+    // and its second corpus-sized checkpoint disappear (sf10 probe:
+    // tf 3.2 s + prune 18.8 s → one 7-9 s pass). Row content is
+    // IDENTICAL (same (id, t, tf) rows with term df ≤ maxTokenDf;
+    // map-side partial tf aggregation was worthless here anyway —
+    // mean tf ≈ 1.07).
+    val grams = df.select(col(idCol).as("__id"), explode(terms).as("__t"))
+    val kept = (if (maxTokenDf > 0) {
+      val wT = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("__t"))
+      grams.repartition(col("__t"))
+        .groupBy(col("__id"), col("__t"))
+        .agg(count(lit(1)).as("__tf"))
+        .withColumn("__df", sum(lit(1L)).over(wT))
+        .filter(col("__df") <= maxTokenDf)
+        .drop("__df")
+    } else
+      grams.groupBy(col("__id"), col("__t"))
+        .agg(count(lit(1)).as("__tf"))
+    ).localCheckpoint() // feeds norms (via docMap) AND both join sides
+    // class structure over identical surviving tf vectors: equal — and
+    // only equal — vectors share a class; rep = min id (__n2 rides
+    // along: members share the rep's norm by identity). r19: the class
+    // window partitions by a 96-bit (xxhash64, murmur3) pair of the
+    // sorted (term, tf) array instead of the array itself — the array
+    // averaged ~800 B as a shuffle sort key; the hash pair is 12 B.
+    // Distinct vectors colliding on BOTH hashes would merge two
+    // classes (wrong cos values), bounded by n²/2⁹⁷ ≈ 2e-18 at 550k
+    // docs — five orders below the accepted 64-bit gram-key bound
+    // (r18 precedent), and the 4-SF oracle + parity spec gate it.
     val wCls = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("__vec"))
+      .partitionBy(col("__ck"))
     val docMap = kept.groupBy(col("__id"))
       .agg(sort_array(collect_list(struct(col("__t"), col("__tf"))))
           .as("__vec"),
         sum(col("__tf") * col("__tf")).as("__n2"))
+      .select(col("__id"), col("__n2"),
+        struct(xxhash64(col("__vec")), hash(col("__vec"))).as("__ck"))
       .select(col("__id"), col("__n2"),
         min(col("__id")).over(wCls).as("__rep"),
         count(lit(1)).over(wCls).as("__m"))

@@ -42,25 +42,29 @@ object ProbeTfCos {
 
       val toks = TextFunctions.tokensWs(TextFunctions.normalizeText(col("text")))
       val terms = SketchExprs.ngram_hashes(toks, 3)
-      val tf = time("tf ckpt")(
+      // r19 fused shape (mirrors Dedup.tfCosinePairs): one
+      // term-partitioned pass for tf + df + prune, 96-bit class key
+      val wT = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("__t"))
+      val kept = time("tf+df-prune fused ckpt")(
         df.select(col("doc_id").as("__id"), explode(terms).as("__t"))
+          .repartition(col("__t"))
           .groupBy(col("__id"), col("__t"))
           .agg(count(lit(1)).as("__tf"))
+          .withColumn("__df", sum(lit(1L)).over(wT))
+          .filter(col("__df") <= 1000L)
+          .drop("__df")
           .localCheckpoint())
-      println("  tf=" + tf.count())
-      val kept = time("df-prune ckpt") {
-        val hot = tf.groupBy(col("__t")).agg(count(lit(1)).as("__df"))
-          .filter(col("__df") > 1000L).select(col("__t"))
-        tf.join(hot, Seq("__t"), "left_anti").localCheckpoint()
-      }
       println("  kept=" + kept.count())
       val wCls = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("__vec"))
+        .partitionBy(col("__ck"))
       val docMap = time("docMap window+ckpt")(
         kept.groupBy(col("__id"))
           .agg(sort_array(collect_list(struct(col("__t"), col("__tf"))))
               .as("__vec"),
             sum(col("__tf") * col("__tf")).as("__n2"))
+          .select(col("__id"), col("__n2"),
+            struct(xxhash64(col("__vec")), hash(col("__vec"))).as("__ck"))
           .select(col("__id"), col("__n2"),
             min(col("__id")).over(wCls).as("__rep"),
             count(lit(1)).over(wCls).as("__m"))
